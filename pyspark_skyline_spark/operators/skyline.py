@@ -1,0 +1,294 @@
+"""Distributed skyline (Pareto frontier) over arbitrary Spark DataFrames.
+
+Capability parity with the reference's three MapReduce partitioning
+schemes — MR_DIM, MR_GRID (with dominated-cell pruning), MR_ANGLE
+(reference: src/utils/functions.py:57-300, src/jobs/batch_job.py:99-122)
+— but architected Spark-first instead of translated:
+
+* partition keys are native Column expressions (``floor``/``least``/
+  ``atan``/``sqrt``), never Python UDFs (reference uses row-wise UDFs,
+  src/jobs/batch_job.py:37-76);
+* per-dimension bounds are data-driven (one ``agg(min,max)`` pass)
+  instead of the reference's constant global domain
+  (src/config/configurations.py:17-18), so skewed data still partitions
+  evenly;
+* MAX dimensions are reflected into min-space before the angular
+  transform, lifting the reference's MIN-only MR_ANGLE restriction
+  (src/utils/functions.py:327-329);
+* MR_GRID's dominated-cell prune is the closed-form Catalyst predicate
+  ``min(digit_i) == 0`` — exactly the ``p^d - (p-1)^d`` surviving cells
+  of README.md:54-57 — evaluated JVM-side, no UDF filter;
+* local skylines run as a NumPy kernel in ``applyInPandas`` (Arrow
+  batches, spillable groups) instead of ``collect_list`` + row UDF
+  (src/jobs/batch_job.py:128-134);
+* the final merge is a fan-in tree of ``applyInPandas`` passes instead
+  of the reference's single global reduce task — its documented
+  scalability wall (report p.3; SURVEY.md §4.3).
+
+Results are plain DataFrames preserving the full input row (the
+reference only returns the coordinate struct).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, functions as F
+
+from pyspark_skyline_spark.kernel import find_skyline_mask
+from pyspark_skyline_spark.parser import parse_skyline_query
+
+__all__ = ["skyline", "skyline_sql", "ALGORITHMS"]
+
+ALGORITHMS = ("MR_DIM", "MR_GRID", "MR_ANGLE", "auto")
+
+_CELL = "__sky_cell"
+
+# Make our kernel module picklable by value so applyInPandas closures run
+# on executors that don't have the package on their PYTHONPATH.
+try:  # pragma: no cover - defensive
+    from pyspark import cloudpickle as _cp  # type: ignore[attr-defined]
+except ImportError:  # pragma: no cover
+    try:
+        from pyspark.serializers import cloudpickle as _cp  # type: ignore
+    except ImportError:
+        import cloudpickle as _cp  # type: ignore
+try:  # pragma: no cover
+    import pyspark_skyline_spark.kernel as _kernel_mod
+
+    _cp.register_pickle_by_value(_kernel_mod)
+except Exception:  # pragma: no cover - older cloudpickle: rely on PYTHONPATH
+    pass
+
+
+def _normalize_dims(dims) -> list[tuple[str, str]]:
+    if isinstance(dims, str):
+        return parse_skyline_query(dims)
+    out = []
+    for item in dims:
+        col, sense = item
+        sense = sense.lower()
+        if sense not in ("min", "max"):
+            raise ValueError(f"sense must be min/max, got {sense!r}")
+        out.append((col, sense))
+    if not out:
+        raise ValueError("need at least one skyline dimension")
+    return out
+
+
+def _numeric_expr(df: DataFrame, col: str):
+    """Dimension as a double Column. Timestamps become microseconds since
+    epoch, dates become day numbers; everything else casts directly."""
+    dtype = df.schema[col].dataType.typeName()
+    c = F.col(col)
+    if dtype in ("timestamp", "timestamp_ntz"):
+        return F.unix_micros(c.cast("timestamp")).cast("double")
+    if dtype == "date":
+        return F.datediff(c, F.to_date(F.lit("1970-01-01"))).cast("double")
+    return c.cast("double")
+
+
+def _compute_bounds(df: DataFrame, dims) -> dict[str, tuple[float, float]]:
+    """One aggregate pass for per-dimension (lo, hi) as doubles.
+
+    Data-driven replacement for the reference's fixed [0, 1e9] domain
+    (src/config/configurations.py:17-18).
+    """
+    aggs = []
+    for c, _ in dims:
+        x = _numeric_expr(df, c)
+        aggs.append(F.min(x).alias(f"__lo_{c}"))
+        aggs.append(F.max(x).alias(f"__hi_{c}"))
+    row = df.agg(*aggs).collect()[0]
+    return {c: (row[f"__lo_{c}"], row[f"__hi_{c}"]) for c, _ in dims}
+
+
+def _minspace_exprs(df, dims, bounds):
+    """Normalized [0,1] min-space value per dimension (native exprs).
+
+    MIN dim -> (x-lo)/(hi-lo); MAX dim -> (hi-x)/(hi-lo). Degenerate
+    (lo==hi or unknown) dims collapse to 0.0.
+    """
+    exprs = []
+    for c, sense in dims:
+        lo, hi = bounds[c]
+        if lo is None or hi is None or not (hi > lo):
+            exprs.append(F.lit(0.0))
+            continue
+        x = _numeric_expr(df, c)
+        num = (x - F.lit(float(lo))) if sense == "min" else (F.lit(float(hi)) - x)
+        exprs.append(num / F.lit(float(hi - lo)))
+    return exprs
+
+
+def _bucket(v, p: int):
+    """Equi-width bucket of a [0,1] value into [0, p)."""
+    return F.least(F.floor(v * F.lit(float(p))), F.lit(p - 1)).cast("long")
+
+
+def _mr_dim_key(vs, p: int):
+    """MR-DIM: bucket the first dimension (reference functions.py:57-73,
+    including the clamp of the domain max into the last bucket —
+    ``least`` handles that here)."""
+    return _bucket(vs[0], p), p
+
+
+def _mr_grid_key_and_filter(vs, b: int):
+    """MR-GRID packed cell id + dominated-cell prune.
+
+    Cell digits are per-dim buckets; in min-space the best corner is the
+    all-zeros cell, which dominates exactly the cells with every digit
+    >= 1 — so ``min(digits) == 0`` keeps the p^d - (p-1)^d survivors
+    (reference functions.py:76-192, README.md:54-57) as a pure Catalyst
+    predicate instead of a per-row UDF filter.
+    """
+    digits = [_bucket(v, b) for v in vs]
+    key = digits[0]
+    for i, dig in enumerate(digits[1:], start=1):
+        key = key + dig * F.lit(b**i)
+    keep = F.least(*digits) == 0 if len(digits) > 1 else F.lit(True)
+    return key, keep, b ** len(vs)
+
+
+def _mr_angle_key(vs, p: int):
+    """MR-ANGLE: bucket d-1 hyperspherical angles of the min-space
+    vector (reference functions.py:223-300). phi_i = atan(||tail|| / v_i)
+    over [0, pi/2], v_i == 0 -> last bucket (reference's 90-degree clamp,
+    functions.py:289-291). Works for MAX dims too because reflection
+    already mapped them to min-space."""
+    d = len(vs)
+    half_pi = math.pi / 2.0
+    key = F.lit(0).cast("long")
+    for i in range(d - 1):
+        tail = None
+        for v in vs[i + 1 :]:
+            sq = v * v
+            tail = sq if tail is None else tail + sq
+        phi = F.atan(F.sqrt(tail) / vs[i])
+        bucket = F.when(vs[i] == 0.0, F.lit(p - 1)).otherwise(
+            F.least(F.floor(phi / F.lit(half_pi) * F.lit(float(p))), F.lit(p - 1))
+        ).cast("long")
+        key = key + bucket * F.lit(p**i)
+    return key, p ** (d - 1)
+
+
+def _pick_algo(algo: str, d: int) -> str:
+    if algo != "auto":
+        return algo
+    # Report p.3: angular partitioning is the only scheme whose local
+    # skylines stay small as d grows; low d is cheap either way.
+    return "MR_ANGLE" if d >= 3 else "MR_DIM"
+
+
+def _default_param(algo: str, d: int, parallelism: int) -> int:
+    target = max(2, parallelism) * 4  # a few cells per core for balance
+    if algo == "MR_DIM":
+        return min(target, 4096)
+    if algo == "MR_GRID":
+        b = 2
+        while b**d - (b - 1) ** d < target and b**d < 2**31 and b < 64:
+            b += 1
+        return b
+    if algo == "MR_ANGLE":
+        if d == 1:
+            return 1
+        return max(2, math.ceil(target ** (1.0 / (d - 1))))
+    raise ValueError(f"unknown algorithm {algo!r}")
+
+
+def _local_skyline_pass(df_keyed: DataFrame, dim_cols, senses, prune_rounds: int):
+    """One groupBy(cell).applyInPandas skyline pass; keeps the cell col."""
+    schema = df_keyed.schema
+
+    def fn(pdf):
+        mask = find_skyline_mask([pdf[c] for c in dim_cols], senses, prune_rounds)
+        return pdf[mask]
+
+    return df_keyed.groupBy(_CELL).applyInPandas(fn, schema=schema)
+
+
+def skyline(
+    df: DataFrame,
+    dims,
+    algo: str = "auto",
+    partitions: int | None = None,
+    bounds: dict[str, tuple[float, float]] | None = None,
+    merge_fanout: int = 64,
+    prune_rounds: int = 8,
+) -> DataFrame:
+    """Skyline of ``df`` under per-dimension MIN/MAX senses.
+
+    Parameters
+    ----------
+    df : input DataFrame (any schema; full rows are preserved in the
+        output, unlike the reference's coordinate-only structs)
+    dims : list of ``(column, "min"|"max")`` or a query string
+        ``"SKYLINE OF c1 MIN, c2 MAX"``
+    algo : MR_DIM | MR_GRID | MR_ANGLE | auto
+    partitions : fan-out parameter ``p`` (algorithm-specific, see
+        reference README.md:47-60); derived from cluster parallelism
+        when None
+    bounds : optional precomputed per-column (lo, hi) to skip the
+        bounds pass
+    merge_fanout : fan-in of the tree merge (64 => one extra level per
+        64x cells)
+    prune_rounds : pivot pre-prune rounds inside the NumPy kernel
+
+    Rows with NULL in any skyline dimension are excluded (SQL
+    ``NOT EXISTS`` oracle semantics need the same guard).
+    """
+    dims = _normalize_dims(dims)
+    for c, _ in dims:
+        if c not in df.columns:
+            raise ValueError(f"skyline dimension {c!r} not in DataFrame columns {df.columns}")
+    d = len(dims)
+    algo = _pick_algo(algo, d)
+    if algo not in ("MR_DIM", "MR_GRID", "MR_ANGLE"):
+        raise ValueError(f"algo must be one of {ALGORITHMS}, got {algo!r}")
+
+    df = df.filter(F.lit(True) & F.expr(" AND ".join(f"`{c}` IS NOT NULL" for c, _ in dims)))
+
+    if bounds is None:
+        bounds = _compute_bounds(df, dims)
+    vs = _minspace_exprs(df, dims, bounds)
+
+    spark = df.sparkSession
+    parallelism = spark.sparkContext.defaultParallelism
+    p = partitions or _default_param(algo, d, parallelism)
+
+    keep = None
+    if algo == "MR_DIM":
+        key, ncells = _mr_dim_key(vs, p)
+    elif algo == "MR_GRID":
+        key, keep, ncells = _mr_grid_key_and_filter(vs, p)
+    else:
+        key, ncells = _mr_angle_key(vs, p)
+
+    keyed = df.withColumn(_CELL, key)
+    if keep is not None:
+        # Dominated-cell pruning (MR_GRID): rows in cells the best corner
+        # cell dominates can never be global skyline points.
+        keyed = keyed.filter(keep)
+
+    dim_cols = [c for c, _ in dims]
+    senses = [s for _, s in dims]
+
+    out = _local_skyline_pass(keyed, dim_cols, senses, prune_rounds)
+
+    # Tree merge: repeatedly fold cell ids and re-run the kernel until a
+    # single group remains. Replaces the reference's one-task global
+    # reduce (src/jobs/batch_job.py:183-188) that its own report calls
+    # the scaling wall (report p.3).
+    while ncells > 1:
+        ncells = max(1, math.ceil(ncells / merge_fanout))
+        out = out.withColumn(_CELL, F.pmod(F.col(_CELL), F.lit(ncells)))
+        out = _local_skyline_pass(out, dim_cols, senses, prune_rounds)
+
+    return out.drop(_CELL)
+
+
+def skyline_sql(df: DataFrame, query: str, **kwargs) -> DataFrame:
+    """Reference-compatible front door: ``skyline_sql(df, "SKYLINE OF a
+    MIN, b MAX")`` (grammar of src/utils/functions.py:303-333, plus
+    column-name validation)."""
+    return skyline(df, parse_skyline_query(query), **kwargs)

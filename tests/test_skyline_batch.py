@@ -1,0 +1,127 @@
+"""Batch skyline operator vs DuckDB oracle + cross-algorithm differential
+(SURVEY.md §5 test plan)."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_skyline_spark import skyline, skyline_sql
+
+ALGOS = ["MR_DIM", "MR_GRID", "MR_ANGLE"]
+
+
+def duck_skyline(parquet_path, cols, senses):
+    """Direct NOT EXISTS oracle (small inputs only)."""
+    con = duckdb.connect()
+    sel = ", ".join(cols)
+    conds_le = " AND ".join(
+        f"q.{c} {'<=' if s == 'min' else '>='} p.{c}" for c, s in zip(cols, senses)
+    )
+    conds_lt = " OR ".join(
+        f"q.{c} {'<' if s == 'min' else '>'} p.{c}" for c, s in zip(cols, senses)
+    )
+    q = f"""
+    WITH pts AS (SELECT DISTINCT {sel} FROM '{parquet_path}')
+    SELECT {sel} FROM pts p WHERE NOT EXISTS (
+      SELECT 1 FROM pts q WHERE {conds_le} AND ({conds_lt}))
+    """
+    return sorted(tuple(r) for r in con.execute(q).fetchall())
+
+
+def spark_skyline_set(df, dims, **kw):
+    res = skyline(df, dims, **kw)
+    cols = [c for c, _ in dims]
+    return sorted(tuple(r) for r in res.select(*cols).dropDuplicates().collect())
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+
+@pytest.fixture(scope="module")
+def orders(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/orders.parquet")
+
+
+@pytest.mark.parametrize("algo", ALGOS)
+def test_lineitem_3d_min_vs_oracle(lineitem, sf_dir, algo):
+    dims = [("l_extendedprice", "min"), ("l_discount", "min"), ("l_quantity", "min")]
+    got = spark_skyline_set(lineitem, dims, algo=algo)
+    want = duck_skyline(
+        f"{sf_dir}/lineitem.parquet",
+        ["l_extendedprice", "l_discount", "l_quantity"],
+        ["min", "min", "min"],
+    )
+    assert got == want
+
+
+@pytest.mark.parametrize("algo", ALGOS)
+def test_mixed_senses_vs_oracle(lineitem, sf_dir, algo):
+    dims = [("l_extendedprice", "min"), ("l_quantity", "max")]
+    got = spark_skyline_set(lineitem, dims, algo=algo)
+    want = duck_skyline(
+        f"{sf_dir}/lineitem.parquet", ["l_extendedprice", "l_quantity"], ["min", "max"]
+    )
+    assert got == want
+
+
+def test_timestamp_dim(orders, sf_dir):
+    dims = [("o_totalprice", "max"), ("o_orderdate", "min")]
+    got = spark_skyline_set(orders, dims)
+    want = duck_skyline(f"{sf_dir}/orders.parquet", ["o_totalprice", "o_orderdate"], ["max", "min"])
+    assert got == want
+
+
+def test_all_sense_combos_agree_with_oracle(spark, sf_dir):
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    for s1 in ("min", "max"):
+        for s2 in ("min", "max"):
+            dims = [("p_retailprice", s1), ("p_size", s2)]
+            got = spark_skyline_set(part, dims)
+            want = duck_skyline(f"{sf_dir}/part.parquet", ["p_retailprice", "p_size"], [s1, s2])
+            assert got == want, (s1, s2)
+
+
+def test_algorithms_agree_pairwise(lineitem):
+    dims = [("l_extendedprice", "min"), ("l_discount", "max"), ("l_quantity", "min")]
+    results = [spark_skyline_set(lineitem, dims, algo=a) for a in ALGOS]
+    assert results[0] == results[1] == results[2]
+
+
+def test_partition_param_invariance(lineitem):
+    dims = [("l_extendedprice", "min"), ("l_quantity", "min")]
+    base = spark_skyline_set(lineitem, dims, algo="MR_DIM", partitions=2)
+    for algo, p in [("MR_DIM", 57), ("MR_GRID", 3), ("MR_GRID", 9), ("MR_ANGLE", 5)]:
+        assert spark_skyline_set(lineitem, dims, algo=algo, partitions=p) == base, (algo, p)
+
+
+def test_full_rows_preserved(lineitem):
+    dims = [("l_extendedprice", "min"), ("l_quantity", "min")]
+    res = skyline(lineitem, dims)
+    assert res.columns == lineitem.columns
+    assert res.count() > 0
+
+
+def test_skyline_sql_front_door(lineitem):
+    got = skyline_sql(lineitem, "SKYLINE OF l_extendedprice MIN, l_quantity MAX")
+    want = skyline(lineitem, [("l_extendedprice", "min"), ("l_quantity", "max")])
+    a = sorted(tuple(r) for r in got.select("l_extendedprice", "l_quantity").dropDuplicates().collect())
+    b = sorted(tuple(r) for r in want.select("l_extendedprice", "l_quantity").dropDuplicates().collect())
+    assert a == b
+
+
+def test_nulls_excluded(spark):
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, None), (None, 0.5), (3, 3.0)], "a int, b double"
+    )
+    res = skyline(df, [("a", "min"), ("b", "min")])
+    rows = sorted((r.a, r.b) for r in res.collect())
+    assert rows == [(1, 1.0)]
+
+
+def test_single_dimension(lineitem):
+    res = skyline(lineitem, [("l_quantity", "min")])
+    vals = {r.l_quantity for r in res.select("l_quantity").collect()}
+    minv = lineitem.agg(F.min("l_quantity")).collect()[0][0]
+    assert vals == {minv}
