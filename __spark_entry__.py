@@ -1,38 +1,97 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship skyline; ``queries()`` maps
+query name -> (spark, sf_dir) -> DataFrame for every implemented
+operator (SURVEY.md §2); ``oracle_sql()`` gives the DuckDB-equivalent
+ANSI SQL per query. Column names are aligned between both sides (the
+driver's compare sorts columns by name before value-hashing).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark_skyline_spark import skyline  # noqa: E402
+from pyspark_skyline_spark.oracles import skyline_oracle_sql  # noqa: E402
+from pyspark_skyline_spark.sources.tables import load_table  # noqa: E402
+
+# ---------------------------------------------------------------------------
+# skyline query family: (table, dims, algo)
+# ---------------------------------------------------------------------------
+
+_SKYLINE_QUERIES: dict[str, tuple[str, list[tuple[str, str]], str]] = {
+    # flagship (SURVEY.md §7.1)
+    "skyline_lineitem_3d_min": (
+        "lineitem",
+        [("l_extendedprice", "min"), ("l_discount", "min"), ("l_quantity", "min")],
+        "auto",
+    ),
+    "skyline_lineitem_2d_mixed": (
+        "lineitem",
+        [("l_extendedprice", "min"), ("l_quantity", "max")],
+        "MR_DIM",
+    ),
+    "skyline_orders_price_date": (
+        "orders",
+        [("o_totalprice", "max"), ("o_orderdate", "min")],
+        "MR_DIM",
+    ),
+    "skyline_customer_acctbal": (
+        "customer",
+        [("c_acctbal", "max"), ("c_custkey", "min")],
+        "MR_GRID",
+    ),
+    # differential triple: same query, one entry per algorithm
+    "skyline_part_dim": ("part", [("p_retailprice", "min"), ("p_size", "min")], "MR_DIM"),
+    "skyline_part_grid": ("part", [("p_retailprice", "min"), ("p_size", "min")], "MR_GRID"),
+    "skyline_part_angle": ("part", [("p_retailprice", "min"), ("p_size", "min")], "MR_ANGLE"),
+    "skyline_events_value_ts": (
+        "events",
+        [("value", "min"), ("ts", "min")],
+        "MR_ANGLE",
+    ),
+}
+
+
+def _make_skyline_query(table: str, dims, algo: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # timestamp results must collect in UTC to match DuckDB's naive
+        # timestamps regardless of the harness session's zone
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        df = load_table(spark, sf_dir, table)
+        cols = [c for c, _ in dims]
+        return skyline(df, dims, algo=algo).select(*cols).dropDuplicates()
+
+    return run
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    run = _make_skyline_query(*_SKYLINE_QUERIES["skyline_lineitem_3d_min"])
+    return run(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name, (table, dims, algo) in _SKYLINE_QUERIES.items():
+        out[name] = _make_skyline_query(table, dims, algo)
+    from pyspark_skyline_spark.entry_ext import ext_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out.update(ext_queries())
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out: dict[str, str] = {}
+    for name, (table, dims, _algo) in _SKYLINE_QUERIES.items():
+        out[name] = skyline_oracle_sql(table, dims)
+    from pyspark_skyline_spark.entry_ext import ext_oracle_sql
+
+    out.update(ext_oracle_sql())
+    return out

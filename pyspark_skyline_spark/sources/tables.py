@@ -10,7 +10,7 @@ golden-output replay.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 TABLES = (
     "region",
@@ -27,6 +27,19 @@ TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
+        # read natively (PARQUET_TYPE_ILLEGAL). Read it as raw nanos and
+        # truncate to microseconds with exact integer division — the same
+        # truncation DuckDB applies when it coerces NANOS to its us
+        # TIMESTAMP, so oracle comparisons line up.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000").cast("long"))
+            )
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -1,0 +1,70 @@
+"""Local replica of the driver's t2 correctness gate: every queries()
+entry with an oracle must match DuckDB on row count, column names, and
+order-insensitive values (sf dir from SPARK_GRAFT_TEST_SF_DIR, default
+sf0.001 for speed; the driver itself runs sf0.01)."""
+
+import importlib.util
+import os
+
+import duckdb
+import pytest
+
+ENTRY_PATH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "__spark_entry__.py")
+
+spec = importlib.util.spec_from_file_location("spark_entry", ENTRY_PATH)
+entry_mod = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(entry_mod)
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings".split()
+)
+
+
+def duck_con(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+    return con
+
+
+def normalize(rows):
+    out = []
+    for row in rows:
+        vals = []
+        for v in row:
+            if isinstance(v, float):
+                vals.append(round(v, 9))
+            else:
+                vals.append(v)
+        out.append(tuple(vals))
+    return sorted(out, key=repr)
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+
+
+@pytest.mark.parametrize("name", sorted(entry_mod.queries().keys()))
+def test_query_matches_oracle(spark, sf_dir, name):
+    q = entry_mod.queries()[name]
+    oracles = entry_mod.oracle_sql()
+    sdf = q(spark, sf_dir)
+    srows = sdf.collect()
+    if name not in oracles:
+        assert len(srows) >= 0  # rows-only check (driver's weaker gate)
+        return
+    con = duck_con(sf_dir)
+    ddf = con.execute(oracles[name])
+    dcols = [d[0] for d in ddf.description]
+    drows = ddf.fetchall()
+    assert sorted(sdf.columns) == sorted(dcols), f"{name}: column mismatch"
+    assert len(srows) == len(drows), f"{name}: row count {len(srows)} vs {len(drows)}"
+    # order-insensitive value compare on name-sorted columns
+    sidx = [sdf.columns.index(c) for c in sorted(sdf.columns)]
+    didx = [dcols.index(c) for c in sorted(dcols)]
+    got = normalize([[r[i] for i in sidx] for r in srows])
+    want = normalize([[r[i] for i in didx] for r in drows])
+    assert got == want, f"{name}: value mismatch"
