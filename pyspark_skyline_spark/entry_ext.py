@@ -1,16 +1,408 @@
-"""Extension-operator registrations for ``__spark_entry__`` (dedup,
-similarity, text analysis, streaming). Grows as operators land."""
+"""Extension-operator registrations for ``__spark_entry__`` — dedup,
+text analysis, similarity, top-k, joins, multimodal plumbing.
+
+Every query here returns hash-stable output (integers / booleans /
+strings / bit-reproducible doubles) and, where SQL-expressible, ships a
+DuckDB oracle that mirrors the Spark expression tree operation-for-
+operation (same fold order for float accumulation, same md5-derived
+hashes, same regex splits)."""
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from pyspark_skyline_spark.operators import dedup as D
+from pyspark_skyline_spark.operators import multimodal as M
+from pyspark_skyline_spark.operators import similarity as S
+from pyspark_skyline_spark.operators import text as T
+from pyspark_skyline_spark.operators import topk as K
+from pyspark_skyline_spark.operators.skyline import skyline
+from pyspark_skyline_spark.oracles import skyline_oracle_sql
+from pyspark_skyline_spark.sources.tables import load_table
+
+# shared knobs (must match between Spark query and DuckDB oracle)
+_MH_HASHES, _MH_BANDS, _MH_K, _MH_T = 32, 8, 3, 0.4
+_NJ_K, _NJ_T = 3, 0.5
+_TOPK_K, _PROBE_ID = 10, 0
+
+
+# ---------------------------------------------------------------------------
+# Spark-side queries
+# ---------------------------------------------------------------------------
+
+def _q_dedup_exact_documents(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return D.exact_dup_groups(docs, ["text"], "doc_id").select("doc_id", "n_copies")
+
+
+def _q_dedup_exact_events(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return D.dedup_exact(ev, ["user_id", "event_type", "value"]).select(
+        "user_id", "event_type", "value"
+    )
+
+
+def _q_token_count(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return T.token_count(docs).select("doc_id", F.col("n_tokens").cast("long").alias("n_tokens"))
+
+
+def _q_text_stats(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return T.text_stats(docs)
+
+
+def _q_lang_id(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return T.lang_id(docs).select("doc_id", "pred_lang")
+
+
+def _q_fingerprint(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return T.fingerprint(docs).select("doc_id", "fp")
+
+
+def _q_quality(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return T.quality_flags(docs).select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_punct").cast("long").alias("n_punct"),
+        "keep",
+    )
+
+
+def _q_minhash_pairs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(
+        docs, "doc_id", "text",
+        num_hashes=_MH_HASHES, bands=_MH_BANDS, shingle_k=_MH_K,
+        threshold=_MH_T, hash_mode="md5",
+    )
+
+
+def _q_ngram_jaccard(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(docs, "doc_id", "text", shingle_k=_NJ_K, threshold=_NJ_T)
+
+
+def _q_simhash(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash(docs, "doc_id", "text")
+
+
+def _q_cosine_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.cosine_topk(emb, "vec_id", "embedding", probe_id=_PROBE_ID, k=_TOPK_K)
+
+
+def _q_cosine_topk_lsh(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.cosine_topk_lsh(emb, "vec_id", "embedding", probe_id=_PROBE_ID, k=_TOPK_K)
+
+
+def _q_topk_orders(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    return K.top_k_per_group(
+        orders, ["o_custkey"], [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()], 3
+    ).select("o_custkey", "o_orderkey", F.col("rn").cast("long").alias("rn"))
+
+
+def _q_agg_pricing(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("count_order"),
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+        F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+    )
+
+
+def _q_blob_meta(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return M.blob_meta(M.with_blob(docs, "text"), "blob").select(
+        "doc_id", F.col("n_bytes").cast("long").alias("n_bytes"), "checksum"
+    )
+
+
+def _q_decode_media(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return M.decode_media_meta(M.with_blob(docs, "text"), "doc_id", "blob")
+
+
+def _q_stream_skyline_orders(spark, sf_dir):
+    # real Structured Streaming path (foreachBatch incremental skyline);
+    # prefix == full table, so the batch skyline oracle applies exactly
+    from pyspark_skyline_spark.streaming.skyline_stream import stream_table_skyline
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    res = stream_table_skyline(
+        spark,
+        f"{sf_dir}/orders.parquet",
+        [("o_totalprice", "max"), ("o_orderdate", "min")],
+    )
+    return res.select("o_totalprice", "o_orderdate").dropDuplicates()
+
+
+def _q_skyline_by_status(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    res = skyline(
+        orders,
+        [("o_totalprice", "max"), ("o_orderdate", "min")],
+        by=["o_orderstatus"],
+    )
+    return res.select("o_orderstatus", "o_totalprice", "o_orderdate").dropDuplicates()
+
+
+def _q_join_skyline_customer_nation(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    joined = cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey, "inner"
+    )
+    res = skyline(
+        joined, [("c_acctbal", "max"), ("c_custkey", "min")], by=["n_regionkey"]
+    )
+    return res.select("n_regionkey", "c_acctbal", "c_custkey").dropDuplicates()
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles (ANSI SQL mirrors)
+# ---------------------------------------------------------------------------
+
+_TOKS = r"regexp_split_to_array(lower(trim(text)), '\s+')"
+
+# distinct word 3-shingles, mirroring dedup.shingles(k=3)
+_SHINGLES = f"""
+CASE WHEN len({_TOKS}) >= 3
+     THEN list_distinct(list_transform(range(0, len({_TOKS}) - 2),
+          i -> {_TOKS}[i+1] || ' ' || {_TOKS}[i+2] || ' ' || {_TOKS}[i+3]))
+     ELSE [array_to_string({_TOKS}, ' ')] END
+"""
+
+_HASH60 = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+
+
+def _minhash_oracle() -> str:
+    r = _MH_HASHES // _MH_BANDS
+    hash_expr = _HASH60.format(x="s || '#' || j")
+    return f"""
+WITH base AS (
+  SELECT doc_id, {_SHINGLES} AS sh FROM documents),
+sigs AS (
+  SELECT doc_id, sh,
+         list_transform(range(0, {_MH_HASHES}),
+           j -> list_min(list_transform(sh, s -> {hash_expr}))) AS sig
+  FROM base),
+band_lists AS (
+  SELECT doc_id,
+         list_transform(range(0, {_MH_BANDS}),
+           b -> {{'idx': b,
+                  'key': array_to_string(sig[b*{r}+1 : b*{r}+{r}], ',')}}) AS bl
+  FROM sigs),
+bands AS (
+  SELECT doc_id, u.idx AS band_idx, u.key AS band_key
+  FROM band_lists, UNNEST(bl) AS t(u)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+verified AS (
+  SELECT id_a, id_b,
+         len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+         len(list_distinct(sa.sh || sb.sh)) AS jac
+  FROM cand
+  JOIN base sa ON sa.doc_id = id_a
+  JOIN base sb ON sb.doc_id = id_b)
+SELECT id_a, id_b, jac FROM verified WHERE jac >= {_MH_T}
+"""
+
+
+def _ngram_jaccard_oracle(w: int = 16) -> str:
+    return f"""
+WITH base AS (
+  SELECT doc_id, len({_TOKS}) AS n, {_SHINGLES} AS sh FROM documents),
+blocked AS (
+  SELECT doc_id, sh, u AS blk
+  FROM base, UNNEST([(n // {w}) * 2, ((n + {w // 2}) // {w}) * 2 + 1]) AS t(u)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.doc_id < b.doc_id)
+SELECT id_a, id_b,
+       len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+       len(list_distinct(sa.sh || sb.sh)) AS jac
+FROM cand
+JOIN base sa ON sa.doc_id = id_a
+JOIN base sb ON sb.doc_id = id_b
+WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+      len(list_distinct(sa.sh || sb.sh)) >= {_NJ_T}
+"""
+
+
+def _lang_id_oracle() -> str:
+    padded = "(' ' || lower(text) || ' ')"
+    score_terms = {}
+    for lang, words in T.LANG_MARKERS:
+        terms = [
+            f"((length({padded}) - length(replace({padded}, ' {w} ', ''))) / {len(w) + 2})"
+            for w in words
+        ]
+        score_terms[lang] = "(" + " + ".join(terms) + ")"
+    whens = " ".join(
+        f"WHEN __s_{lang} = __best AND __best > 0 THEN '{lang}'"
+        for lang, _ in T.LANG_MARKERS
+    )
+    best = "greatest(" + ", ".join(f"__s_{lang}" for lang, _ in score_terms.items()) + ")"
+    return f"""
+WITH raw AS (SELECT doc_id,
+  {", ".join(f"{expr} AS __s_{lang}" for lang, expr in score_terms.items())}
+  FROM documents),
+scored AS (SELECT *, {best} AS __best FROM raw)
+SELECT doc_id, CASE {whens} ELSE 'und' END AS pred_lang FROM scored
+"""
+
+
+def _quality_oracle() -> str:
+    stripped = "text"
+    for ch in T._PUNCT:
+        lit = "''''" if ch == "'" else f"'{ch}'"
+        stripped = f"replace({stripped}, {lit}, '')"
+    return f"""
+SELECT doc_id,
+       CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS BIGINT) AS n_tokens,
+       CAST(length(text) - length({stripped}) AS BIGINT) AS n_punct,
+       (len(regexp_split_to_array(lower(trim(text)), '\\s+')) >= 5
+        AND (length(text) - length({stripped}))
+            <= len(regexp_split_to_array(lower(trim(text)), '\\s+')) * 0.5) AS keep
+FROM documents
+"""
+
+
+_FOLD = "list_reduce(list_transform(range(1, 65), i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
+
+
+def _cosine_topk_oracle() -> str:
+    dot_vp = _FOLD.format(a="v", b="pv")
+    dot_vv = _FOLD.format(a="v", b="v")
+    dot_pp = _FOLD.format(a="pv", b="pv")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+p AS (SELECT v AS pv FROM e WHERE vec_id = {_PROBE_ID}),
+scored AS (
+  SELECT vec_id, {dot_vp} / (sqrt({dot_vv}) * sqrt({dot_pp})) AS cos
+  FROM e, p WHERE vec_id <> {_PROBE_ID})
+SELECT CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS BIGINT) AS rank, vec_id
+FROM scored ORDER BY cos DESC, vec_id LIMIT {_TOPK_K}
+"""
+
+
+def _decode_media_oracle() -> str:
+    byte = lambda i: f"('0x' || substr(sha256(text), {2 * i + 1}, 2))::INT"  # noqa: E731
+    return f"""
+SELECT doc_id AS id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(16 + ({byte(0)} % 240) AS INT) AS width,
+       CAST(16 + ({byte(1)} % 240) AS INT) AS height,
+       CASE {byte(2)} % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format
+FROM documents
+"""
+
+
+_ORACLES: dict[str, str] = {
+    "dedup_exact_documents": """
+SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, CAST(count(*) AS BIGINT) AS n_copies
+FROM documents GROUP BY text
+""",
+    "dedup_exact_events": "SELECT DISTINCT user_id, event_type, value FROM events",
+    "token_count_documents": r"""
+SELECT doc_id,
+       CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS n_tokens
+FROM documents
+""",
+    "text_stats_documents": r"""
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(min(n_chars) AS BIGINT) AS min_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars,
+       CAST(sum(len(regexp_split_to_array(lower(trim(text)), '\s+'))) AS BIGINT)
+         AS total_tokens
+FROM documents GROUP BY lang
+""",
+    "lang_id_documents": _lang_id_oracle(),
+    "fingerprint_documents": r"""
+SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+FROM documents
+""",
+    "quality_documents": _quality_oracle(),
+    "minhash_pairs_documents": _minhash_oracle(),
+    "ngram_jaccard_documents": _ngram_jaccard_oracle(),
+    "cosine_topk_embeddings": _cosine_topk_oracle(),
+    "topk_orders_per_customer": """
+SELECT o_custkey, o_orderkey, CAST(rn AS BIGINT) AS rn FROM (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders) WHERE rn <= 3
+""",
+    "agg_lineitem_pricing": """
+SELECT l_returnflag, l_linestatus,
+       CAST(count(*) AS BIGINT) AS count_order,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+""",
+    "multimodal_blob_meta": """
+SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, md5(text) AS checksum
+FROM documents
+""",
+    "multimodal_decode_meta": _decode_media_oracle(),
+    "stream_skyline_orders": skyline_oracle_sql(
+        "orders", [("o_totalprice", "max"), ("o_orderdate", "min")]
+    ),
+    "skyline_orders_by_status": skyline_oracle_sql(
+        "orders", [("o_totalprice", "max"), ("o_orderdate", "min")], by=["o_orderstatus"]
+    ),
+    "join_skyline_customer_nation": skyline_oracle_sql(
+        "(SELECT c.*, n.n_regionkey FROM customer c JOIN nation n "
+        "ON c.c_nationkey = n.n_nationkey) j",
+        [("c_acctbal", "max"), ("c_custkey", "min")],
+        by=["n_regionkey"],
+    ),
+}
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "dedup_exact_documents": _q_dedup_exact_documents,
+    "dedup_exact_events": _q_dedup_exact_events,
+    "token_count_documents": _q_token_count,
+    "text_stats_documents": _q_text_stats,
+    "lang_id_documents": _q_lang_id,
+    "fingerprint_documents": _q_fingerprint,
+    "quality_documents": _q_quality,
+    "minhash_pairs_documents": _q_minhash_pairs,
+    "ngram_jaccard_documents": _q_ngram_jaccard,
+    "simhash_documents": _q_simhash,  # rows-only: verified by pytest differential
+    "cosine_topk_embeddings": _q_cosine_topk,
+    "cosine_topk_lsh_embeddings": _q_cosine_topk_lsh,  # approximate: recall pytest
+    "topk_orders_per_customer": _q_topk_orders,
+    "agg_lineitem_pricing": _q_agg_pricing,
+    "multimodal_blob_meta": _q_blob_meta,
+    "multimodal_decode_meta": _q_decode_media,
+    "stream_skyline_orders": _q_stream_skyline_orders,
+    "skyline_orders_by_status": _q_skyline_by_status,
+    "join_skyline_customer_nation": _q_join_skyline_customer_nation,
+}
 
 
 def ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {}
+    return dict(_QUERIES)
 
 
 def ext_oracle_sql() -> dict[str, str]:
-    return {}
+    return dict(_ORACLES)

@@ -1,0 +1,278 @@
+"""Deduplication operators for LLM-data pipelines (north-star extension;
+the reference's only dedup is ``dropDuplicates`` on skyline points,
+reference src/jobs/stream_job.py:180).
+
+Design notes for 100 TB scale:
+
+* every stage is native Spark SQL expressions (higher-order functions,
+  ``xxhash64``) — zero Python in the hot path;
+* MinHash-LSH candidate generation is an equi-join on (band index,
+  band key) — a hash-partitioned shuffle, never an all-pairs product;
+* the verify stage re-checks true Jaccard only on candidate pairs;
+* ``hash_mode="md5"`` swaps xxhash64 for an md5-derived 60-bit hash so
+  an external ANSI-SQL engine (DuckDB oracle) can reproduce signatures
+  bit-for-bit; production default stays xxhash64 (cheaper, JVM codegen).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from pyspark_skyline_spark.operators.text import tokens
+
+__all__ = [
+    "dedup_exact",
+    "exact_dup_groups",
+    "shingles",
+    "hash64_expr",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "simhash",
+    "ngram_jaccard_pairs",
+]
+
+
+def dedup_exact(df: DataFrame, subset: list[str], order_col: str | None = None) -> DataFrame:
+    """Exact dedup. With ``order_col``, keeps the row with the smallest
+    ``order_col`` per duplicate group (deterministic representative);
+    otherwise plain ``dropDuplicates`` (hash-aggregate, map-side
+    partial)."""
+    if order_col is None:
+        return df.dropDuplicates(subset)
+    w = Window.partitionBy(*subset).orderBy(F.col(order_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+    )
+
+
+def exact_dup_groups(
+    df: DataFrame, key_cols: list[str], id_col: str
+) -> DataFrame:
+    """Per duplicate group: representative id (min) + multiplicity."""
+    return df.groupBy(*key_cols).agg(
+        F.min(id_col).cast("long").alias(id_col),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+def shingles(text_col, k: int = 3) -> Column:
+    """Distinct word k-shingles of lowercased text; texts shorter than k
+    tokens collapse to their full token string (so every doc has >= 1
+    shingle)."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), n - F.lit(k))
+    parts = lambda i: [F.element_at(toks, i + F.lit(j + 1)) for j in range(k)]  # noqa: E731
+    win = F.transform(idx, lambda i: F.concat_ws(" ", *parts(i)))
+    return F.when(n >= k, F.array_distinct(win)).otherwise(
+        F.array(F.concat_ws(" ", toks))
+    )
+
+
+def hash64_expr(s: Column, salt: Column | None, mode: str = "xxhash64") -> Column:
+    """64-bit-ish hash of a string (+ optional salt column).
+
+    xxhash64: native JVM hash (production). md5: first 15 hex digits of
+    md5 as a 60-bit integer — reproducible in any SQL engine
+    (``('0x' || substr(md5(x),1,15))::BIGINT`` in DuckDB)."""
+    val = s if salt is None else F.concat(s, F.lit("#"), salt.cast("string"))
+    if mode == "xxhash64":
+        return F.xxhash64(val)
+    if mode == "md5":
+        return F.conv(F.substring(F.md5(val.cast("binary")), 1, 15), 16, 10).cast("long")
+    raise ValueError(f"hash mode {mode!r}")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    shingle_k: int = 3,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """MinHash signatures, relational formulation: explode shingles,
+    compute all ``num_hashes`` salted hashes as flat codegen'd columns,
+    then one hash-aggregate taking per-seed minima (map-side partial
+    agg — the shape that scales; nested higher-order lambdas evaluate
+    interpreted and re-walk the shingle tree per seed).
+
+    Returns (id_col, m0..m{H-1}).
+    """
+    sh_tbl = df.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_k)).alias("__s")
+    )
+    hashed = sh_tbl.select(
+        id_col,
+        *[
+            hash64_expr(F.col("__s"), F.lit(j), hash_mode).alias(f"__h{j}")
+            for j in range(num_hashes)
+        ],
+    )
+    return hashed.groupBy(id_col).agg(
+        *[F.min(f"__h{j}").alias(f"m{j}") for j in range(num_hashes)]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash + LSH banding.
+
+    Pipeline: signature -> per-band key (joined row slice) -> equi-join
+    on (band, key) for candidates -> exact Jaccard verify on distinct
+    shingle sets -> pairs with ``jac >= threshold``.
+
+    Returns (id_a, id_b, jac) with id_a < id_b.
+    """
+    if num_hashes % bands:
+        raise ValueError("bands must divide num_hashes")
+    rows_per_band = num_hashes // bands
+
+    sig_tbl = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k, hash_mode)
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                ",",
+                *[
+                    F.col(f"m{b * rows_per_band + i}").cast("string")
+                    for i in range(rows_per_band)
+                ],
+            )
+            for b in range(bands)
+        ]
+    )
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        shingles(F.col(text_col), shingle_k).alias("__sh"),
+    )
+    exploded = sig_tbl.select(
+        F.col(id_col).alias("__id"), F.posexplode(band_keys).alias("__band_idx", "__band_key")
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.__band_idx") == F.col("b.__band_idx"))
+            & (F.col("a.__band_key") == F.col("b.__band_key"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .dropDuplicates()
+    )
+
+    sh_a = base.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sh_a"))
+    sh_b = base.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__sh_b"))
+    verified = (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn(
+            "jac",
+            F.size(F.array_intersect("__sh_a", "__sh_b")).cast("double")
+            / F.size(F.array_union("__sh_a", "__sh_b")),
+        )
+        .filter(F.col("jac") >= threshold)
+        .select("id_a", "id_b", "jac")
+    )
+    return verified
+
+
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 60, hash_mode: str = "xxhash64"
+) -> DataFrame:
+    """SimHash document sketch: per bit i, sign of sum over tokens of
+    (+1 if bit i of hash(token) else -1); packed into two integers
+    (lo = bits 0..29, hi = bits 30..bits-1) to stay in positive bigint
+    range everywhere. Hamming distance between sketches approximates
+    cosine distance of the token multisets.
+
+    Relational formulation: explode tokens, hash once per token, then
+    one hash-aggregate with ``bits`` conditional sums (flat codegen'd
+    exprs, map-side partial agg)."""
+    tok_tbl = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__t"))
+    hashed = tok_tbl.select(
+        id_col, hash64_expr(F.col("__t"), None, hash_mode).alias("__h")
+    )
+    bit_sums = hashed.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.col("__h").bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1)
+            ).alias(f"__b{i}")
+            for i in range(bits)
+        ]
+    )
+    half = bits // 2
+    lo = sum(
+        (F.when(F.col(f"__b{i}") > 0, F.lit(1 << i)).otherwise(0) for i in range(half)),
+        F.lit(0).cast("long"),
+    )
+    hi = sum(
+        (
+            F.when(F.col(f"__b{i}") > 0, F.lit(1 << (i - half))).otherwise(0)
+            for i in range(half, bits)
+        ),
+        F.lit(0).cast("long"),
+    )
+    return bit_sums.select(
+        F.col(id_col), lo.alias("simhash_lo"), hi.alias("simhash_hi")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    block_width: int = 16,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs with length blocking.
+
+    Blocking uses two shifted token-count grids of ``block_width`` (keys
+    ``2*floor(n/w)`` and ``2*floor((n + w/2)/w) + 1``): any two docs whose
+    token counts differ by <= w/2 share a block in at least one grid, so
+    candidate generation is an equi-join on the block key — never an
+    all-pairs product. (Docs differing by more than w/2 tokens can't
+    reach a high Jaccard anyway for small k.)
+    """
+    n = F.size(tokens(F.col(text_col)))
+    w = block_width
+    blocks = F.array(
+        (F.floor(n / F.lit(w)) * 2).cast("long"),
+        (F.floor((n + F.lit(w // 2)) / F.lit(w)) * 2 + 1).cast("long"),
+    )
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        shingles(F.col(text_col), shingle_k).alias("__sh"),
+        blocks.alias("__blocks"),
+    )
+    exploded = base.select("__id", "__sh", F.explode("__blocks").alias("__blk"))
+    a, b = exploded.alias("a"), exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.__blk") == F.col("b.__blk")) & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("a.__sh").alias("__sh_a"),
+            F.col("b.__sh").alias("__sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn(
+            "jac",
+            F.size(F.array_intersect("__sh_a", "__sh_b")).cast("double")
+            / F.size(F.array_union("__sh_a", "__sh_b")),
+        )
+        .filter(F.col("jac") >= threshold)
+        .select("id_a", "id_b", "jac")
+    )

@@ -1,0 +1,140 @@
+"""Embedding similarity search (north-star extension; no counterpart in
+the reference).
+
+Two paths:
+
+* ``cosine_topk`` — exact brute-force top-k against a probe vector.
+  The dot product is a sequential left-fold over double-cast arrays
+  (``aggregate(zip_with(...))``) so an external engine folding in the
+  same order produces bit-identical doubles — which is what makes the
+  DuckDB oracle hash-match.
+* ``cosine_topk_lsh`` — random-hyperplane LSH: signature = sign bits of
+  dot(v, plane) packed per table; candidates share a bucket in any of
+  ``n_tables`` tables (equi-join, no all-pairs product); exact rerank on
+  candidates. Approximate — verified by a recall test, not an oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from pyspark_skyline_spark.operators.topk import top_k_per_group
+
+__all__ = ["dot_product", "l2_norm", "cosine", "cosine_topk", "cosine_topk_lsh"]
+
+
+def _dbl(v) -> Column:
+    return F.transform(v, lambda x: x.cast("double"))
+
+
+def dot_product(a, b) -> Column:
+    """Sequential left-fold dot product in float64 (deterministic
+    accumulation order)."""
+    return F.aggregate(
+        F.zip_with(_dbl(a), _dbl(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(v) -> Column:
+    return F.sqrt(dot_product(v, v))
+
+
+def cosine(a, b) -> Column:
+    return dot_product(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    probe_id: int,
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k cosine neighbors of the row with ``id_col ==
+    probe_id`` (excluded from results). Probe side is a broadcast
+    cross-join: one tiny row against the fleet — no shuffle of the big
+    side. Returns (rank, id, score columns-free) deterministically
+    ordered by (cosine desc, id asc)."""
+    probe = df.filter(F.col(id_col) == probe_id).select(
+        F.col(vec_col).alias("__probe_vec")
+    )
+    scored = (
+        df.filter(F.col(id_col) != probe_id)
+        .crossJoin(F.broadcast(probe))
+        .withColumn("__cos", cosine(F.col(vec_col), F.col("__probe_vec")))
+    )
+    ranked = top_k_per_group(
+        scored.withColumn("__g", F.lit(1)),
+        ["__g"],
+        [F.col("__cos").desc(), F.col(id_col).asc()],
+        k,
+        rank_col="rank",
+    )
+    return ranked.select("rank", id_col).withColumn("rank", F.col("rank").cast("long"))
+
+
+def _hyperplanes(dim: int, n_planes: int, n_tables: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_tables, n_planes, dim))
+
+
+def cosine_topk_lsh(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    probe_id: int,
+    k: int = 10,
+    dim: int | None = None,
+    n_planes: int = 12,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane buckets (the scale path).
+
+    Signature bits are native expressions over literal plane arrays —
+    ``dot(v, plane) > 0`` per plane, packed to one bucket id per table.
+    Candidate set = rows sharing the probe's bucket in ANY table; exact
+    cosine rerank on candidates only. At 100 TB the equi-join on
+    (table, bucket) prunes ~ (1 - 2^-n_planes) of the data per table.
+    """
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes, n_tables, seed)
+
+    def bucket_expr(t: int) -> Column:
+        acc = F.lit(0).cast("long")
+        for p in range(n_planes):
+            lit_plane = F.array(*[F.lit(float(x)) for x in planes[t, p]])
+            bit = F.when(dot_product(F.col(vec_col), lit_plane) > 0, 1).otherwise(0)
+            acc = acc + bit.cast("long") * F.lit(1 << p)
+        return acc
+
+    with_buckets = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        *[bucket_expr(t).alias(f"__b{t}") for t in range(n_tables)],
+    )
+    probe = with_buckets.filter(F.col(id_col) == probe_id).select(
+        F.col(vec_col).alias("__probe_vec"),
+        *[F.col(f"__b{t}").alias(f"__pb{t}") for t in range(n_tables)],
+    )
+    joined = with_buckets.filter(F.col(id_col) != probe_id).crossJoin(F.broadcast(probe))
+    any_match = None
+    for t in range(n_tables):
+        m = F.col(f"__b{t}") == F.col(f"__pb{t}")
+        any_match = m if any_match is None else (any_match | m)
+    cand = joined.filter(any_match).withColumn(
+        "__cos", cosine(F.col(vec_col), F.col("__probe_vec"))
+    )
+    ranked = top_k_per_group(
+        cand.withColumn("__g", F.lit(1)),
+        ["__g"],
+        [F.col("__cos").desc(), F.col(id_col).asc()],
+        k,
+        rank_col="rank",
+    )
+    return ranked.select("rank", id_col).withColumn("rank", F.col("rank").cast("long"))

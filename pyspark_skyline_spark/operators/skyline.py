@@ -196,15 +196,16 @@ def _default_param(algo: str, d: int, parallelism: int) -> int:
     raise ValueError(f"unknown algorithm {algo!r}")
 
 
-def _local_skyline_pass(df_keyed: DataFrame, dim_cols, senses, prune_rounds: int):
-    """One groupBy(cell).applyInPandas skyline pass; keeps the cell col."""
+def _local_skyline_pass(df_keyed: DataFrame, dim_cols, senses, prune_rounds: int, by=()):
+    """One groupBy(by + cell).applyInPandas skyline pass; keeps the cell
+    col."""
     schema = df_keyed.schema
 
     def fn(pdf):
         mask = find_skyline_mask([pdf[c] for c in dim_cols], senses, prune_rounds)
         return pdf[mask]
 
-    return df_keyed.groupBy(_CELL).applyInPandas(fn, schema=schema)
+    return df_keyed.groupBy(*by, _CELL).applyInPandas(fn, schema=schema)
 
 
 def skyline(
@@ -215,8 +216,13 @@ def skyline(
     bounds: dict[str, tuple[float, float]] | None = None,
     merge_fanout: int = 64,
     prune_rounds: int = 8,
+    by: list[str] | None = None,
 ) -> DataFrame:
     """Skyline of ``df`` under per-dimension MIN/MAX senses.
+
+    With ``by``, computes one independent skyline per group (grouped
+    skyline — composable with joins, e.g. per-segment order frontiers);
+    dominance is never compared across groups.
 
     Parameters
     ----------
@@ -272,8 +278,9 @@ def skyline(
 
     dim_cols = [c for c, _ in dims]
     senses = [s for _, s in dims]
+    by = list(by or ())
 
-    out = _local_skyline_pass(keyed, dim_cols, senses, prune_rounds)
+    out = _local_skyline_pass(keyed, dim_cols, senses, prune_rounds, by)
 
     # Tree merge: repeatedly fold cell ids and re-run the kernel until a
     # single group remains. Replaces the reference's one-task global
@@ -282,7 +289,7 @@ def skyline(
     while ncells > 1:
         ncells = max(1, math.ceil(ncells / merge_fanout))
         out = out.withColumn(_CELL, F.pmod(F.col(_CELL), F.lit(ncells)))
-        out = _local_skyline_pass(out, dim_cols, senses, prune_rounds)
+        out = _local_skyline_pass(out, dim_cols, senses, prune_rounds, by)
 
     return out.drop(_CELL)
 

@@ -1,0 +1,120 @@
+"""Text-analysis operators for LLM-data pipelines (north-star extension;
+the reference has no string functions beyond casts — SURVEY.md §2.3).
+
+All hot-path expressions are native ``pyspark.sql.functions`` (JVM-side,
+codegen) — no Python UDFs — and every operator has an exactly-equivalent
+ANSI-SQL formulation so DuckDB can oracle it. Arithmetic sticks to
+integers/booleans where possible so cross-engine value hashes match
+bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = [
+    "tokens",
+    "token_count",
+    "text_stats",
+    "lang_id",
+    "fingerprint",
+    "quality_flags",
+    "LANG_MARKERS",
+]
+
+
+def tokens(col) -> Column:
+    """Whitespace tokens of trimmed, lowercased text."""
+    return F.split(F.lower(F.trim(col)), r"\s+")
+
+
+def token_count(df: DataFrame, text_col: str = "text", out: str = "n_tokens") -> DataFrame:
+    return df.withColumn(out, F.size(tokens(F.col(text_col))))
+
+
+def text_stats(
+    df: DataFrame, group_col: str = "lang", text_col: str = "text", chars_col: str = "n_chars"
+) -> DataFrame:
+    """Per-group corpus stats (integer-only aggregates: exact across
+    engines)."""
+    return df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(chars_col).cast("long").alias("total_chars"),
+        F.min(chars_col).cast("long").alias("min_chars"),
+        F.max(chars_col).cast("long").alias("max_chars"),
+        F.sum(F.size(tokens(F.col(text_col)))).cast("long").alias("total_tokens"),
+    )
+
+
+#: marker words per language for the n-gram-free heuristic language ID.
+#: Counting uses the replace-trick (length delta / marker length) so the
+#: exact same rule is expressible in any ANSI SQL dialect.
+LANG_MARKERS: list[tuple[str, list[str]]] = [
+    ("en", ["the", "and", "of"]),
+    ("de", ["der", "und", "die"]),
+    ("fr", ["le", "la", "et"]),
+    ("es", ["el", "los", "que"]),
+    ("zh", ["的", "是"]),
+]
+
+
+def _occurrences(padded: Column, word: str) -> Column:
+    marker = f" {word} "
+    return (F.length(padded) - F.length(F.replace(padded, F.lit(marker), F.lit("")))) / F.lit(
+        len(marker)
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", out: str = "pred_lang") -> DataFrame:
+    """Deterministic marker-word language ID: highest marker count wins,
+    ties break in LANG_MARKERS order, zero hits -> 'und'."""
+    padded = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
+    scores = [
+        sum((_occurrences(padded, w) for w in words), F.lit(0)).alias(f"__s_{lang}")
+        for lang, words in LANG_MARKERS
+    ]
+    scored = df.select("*", *scores)
+    best = F.greatest(*[F.col(f"__s_{lang}") for lang, _ in LANG_MARKERS])
+    pred = F.lit("und")
+    # first language reaching the max wins: build the when-chain in order
+    chain = None
+    for lang, _ in LANG_MARKERS:
+        cond = (F.col(f"__s_{lang}") == best) & (best > 0)
+        chain = F.when(cond, lang) if chain is None else chain.when(cond, lang)
+    pred = chain.otherwise("und")
+    return scored.withColumn(out, pred).drop(*[f"__s_{lang}" for lang, _ in LANG_MARKERS])
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", out: str = "fp") -> DataFrame:
+    """Document fingerprint: md5 of whitespace-collapsed, lowercased,
+    trimmed text. md5 (not xxhash) so any SQL engine reproduces it."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return df.withColumn(out, F.md5(norm.cast("binary")))
+
+
+_PUNCT = ".,!?;:"
+
+
+def quality_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 5,
+    max_punct_per_token: float = 0.5,
+) -> DataFrame:
+    """Cheap quality scoring: token count, punctuation count, and a
+    keep/drop flag — integer/boolean outputs only."""
+    txt = F.col(text_col)
+    stripped = txt
+    for ch in _PUNCT:
+        stripped = F.replace(stripped, F.lit(ch), F.lit(""))
+    n_punct = (F.length(txt) - F.length(stripped)).alias("n_punct")
+    n_toks = F.size(tokens(txt))
+    return (
+        df.withColumn("n_tokens", n_toks)
+        .withColumn("n_punct", F.length(txt) - F.length(stripped))
+        .withColumn(
+            "keep",
+            (F.col("n_tokens") >= min_tokens)
+            & (F.col("n_punct") <= F.col("n_tokens") * F.lit(max_punct_per_token)),
+        )
+    )

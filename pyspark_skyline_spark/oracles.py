@@ -22,21 +22,26 @@ def skyline_oracle_sql(
     dims: list[tuple[str, str]],
     groups: int = 128,
     where: str | None = None,
+    by: list[str] | None = None,
 ) -> str:
-    cols = ", ".join(c for c, _ in dims)
+    """``by`` adds grouped-skyline semantics: dominance restricted to
+    rows with equal ``by`` columns (mirrors ``skyline(..., by=...)``)."""
+    by = list(by or ())
+    out_cols = ", ".join([*by, *(c for c, _ in dims)])
     le = " AND ".join(
-        f"q.{c} {'<=' if s == 'min' else '>='} p.{c}" for c, s in dims
+        [f"q.{c} = p.{c}" for c in by]
+        + [f"q.{c} {'<=' if s == 'min' else '>='} p.{c}" for c, s in dims]
     )
     lt = " OR ".join(f"q.{c} {'<' if s == 'min' else '>'} p.{c}" for c, s in dims)
     where_clause = f"WHERE {where}" if where else ""
-    order = ", ".join(c for c, _ in dims)
+    order = ", ".join([*by, *(c for c, _ in dims)])
     return f"""
-WITH pts AS (SELECT DISTINCT {cols} FROM {table} {where_clause}),
+WITH pts AS (SELECT DISTINCT {out_cols} FROM {table} {where_clause}),
 blocked AS (
   SELECT *, (row_number() OVER (ORDER BY {order})) % {groups} AS grp FROM pts),
 loc AS (
-  SELECT {cols} FROM blocked p WHERE NOT EXISTS (
+  SELECT {out_cols} FROM blocked p WHERE NOT EXISTS (
     SELECT 1 FROM blocked q WHERE q.grp = p.grp AND {le} AND ({lt})))
-SELECT {cols} FROM loc p WHERE NOT EXISTS (
+SELECT {out_cols} FROM loc p WHERE NOT EXISTS (
   SELECT 1 FROM loc q WHERE {le} AND ({lt}))
 """

@@ -1,0 +1,115 @@
+"""Incremental (streaming) skyline.
+
+The reference runs a two-stage Kafka topology: per-cell local skylines
+in update mode, then a complete-mode global merge, with Kafka as the
+stage bus (reference src/jobs/stream_job.py:87-206, SURVEY.md §3.2).
+This engine uses a single ``foreachBatch`` query with a driver-held
+candidate-skyline state table instead:
+
+* per micro-batch: reduce the batch with the batch skyline operator,
+  union with the current candidate set, re-reduce, checkpoint.
+* correctness rests on the same monotonicity the reference exploits
+  (SURVEY.md §3.2): under append-only input a point, once dominated,
+  can never re-enter the skyline — so the candidate set IS the running
+  skyline and is the only state that must be retained (the reference's
+  unbounded ``dropDuplicates`` state, stream_job.py:180, is avoided).
+* ``trigger(availableNow=True)`` reproduces the reference batch job's
+  trigger-once semantics (batch_job.py:146); ``processingTime``
+  triggers reproduce the continuous job (stream_job.py:147).
+
+State is bounded by the frontier size. ``localCheckpoint`` breaks
+lineage so plan depth stays O(1) in the number of batches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pyspark_skyline_spark.operators.skyline import skyline
+
+__all__ = ["SkylineStreamState", "run_skyline_stream"]
+
+
+class SkylineStreamState:
+    """Driver-held running-skyline state; one instance per streaming
+    query. ``update(batch)`` returns the new running skyline."""
+
+    def __init__(self, dims, algo: str = "auto", **skyline_kwargs):
+        self.dims = dims
+        self.algo = algo
+        self.kwargs = skyline_kwargs
+        self.current: DataFrame | None = None
+
+    def update(self, batch_df: DataFrame) -> DataFrame:
+        reduced = skyline(batch_df, self.dims, algo=self.algo, **self.kwargs)
+        if self.current is not None:
+            reduced = reduced.unionByName(self.current)
+            reduced = skyline(reduced, self.dims, algo=self.algo, **self.kwargs)
+        # materialize & cut lineage: state must not grow a plan per batch
+        self.current = reduced.localCheckpoint(eager=True)
+        return self.current
+
+    def result(self) -> DataFrame:
+        if self.current is None:
+            raise ValueError("no batches processed yet")
+        return self.current
+
+
+def run_skyline_stream(
+    stream_df: DataFrame,
+    dims,
+    algo: str = "auto",
+    query_name: str = "skyline_stream",
+    trigger_available_now: bool = True,
+    processing_time: str | None = None,
+    **skyline_kwargs,
+) -> tuple[SkylineStreamState, "object"]:
+    """Start a foreachBatch skyline over a streaming DataFrame.
+
+    Returns (state, StreamingQuery). With ``trigger_available_now`` the
+    caller can ``query.awaitTermination()`` and then read
+    ``state.result()`` — the complete skyline of everything ingested
+    (prefix-consistent at every batch boundary).
+    """
+    state = SkylineStreamState(dims, algo, **skyline_kwargs)
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        state.update(batch_df)
+
+    writer = stream_df.writeStream.foreachBatch(process).queryName(query_name)
+    if processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    elif trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    query = writer.start()
+    return state, query
+
+
+def stream_table_skyline(
+    spark: SparkSession,
+    parquet_path: str,
+    dims,
+    algo: str = "auto",
+    max_files_per_trigger: int = 1,
+    **skyline_kwargs,
+) -> DataFrame:
+    """Convenience: stream a parquet table file-by-file through the
+    incremental skyline and return the final frontier (used by the
+    driver-harness streaming query; exercises the real Structured
+    Streaming path synchronously)."""
+    import os
+
+    static = spark.read.parquet(parquet_path)
+    # the file stream source requires a directory: stream the parent dir
+    # filtered to this table's file(s)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("pathGlobFilter", os.path.basename(parquet_path))
+        .parquet(os.path.dirname(parquet_path))
+    )
+    state, query = run_skyline_stream(stream, dims, algo, **skyline_kwargs)
+    query.awaitTermination()
+    return state.result()

@@ -1,0 +1,123 @@
+"""Dedup + text operators: Python-reference differentials for the ops
+whose driver check is rows-only (simhash), plus behavior tests."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_skyline_spark.operators import dedup as D
+from pyspark_skyline_spark.operators import text as T
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_dedup_exact_representative(spark):
+    df = spark.createDataFrame(
+        [(3, "a"), (1, "a"), (2, "b"), (5, "b"), (4, "c")], "id long, v string"
+    )
+    got = D.dedup_exact(df, ["v"], order_col="id")
+    assert sorted((r.id, r.v) for r in got.collect()) == [(1, "a"), (2, "b"), (4, "c")]
+
+
+def test_exact_dup_groups_counts(spark):
+    df = spark.createDataFrame(
+        [(3, "a"), (1, "a"), (2, "b")], "doc_id long, text string"
+    )
+    got = D.exact_dup_groups(df, ["text"], "doc_id")
+    rows = {(r.doc_id, r.n_copies) for r in got.collect()}
+    assert rows == {(1, 2), (2, 1)}
+
+
+def test_shingles_short_text(spark):
+    df = spark.createDataFrame([("one two",)], "text string")
+    got = df.select(D.shingles(F.col("text"), 3).alias("sh")).collect()[0].sh
+    assert got == ["one two"]
+
+
+def test_minhash_identical_docs_always_pair(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"), (2, "alpha beta gamma delta epsilon zeta"),
+         (3, "totally different words entirely here now")],
+        "doc_id long, text string",
+    )
+    pairs = D.minhash_lsh_pairs(df, "doc_id", "text", num_hashes=16, bands=4).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
+    assert all(abs(r.jac - 1.0) < 1e-12 for r in pairs)
+
+
+def _py_simhash(text: str, bits: int = 60):
+    """Pure-Python reference mirroring simhash(hash_mode='md5')."""
+    toks = text.strip().lower().split()
+    sums = [0] * bits
+    for t in toks:
+        h = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+        for i in range(bits):
+            sums[i] += 1 if (h >> i) & 1 else -1
+    half = bits // 2
+    lo = sum((1 << i) for i in range(half) if sums[i] > 0)
+    hi = sum((1 << (i - half)) for i in range(half, bits) if sums[i] > 0)
+    return lo, hi
+
+
+def test_simhash_matches_python_reference(docs):
+    sample = docs.limit(20)
+    got = {
+        r.doc_id: (r.simhash_lo, r.simhash_hi)
+        for r in D.simhash(sample, "doc_id", "text", hash_mode="md5").collect()
+    }
+    for r in sample.select("doc_id", "text").collect():
+        assert got[r.doc_id] == _py_simhash(r.text), r.doc_id
+
+
+def test_simhash_near_dups_close(spark):
+    a = "the quick brown fox jumps over the lazy dog again and again today"
+    b = a.replace("lazy", "sleepy")  # one token changed
+    df = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+    rows = {r.doc_id: (r.simhash_lo, r.simhash_hi) for r in D.simhash(df, "doc_id", "text").collect()}
+    ham = bin(rows[1][0] ^ rows[2][0]).count("1") + bin(rows[1][1] ^ rows[2][1]).count("1")
+    assert ham <= 20  # 60-bit sketch: near-dups differ in few bits
+
+
+def test_ngram_jaccard_finds_near_dups(spark):
+    base = "w" + " w".join(str(i) for i in range(40))
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " extra"), (3, "completely other content " * 8)],
+        "doc_id long, text string",
+    )
+    pairs = D.ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.5).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of the house"),
+            (2, "der hund und die katze und der vogel"),
+            (3, "xyz qrs tuv"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.pred_lang for r in T.lang_id(df).select("doc_id", "pred_lang").collect()}
+    assert got == {1: "en", 2: "de", 3: "und"}
+
+
+def test_fingerprint_whitespace_invariant(spark):
+    df = spark.createDataFrame(
+        [(1, "hello   world"), (2, "  hello world "), (3, "HELLO WORLD")],
+        "doc_id long, text string",
+    )
+    fps = [r.fp for r in T.fingerprint(df).orderBy("doc_id").collect()]
+    assert fps[0] == fps[1] == fps[2]
+
+
+def test_quality_flags(spark):
+    df = spark.createDataFrame(
+        [(1, "short one"), (2, "this is a long enough document with many tokens")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.keep for r in T.quality_flags(df).collect()}
+    assert got == {1: False, 2: True}

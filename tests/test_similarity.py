@@ -1,0 +1,50 @@
+"""Similarity search: brute-force vs NumPy reference; LSH recall."""
+
+import numpy as np
+import pytest
+
+from pyspark_skyline_spark.operators import similarity as S
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def numpy_topk(emb_rows, probe_id, k):
+    ids = np.array([r.vec_id for r in emb_rows])
+    mat = np.array([r.embedding for r in emb_rows], dtype=np.float64)
+    p = mat[ids == probe_id][0]
+    mask = ids != probe_id
+    m, i = mat[mask], ids[mask]
+    cos = (m @ p) / (np.linalg.norm(m, axis=1) * np.linalg.norm(p))
+    order = np.lexsort((i, -cos))
+    return [int(x) for x in i[order][:k]]
+
+
+def test_cosine_topk_matches_numpy(emb):
+    rows = emb.collect()
+    want = numpy_topk(rows, probe_id=0, k=10)
+    got = [r.vec_id for r in S.cosine_topk(emb, "vec_id", "embedding", 0, 10).orderBy("rank").collect()]
+    assert got == want
+
+
+def test_lsh_recall(emb):
+    rows = emb.collect()
+    want = set(numpy_topk(rows, probe_id=0, k=10))
+    # these embeddings are near-uniform (best cosine ~0.33 => collision
+    # prob ~0.6/plane): wide buckets + many tables for usable recall
+    got = {
+        r.vec_id
+        for r in S.cosine_topk_lsh(
+            emb, "vec_id", "embedding", 0, 10, n_planes=4, n_tables=16
+        ).collect()
+    }
+    # approximate: require decent overlap with exact top-10
+    assert len(got & want) >= 5, (sorted(got), sorted(want))
+
+
+def test_topk_excludes_probe(emb):
+    got = S.cosine_topk(emb, "vec_id", "embedding", 0, 10).collect()
+    assert all(r.vec_id != 0 for r in got)
+    assert [r.rank for r in sorted(got, key=lambda r: r.rank)] == list(range(1, 11))
