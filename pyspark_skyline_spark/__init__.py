@@ -12,6 +12,15 @@ global reduce (reference: src/jobs/batch_job.py:183-188).
 from pyspark_skyline_spark.kernel import find_skyline_mask, skyline_of_array
 from pyspark_skyline_spark.parser import parse_skyline_query
 from pyspark_skyline_spark.operators.skyline import skyline, skyline_sql
+from pyspark_skyline_spark.operators.dedup import (
+    dedup_exact,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from pyspark_skyline_spark.operators.similarity import cosine_topk, cosine_topk_lsh
+from pyspark_skyline_spark.operators.text import fingerprint, lang_id, quality_flags, text_stats
+from pyspark_skyline_spark.operators.topk import top_k_per_group
 
 __all__ = [
     "find_skyline_mask",
@@ -19,4 +28,15 @@ __all__ = [
     "parse_skyline_query",
     "skyline",
     "skyline_sql",
+    "dedup_exact",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "simhash",
+    "cosine_topk",
+    "cosine_topk_lsh",
+    "fingerprint",
+    "lang_id",
+    "quality_flags",
+    "text_stats",
+    "top_k_per_group",
 ]

@@ -223,9 +223,13 @@ SELECT id_a, id_b, jac FROM verified WHERE jac >= {_MH_T}
 
 
 def _ngram_jaccard_oracle(w: int = 16) -> str:
+    sh_hashed = (
+        "list_sort(list_distinct(list_transform(" + _SHINGLES.strip() + ",\n"
+        "  s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)))"
+    )
     return f"""
 WITH base AS (
-  SELECT doc_id, len({_TOKS}) AS n, {_SHINGLES} AS sh FROM documents),
+  SELECT doc_id, len({_TOKS}) AS n, {sh_hashed} AS sh FROM documents),
 blocked AS (
   SELECT doc_id, sh, u AS blk
   FROM base, UNNEST([(n // {w}) * 2, ((n + {w // 2}) // {w}) * 2 + 1]) AS t(u)),

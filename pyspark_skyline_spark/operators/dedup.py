@@ -249,25 +249,38 @@ def ngram_jaccard_pairs(
         (F.floor(n / F.lit(w)) * 2).cast("long"),
         (F.floor((n + F.lit(w // 2)) / F.lit(w)) * 2 + 1).cast("long"),
     )
+    # shingles as 60-bit hashes: set relations are preserved (same hash
+    # both engines), and the verify-join intersects long arrays instead
+    # of string arrays — far cheaper to shuffle and compare
+    sh_hashed = F.array_sort(
+        F.array_distinct(
+            F.transform(
+                shingles(F.col(text_col), shingle_k),
+                lambda s: hash64_expr(s, None, "md5"),
+            )
+        )
+    )
     base = df.select(
         F.col(id_col).alias("__id"),
-        shingles(F.col(text_col), shingle_k).alias("__sh"),
+        sh_hashed.alias("__sh"),
         blocks.alias("__blocks"),
     )
-    exploded = base.select("__id", "__sh", F.explode("__blocks").alias("__blk"))
+    # candidates: ids only through the explode/join/dedup — no payload
+    exploded = base.select("__id", F.explode("__blocks").alias("__blk"))
     a, b = exploded.alias("a"), exploded.alias("b")
-    return (
+    cand = (
         a.join(
             b,
             (F.col("a.__blk") == F.col("b.__blk")) & (F.col("a.__id") < F.col("b.__id")),
         )
-        .select(
-            F.col("a.__id").alias("id_a"),
-            F.col("b.__id").alias("id_b"),
-            F.col("a.__sh").alias("__sh_a"),
-            F.col("b.__sh").alias("__sh_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .dropDuplicates()
+    )
+    sh_a = base.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sh_a"))
+    sh_b = base.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__sh_b"))
+    return (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
         .withColumn(
             "jac",
             F.size(F.array_intersect("__sh_a", "__sh_b")).cast("double")

@@ -172,6 +172,15 @@ def _mr_angle_key(vs, p: int):
     return key, p ** (d - 1)
 
 
+def _estimated_bytes(df: DataFrame) -> int:
+    """Catalyst's size estimate for the plan (parquet footer stats when
+    available); used to auto-enable the map-side combiner."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # pragma: no cover - estimation is best-effort
+        return 0
+
+
 def _pick_algo(algo: str, d: int) -> str:
     if algo != "auto":
         return algo
@@ -208,6 +217,41 @@ def _local_skyline_pass(df_keyed: DataFrame, dim_cols, senses, prune_rounds: int
     return df_keyed.groupBy(*by, _CELL).applyInPandas(fn, schema=schema)
 
 
+def _map_side_prereduce(df_keyed: DataFrame, dim_cols, senses, prune_rounds: int, by=()):
+    """Combiner: reduce each Arrow batch with ONE batch-global kernel
+    call BEFORE the shuffle, so the groupBy exchange only carries
+    frontier candidates — the skyline analogue of map-side partial
+    aggregation. Removing a row dominated by ANY batch row (even from
+    another cell / ``by`` group boundary aside) is safe for the global
+    result by transitivity; with ``by`` groups dominance must stay
+    within-group, so there we reduce per group.
+    """
+    schema = df_keyed.schema
+
+    def fn(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if not by:
+                mask = find_skyline_mask(
+                    [pdf[c] for c in dim_cols], senses, prune_rounds
+                )
+                yield pdf[mask]
+                continue
+            keep = np.zeros(len(pdf), dtype=bool)
+            for gidx in pdf.groupby(list(by), dropna=False, sort=False).indices.values():
+                sub = pdf.iloc[gidx]
+                mask = find_skyline_mask(
+                    [sub[c] for c in dim_cols], senses, prune_rounds
+                )
+                keep[gidx[mask]] = True
+            yield pdf[keep]
+
+    return df_keyed.mapInPandas(fn, schema=schema)
+
+
 def skyline(
     df: DataFrame,
     dims,
@@ -217,6 +261,7 @@ def skyline(
     merge_fanout: int = 64,
     prune_rounds: int = 8,
     by: list[str] | None = None,
+    map_side_combine: bool | None = None,
 ) -> DataFrame:
     """Skyline of ``df`` under per-dimension MIN/MAX senses.
 
@@ -239,6 +284,9 @@ def skyline(
     merge_fanout : fan-in of the tree merge (64 => one extra level per
         64x cells)
     prune_rounds : pivot pre-prune rounds inside the NumPy kernel
+    map_side_combine : pre-shuffle batch-level reduction (None = auto by
+        estimated input size: on for cluster-scale inputs where the
+        exchange is the bottleneck, off for small local runs)
 
     Rows with NULL in any skyline dimension are excluded (SQL
     ``NOT EXISTS`` oracle semantics need the same guard).
@@ -279,6 +327,16 @@ def skyline(
     dim_cols = [c for c, _ in dims]
     senses = [s for _, s in dims]
     by = list(by or ())
+
+    if map_side_combine is None:
+        # auto: the combiner pays an extra Python/Arrow pass to shrink the
+        # exchange — worth it when the shuffle is network/disk-bound (big
+        # inputs on a cluster), a net loss for small local shuffles
+        map_side_combine = _estimated_bytes(df) > 4 * 1024**3
+    if map_side_combine:
+        # pre-shuffle combiner: the exchange only carries per-batch
+        # frontier survivors, not the whole table
+        keyed = _map_side_prereduce(keyed, dim_cols, senses, prune_rounds, by)
 
     out = _local_skyline_pass(keyed, dim_cols, senses, prune_rounds, by)
 

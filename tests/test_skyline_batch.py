@@ -96,6 +96,26 @@ def test_partition_param_invariance(lineitem):
         assert spark_skyline_set(lineitem, dims, algo=algo, partitions=p) == base, (algo, p)
 
 
+def test_map_side_combine_equivalent(lineitem):
+    dims = [("l_extendedprice", "min"), ("l_quantity", "min")]
+    with_c = spark_skyline_set(lineitem, dims, map_side_combine=True)
+    without = spark_skyline_set(lineitem, dims, map_side_combine=False)
+    assert with_c == without
+
+
+def test_map_side_combine_grouped(orders):
+    dims = [("o_totalprice", "max"), ("o_orderdate", "min")]
+    def run(combine):
+        res = skyline(orders, dims, by=["o_orderstatus"], map_side_combine=combine)
+        return sorted(
+            tuple(r)
+            for r in res.select("o_orderstatus", "o_totalprice", "o_orderdate")
+            .dropDuplicates()
+            .collect()
+        )
+    assert run(True) == run(False)
+
+
 def test_full_rows_preserved(lineitem):
     dims = [("l_extendedprice", "min"), ("l_quantity", "min")]
     res = skyline(lineitem, dims)
