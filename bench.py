@@ -18,7 +18,53 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def sweep() -> None:
+    """--sweep: replay the reference report's d x N grid (uniform random
+    ints in [0, 1e9], all-MIN query; BASELINE.md) on this engine.
+    Reference numbers: ~20 s (d=2, N=1e5) to ~600 s / DNF (d=7, N=1e6)
+    on 12 cores."""
+    import numpy as np
+    import time as _t
+
+    from pyspark.sql import SparkSession
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "48g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from pyspark_skyline_spark import skyline
+
+    rng = np.random.default_rng(42)
+    results = {}
+    for n in (100_000, 1_000_000):
+        for d in (2, 3, 5, 7):
+            cols = [f"x{i+1}" for i in range(d)]
+            arr = rng.integers(0, 10**9, size=(n, d), dtype=np.int64)
+            import pandas as pd
+
+            df = spark.createDataFrame(pd.DataFrame(arr, columns=cols)).repartition(int(cpus))
+            df.cache().count()
+            dims = [(c, "min") for c in cols]
+            t0 = _t.perf_counter()
+            cnt = skyline(df, dims, algo="auto").count()
+            dt = round(_t.perf_counter() - t0, 2)
+            df.unpersist()
+            results[f"d{d}_n{n}"] = {"sec": dt, "skyline_size": cnt}
+            print(f"# d={d} N={n}: {dt}s, frontier {cnt}", file=sys.stderr)
+    print(json.dumps({"metric": "baseline-grid sweep", "grid": results}))
+    spark.stop()
+
+
 def main() -> None:
+    if "--sweep" in sys.argv:
+        sweep()
+        return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = sf_dir.rstrip("/").split("sf")[-1]

@@ -189,15 +189,18 @@ _HASH60 = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
 
 def _minhash_oracle() -> str:
     r = _MH_HASHES // _MH_BANDS
-    hash_expr = _HASH60.format(x="s || '#' || j")
+    base_hash = _HASH60.format(x="s")
+    mix = 0x3779B97F4A7C15  # dedup._MIX_CONST
     return f"""
 WITH base AS (
   SELECT doc_id, {_SHINGLES} AS sh FROM documents),
+hashes AS (
+  SELECT doc_id, sh, list_transform(sh, s -> {base_hash}) AS hs FROM base),
 sigs AS (
   SELECT doc_id, sh,
          list_transform(range(0, {_MH_HASHES}),
-           j -> list_min(list_transform(sh, s -> {hash_expr}))) AS sig
-  FROM base),
+           j -> list_min(list_transform(hs, h -> xor(h, j * {mix})))) AS sig
+  FROM hashes),
 band_lists AS (
   SELECT doc_id,
          list_transform(range(0, {_MH_BANDS}),

@@ -58,12 +58,23 @@ def exact_dup_groups(
 def shingles(text_col, k: int = 3) -> Column:
     """Distinct word k-shingles of lowercased text; texts shorter than k
     tokens collapse to their full token string (so every doc has >= 1
-    shingle)."""
+    shingle).
+
+    Built as a ``zip_with`` fold of k shifted slices rather than a
+    ``transform`` over indices: a lambda body that references the token
+    expression re-evaluates the split per ELEMENT (interpreted HOF), a
+    ~50x hot-path penalty; ``zip_with`` children evaluate once per row.
+    """
     toks = tokens(text_col)
     n = F.size(toks)
-    idx = F.sequence(F.lit(0), n - F.lit(k))
-    parts = lambda i: [F.element_at(toks, i + F.lit(j + 1)) for j in range(k)]  # noqa: E731
-    win = F.transform(idx, lambda i: F.concat_ws(" ", *parts(i)))
+    width = n - F.lit(k - 1)
+    win = F.slice(toks, 1, width)
+    for j in range(1, k):
+        win = F.zip_with(
+            win,
+            F.slice(toks, 1 + j, width),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
     return F.when(n >= k, F.array_distinct(win)).otherwise(
         F.array(F.concat_ws(" ", toks))
     )
@@ -83,6 +94,10 @@ def hash64_expr(s: Column, salt: Column | None, mode: str = "xxhash64") -> Colum
     raise ValueError(f"hash mode {mode!r}")
 
 
+#: odd ~54-bit mixing constant: j * _MIX_CONST stays in int64 for j < 512
+_MIX_CONST = 0x3779B97F4A7C15
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -91,25 +106,29 @@ def minhash_signatures(
     shingle_k: int = 3,
     hash_mode: str = "xxhash64",
 ) -> DataFrame:
-    """MinHash signatures, relational formulation: explode shingles,
-    compute all ``num_hashes`` salted hashes as flat codegen'd columns,
-    then one hash-aggregate taking per-seed minima (map-side partial
-    agg — the shape that scales; nested higher-order lambdas evaluate
-    interpreted and re-walk the shingle tree per seed).
+    """MinHash signatures, relational formulation: explode shingles, ONE
+    base hash per shingle, then ``num_hashes`` cheap seed-mixed variants
+    (XOR with j * odd-constant — a bijection per seed, so each min is a
+    valid permutation-approximation) aggregated with per-seed minima in
+    one hash-aggregate (map-side partial agg — the shape that scales).
+    One md5/xxhash per shingle instead of ``num_hashes`` of them; the
+    XOR mix is plain integer SQL, reproducible in any engine.
 
     Returns (id_col, m0..m{H-1}).
     """
     sh_tbl = df.select(
         F.col(id_col), F.explode(shingles(F.col(text_col), shingle_k)).alias("__s")
     )
-    hashed = sh_tbl.select(
+    base_hash = hash64_expr(F.col("__s"), None, hash_mode).alias("__h")
+    hashed = sh_tbl.select(id_col, base_hash)
+    mixed = hashed.select(
         id_col,
         *[
-            hash64_expr(F.col("__s"), F.lit(j), hash_mode).alias(f"__h{j}")
+            F.col("__h").bitwiseXOR(F.lit(j * _MIX_CONST)).alias(f"__h{j}")
             for j in range(num_hashes)
         ],
     )
-    return hashed.groupBy(id_col).agg(
+    return mixed.groupBy(id_col).agg(
         *[F.min(f"__h{j}").alias(f"m{j}") for j in range(num_hashes)]
     )
 

@@ -17,6 +17,7 @@ Two paths:
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame, functions as F
 
@@ -53,20 +54,45 @@ def cosine_topk(
     vec_col: str,
     probe_id: int,
     k: int = 10,
+    impl: str = "fold",
 ) -> DataFrame:
     """Exact top-k cosine neighbors of the row with ``id_col ==
-    probe_id`` (excluded from results). Probe side is a broadcast
-    cross-join: one tiny row against the fleet — no shuffle of the big
-    side. Returns (rank, id, score columns-free) deterministically
-    ordered by (cosine desc, id asc)."""
-    probe = df.filter(F.col(id_col) == probe_id).select(
-        F.col(vec_col).alias("__probe_vec")
-    )
-    scored = (
-        df.filter(F.col(id_col) != probe_id)
-        .crossJoin(F.broadcast(probe))
-        .withColumn("__cos", cosine(F.col(vec_col), F.col("__probe_vec")))
-    )
+    probe_id`` (excluded from results). Returns (rank, id)
+    deterministically ordered by (cosine desc, id asc).
+
+    impl="fold": native sequential-fold expressions — bit-reproducible
+    against an external SQL engine (the oracle path). impl="arrow":
+    vectorized NumPy scoring in a pandas_udf over Arrow batches — the
+    fast path for large fleets (matrix-vector product per batch instead
+    of interpreted per-element folds); same ranks, last-ulp score
+    differences possible.
+    """
+    if impl == "arrow":
+        probe_row = df.filter(F.col(id_col) == probe_id).select(vec_col).first()
+        if probe_row is None:
+            raise ValueError(f"probe id {probe_id!r} not found")
+        probe_vec = np.asarray(probe_row[0], dtype=np.float64)
+        pnorm = float(np.linalg.norm(probe_vec))
+
+        @F.pandas_udf("double")
+        def score(s: pd.Series) -> pd.Series:
+            m = np.vstack(s.to_numpy()).astype(np.float64)
+            return pd.Series((m @ probe_vec) / (np.linalg.norm(m, axis=1) * pnorm))
+
+        scored = df.filter(F.col(id_col) != probe_id).withColumn(
+            "__cos", score(F.col(vec_col))
+        )
+    elif impl == "fold":
+        probe = df.filter(F.col(id_col) == probe_id).select(
+            F.col(vec_col).alias("__probe_vec")
+        )
+        scored = (
+            df.filter(F.col(id_col) != probe_id)
+            .crossJoin(F.broadcast(probe))
+            .withColumn("__cos", cosine(F.col(vec_col), F.col("__probe_vec")))
+        )
+    else:
+        raise ValueError(f"impl must be fold|arrow, got {impl!r}")
     ranked = top_k_per_group(
         scored.withColumn("__g", F.lit(1)),
         ["__g"],

@@ -1,0 +1,64 @@
+"""CLI (reference-compatible contract) + source builders."""
+
+import subprocess
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_skyline_spark.sources.streams import (
+    file_stream_source,
+    kafka_json_sink_writer,
+)
+
+REF_CSV = "/root/reference/data/points_D_2_N_100_000.csv"
+
+
+def test_cli_batch_csv(tmp_path):
+    out = tmp_path / "sky.parquet"
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "pyspark_skyline_spark.cli",
+            "batch", "SKYLINE OF x1 MIN, x2 MIN", "MR_DIM", "8",
+            "--input", REF_CSV, "--dims", "2", "--output", str(out), "--cpus", "4",
+        ],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "wrote 12 skyline rows" in r.stdout  # golden: 12 points (FIXTURES.md)
+
+
+def test_cli_rejects_bad_query():
+    r = subprocess.run(
+        [sys.executable, "-m", "pyspark_skyline_spark.cli", "batch", "NOT A QUERY"],
+        capture_output=True, text=True, timeout=120, cwd="/root/repo",
+    )
+    assert r.returncode != 0
+
+
+def test_kafka_sink_writer_shape(spark, sf_dir):
+    static = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    stream = file_stream_source(
+        spark, sf_dir, static.schema, path_glob="orders.parquet"
+    )
+    writer = kafka_json_sink_writer(
+        stream, "host:9092", "out", key_col="o_orderkey"
+    )
+    # builder configures without a broker; starting it would need one
+    assert writer is not None
+
+
+def test_file_stream_source(spark, sf_dir, tmp_path):
+    static = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    stream = file_stream_source(
+        spark, sf_dir, static.schema, path_glob="orders.parquet"
+    )
+    assert stream.isStreaming
+    q = (
+        stream.groupBy().agg(F.count(F.lit(1)).alias("n"))
+        .writeStream.outputMode("complete").format("memory")
+        .queryName("t_src_cnt").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    n = spark.sql("SELECT n FROM t_src_cnt").collect()[0][0]
+    assert n == static.count()

@@ -44,6 +44,18 @@ def test_lsh_recall(emb):
     assert len(got & want) >= 5, (sorted(got), sorted(want))
 
 
+def test_arrow_impl_same_ranks(emb):
+    fold = [r.vec_id for r in S.cosine_topk(emb, "vec_id", "embedding", 0, 10).orderBy("rank").collect()]
+    arrow = [r.vec_id for r in S.cosine_topk(emb, "vec_id", "embedding", 0, 10, impl="arrow").orderBy("rank").collect()]
+    assert fold == arrow
+
+
+def test_bad_probe_raises(emb):
+    import pytest as _pt
+    with _pt.raises(ValueError, match="probe id"):
+        S.cosine_topk(emb, "vec_id", "embedding", -999, 10, impl="arrow")
+
+
 def test_topk_excludes_probe(emb):
     got = S.cosine_topk(emb, "vec_id", "embedding", 0, 10).collect()
     assert all(r.vec_id != 0 for r in got)
