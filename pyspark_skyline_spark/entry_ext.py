@@ -18,7 +18,7 @@ from pyspark_skyline_spark.operators import multimodal as M
 from pyspark_skyline_spark.operators import similarity as S
 from pyspark_skyline_spark.operators import text as T
 from pyspark_skyline_spark.operators import topk as K
-from pyspark_skyline_spark.operators.skyline import skyline
+from pyspark_skyline_spark.operators.skyline import skyline, windowed_skyline
 from pyspark_skyline_spark.oracles import skyline_oracle_sql
 from pyspark_skyline_spark.sources.tables import load_table
 
@@ -146,6 +146,22 @@ def _q_stream_skyline_orders(spark, sf_dir):
         [("o_totalprice", "max"), ("o_orderdate", "min")],
     )
     return res.select("o_totalprice", "o_orderdate").dropDuplicates()
+
+
+def _q_windowed_skyline_events(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    res = windowed_skyline(
+        ev, "ts", "1 day", [("value", "max"), ("event_id", "min")]
+    )
+    return res.select("window_start", "value", "event_id").dropDuplicates()
+
+
+def _q_distinct_users_by_type(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
 
 
 def _q_skyline_by_status(spark, sf_dir):
@@ -370,6 +386,18 @@ SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, md5(text) 
 FROM documents
 """,
     "multimodal_decode_meta": _decode_media_oracle(),
+    "windowed_skyline_events": skyline_oracle_sql(
+        "(SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start, "
+        "value, event_id FROM events) w",
+        [("value", "max"), ("event_id", "min")],
+        by=["window_start"],
+    ),
+    "distinct_users_by_type": """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY event_type
+""",
     "stream_skyline_orders": skyline_oracle_sql(
         "orders", [("o_totalprice", "max"), ("o_orderdate", "min")]
     ),
@@ -401,6 +429,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_lineitem_pricing": _q_agg_pricing,
     "multimodal_blob_meta": _q_blob_meta,
     "multimodal_decode_meta": _q_decode_media,
+    "windowed_skyline_events": _q_windowed_skyline_events,
+    "distinct_users_by_type": _q_distinct_users_by_type,
     "stream_skyline_orders": _q_stream_skyline_orders,
     "skyline_orders_by_status": _q_skyline_by_status,
     "join_skyline_customer_nation": _q_join_skyline_customer_nation,

@@ -352,6 +352,27 @@ def skyline(
     return out.drop(_CELL)
 
 
+def windowed_skyline(
+    df: DataFrame,
+    ts_col: str,
+    window_duration: str,
+    dims,
+    **kwargs,
+) -> DataFrame:
+    """Per-tumbling-window skyline (an extension the reference lacks —
+    it has no event time at all, SURVEY.md §2.3): one independent
+    frontier per ``F.window(ts, duration)`` bucket, implemented as a
+    grouped skyline on the window struct. Composable with streaming via
+    ``foreachBatch``. Output carries ``window_start``/``window_end``."""
+    w = F.window(F.col(ts_col), window_duration)
+    tagged = df.withColumn("window_start", w["start"]).withColumn(
+        "window_end", w["end"]
+    )
+    # scalar (non-struct) group key so the map-side combiner's pandas
+    # groupby stays hashable
+    return skyline(tagged, dims, by=["window_start", "window_end"], **kwargs)
+
+
 def skyline_sql(df: DataFrame, query: str, **kwargs) -> DataFrame:
     """Reference-compatible front door: ``skyline_sql(df, "SKYLINE OF a
     MIN, b MAX")`` (grammar of src/utils/functions.py:303-333, plus
