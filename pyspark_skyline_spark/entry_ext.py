@@ -103,6 +103,29 @@ def _q_cosine_topk_lsh(spark, sf_dir):
     return S.cosine_topk_lsh(emb, "vec_id", "embedding", probe_id=_PROBE_ID, k=_TOPK_K)
 
 
+def _q_cosine_near_dup(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.cosine_near_dup_pairs(
+        emb, "vec_id", "embedding", threshold=0.45, n_planes=4, n_tables=16
+    ).select("id_a", "id_b")
+
+
+def _q_global_top_orders(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(25)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+def _q_set_ops_customers(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    h1 = orders.filter(F.month("o_orderdate") <= 6).select("o_custkey")
+    h2 = orders.filter(F.month("o_orderdate") > 6).select("o_custkey")
+    return h1.intersect(h2)
+
+
 def _q_topk_orders(spark, sf_dir):
     orders = load_table(spark, sf_dir, "orders")
     return K.top_k_per_group(
@@ -365,6 +388,15 @@ FROM documents
     "minhash_pairs_documents": _minhash_oracle(),
     "ngram_jaccard_documents": _ngram_jaccard_oracle(),
     "cosine_topk_embeddings": _cosine_topk_oracle(),
+    "global_top_orders": """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+""",
+    "set_ops_customers": """
+SELECT o_custkey FROM orders WHERE month(o_orderdate) <= 6
+INTERSECT
+SELECT o_custkey FROM orders WHERE month(o_orderdate) > 6
+""",
     "topk_orders_per_customer": """
 SELECT o_custkey, o_orderkey, CAST(rn AS BIGINT) AS rn FROM (
   SELECT o_custkey, o_orderkey,
@@ -425,6 +457,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_documents": _q_simhash,  # rows-only: verified by pytest differential
     "cosine_topk_embeddings": _q_cosine_topk,
     "cosine_topk_lsh_embeddings": _q_cosine_topk_lsh,  # approximate: recall pytest
+    "cosine_near_dup_embeddings": _q_cosine_near_dup,  # approximate: LSH recall pytest
+    "global_top_orders": _q_global_top_orders,
+    "set_ops_customers": _q_set_ops_customers,
     "topk_orders_per_customer": _q_topk_orders,
     "agg_lineitem_pricing": _q_agg_pricing,
     "multimodal_blob_meta": _q_blob_meta,

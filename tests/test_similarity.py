@@ -56,6 +56,21 @@ def test_bad_probe_raises(emb):
         S.cosine_topk(emb, "vec_id", "embedding", -999, 10, impl="arrow")
 
 
+def test_cosine_near_dup_finds_planted_pair(spark):
+    import numpy as np
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(32)
+    near = base + rng.standard_normal(32) * 0.05  # cosine ~0.999
+    other = [rng.standard_normal(32) for _ in range(20)]
+    rows = [(0, [float(x) for x in base]), (1, [float(x) for x in near])] + [
+        (i + 2, [float(x) for x in v]) for i, v in enumerate(other)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = S.cosine_near_dup_pairs(df, "vec_id", "embedding", threshold=0.9).collect()
+    assert {(r.id_a, r.id_b) for r in got} == {(0, 1)}
+    assert got[0].cos > 0.99
+
+
 def test_topk_excludes_probe(emb):
     got = S.cosine_topk(emb, "vec_id", "embedding", 0, 10).collect()
     assert all(r.vec_id != 0 for r in got)
