@@ -15,9 +15,11 @@ schemes — MR_DIM, MR_GRID (with dominated-cell pruning), MR_ANGLE
 * MAX dimensions are reflected into min-space before the angular
   transform, lifting the reference's MIN-only MR_ANGLE restriction
   (src/utils/functions.py:327-329);
-* MR_GRID's dominated-cell prune is the closed-form Catalyst predicate
-  ``min(digit_i) == 0`` — exactly the ``p^d - (p-1)^d`` surviving cells
-  of README.md:54-57 — evaluated JVM-side, no UDF filter;
+* MR_GRID's dominated-cell prune is a driver-precomputed surviving-cell
+  ``isin`` filter (pure Catalyst, no UDF) — and unlike the reference's
+  best-corner rule (README.md:54-57), it only prunes cells strictly
+  dominated by a NONEMPTY cell, which is the sound generalization once
+  bounds are data-driven (see ``_grid_surviving_cells``);
 * local skylines run as a NumPy kernel in ``applyInPandas`` (Arrow
   batches, spillable groups) instead of ``collect_list`` + row UDF
   (src/jobs/batch_job.py:128-134);
@@ -40,7 +42,7 @@ from pyspark_skyline_spark.parser import parse_skyline_query
 
 __all__ = ["skyline", "skyline_sql", "ALGORITHMS"]
 
-ALGORITHMS = ("MR_DIM", "MR_GRID", "MR_ANGLE", "auto")
+ALGORITHMS = ("MR_DIM", "MR_DIM_Q", "MR_GRID", "MR_ANGLE", "auto")
 
 _CELL = "__sky_cell"
 
@@ -133,21 +135,68 @@ def _mr_dim_key(vs, p: int):
     return _bucket(vs[0], p), p
 
 
-def _mr_grid_key_and_filter(vs, b: int):
-    """MR-GRID packed cell id + dominated-cell prune.
+def _quantile_key(df: DataFrame, dims, p: int, relative_error: float = 0.01):
+    """Skew-resistant MR-DIM variant: cell boundaries from approximate
+    quantiles of the first dimension instead of equi-width over
+    (lo, hi) — equal-population cells regardless of the value
+    distribution (the reference's fixed-domain equi-width keying skews
+    with the data, SURVEY.md §4.3). Returns (key expr, ncells)."""
+    col0, _ = dims[0]
+    x = _numeric_expr(df, col0)
+    probs = [i / p for i in range(1, p)]
+    cuts = df.select(x.alias("__q")).approxQuantile("__q", probs, relative_error)
+    # strictly increasing cut points (duplicates collapse cells)
+    uniq: list[float] = []
+    for c in cuts:
+        if not uniq or c > uniq[-1]:
+            uniq.append(c)
+    key = F.lit(0).cast("long")
+    for c in uniq:
+        key = key + F.when(x > F.lit(float(c)), 1).otherwise(0)
+    return key, len(uniq) + 1
 
-    Cell digits are per-dim buckets; in min-space the best corner is the
-    all-zeros cell, which dominates exactly the cells with every digit
-    >= 1 — so ``min(digits) == 0`` keeps the p^d - (p-1)^d survivors
-    (reference functions.py:76-192, README.md:54-57) as a pure Catalyst
-    predicate instead of a per-row UDF filter.
-    """
+
+def _mr_grid_key(vs, b: int):
+    """MR-GRID packed cell id: per-dim min-space buckets, base-b packed
+    (reference functions.py:76-135) as a native expression."""
     digits = [_bucket(v, b) for v in vs]
     key = digits[0]
     for i, dig in enumerate(digits[1:], start=1):
         key = key + dig * F.lit(b**i)
-    keep = F.least(*digits) == 0 if len(digits) > 1 else F.lit(True)
-    return key, keep, b ** len(vs)
+    return key, b ** len(vs)
+
+
+def _grid_surviving_cells(keyed: DataFrame, b: int, d: int) -> list[int]:
+    """Sound dominated-cell prune: a cell is eliminated only if some
+    NONEMPTY cell strictly cell-dominates it (every digit strictly
+    smaller in min-space — bucket ranges are disjoint half-open
+    intervals, so cell-level strict dominance implies point-level
+    dominance by an existing point).
+
+    The reference prunes against the best CORNER cell unconditionally
+    (functions.py:138-192, README.md:54-57) — unsound when that corner
+    holds no data, which its fixed uniform [0,1e9] domain hid and our
+    data-driven bounds expose. One cheap count-by-cell pass (map-side
+    combined) + an O(ncells^2) driver check replaces it; the filter
+    stays a pure Catalyst ``isin``.
+    """
+    import numpy as np
+
+    cells = [r[0] for r in keyed.select(_CELL).distinct().collect()]
+    if not cells:
+        return cells
+    ids = np.asarray(cells, dtype=np.int64)
+    digits = np.empty((len(ids), d), dtype=np.int64)
+    rem = ids.copy()
+    for i in range(d):
+        digits[:, i] = rem % b
+        rem //= b
+    survivors = []
+    for idx, cid in enumerate(ids):
+        dominated = ((digits < digits[idx]).all(axis=1)).any()
+        if not dominated:
+            survivors.append(int(cid))
+    return survivors
 
 
 def _mr_angle_key(vs, p: int):
@@ -193,6 +242,8 @@ def _default_param(algo: str, d: int, parallelism: int) -> int:
     target = max(2, parallelism) * 4  # a few cells per core for balance
     if algo == "MR_DIM":
         return min(target, 4096)
+    if algo == "MR_DIM_Q":
+        return min(target, 256)  # one WHEN per cut point: keep the chain sane
     if algo == "MR_GRID":
         b = 2
         while b**d - (b - 1) ** d < target and b**d < 2**31 and b < 64:
@@ -297,7 +348,7 @@ def skyline(
             raise ValueError(f"skyline dimension {c!r} not in DataFrame columns {df.columns}")
     d = len(dims)
     algo = _pick_algo(algo, d)
-    if algo not in ("MR_DIM", "MR_GRID", "MR_ANGLE"):
+    if algo not in ("MR_DIM", "MR_DIM_Q", "MR_GRID", "MR_ANGLE"):
         raise ValueError(f"algo must be one of {ALGORITHMS}, got {algo!r}")
 
     df = df.filter(F.lit(True) & F.expr(" AND ".join(f"`{c}` IS NOT NULL" for c, _ in dims)))
@@ -310,19 +361,22 @@ def skyline(
     parallelism = spark.sparkContext.defaultParallelism
     p = partitions or _default_param(algo, d, parallelism)
 
-    keep = None
-    if algo == "MR_DIM":
+    if algo == "MR_DIM_Q":
+        key, ncells = _quantile_key(df, dims, p)
+    elif algo == "MR_DIM":
         key, ncells = _mr_dim_key(vs, p)
     elif algo == "MR_GRID":
-        key, keep, ncells = _mr_grid_key_and_filter(vs, p)
+        key, ncells = _mr_grid_key(vs, p)
     else:
         key, ncells = _mr_angle_key(vs, p)
 
     keyed = df.withColumn(_CELL, key)
-    if keep is not None:
-        # Dominated-cell pruning (MR_GRID): rows in cells the best corner
-        # cell dominates can never be global skyline points.
-        keyed = keyed.filter(keep)
+    if algo == "MR_GRID" and d > 1 and not by:
+        # Dominated-cell pruning: rows in cells strictly dominated by a
+        # nonempty cell can never be global skyline points. (Skipped for
+        # grouped skylines — the cell census would need to be per group.)
+        survivors = _grid_surviving_cells(keyed, p, d)
+        keyed = keyed.filter(F.col(_CELL).isin(survivors))
 
     dim_cols = [c for c, _ in dims]
     senses = [s for _, s in dims]

@@ -96,6 +96,31 @@ def test_partition_param_invariance(lineitem):
         assert spark_skyline_set(lineitem, dims, algo=algo, partitions=p) == base, (algo, p)
 
 
+def test_quantile_keying_equivalent_on_skewed_data(spark):
+    # heavily skewed first dim: equi-width would put ~everything in one
+    # cell; quantile keying must still give the exact same skyline
+    import math
+    rows = [(math.exp(i / 50.0), float(i % 97)) for i in range(3000)]
+    df = spark.createDataFrame(rows, "a double, b double")
+    dims = [("a", "min"), ("b", "min")]
+    base = spark_skyline_set(df, dims, algo="MR_DIM")
+    assert spark_skyline_set(df, dims, algo="MR_DIM_Q") == base
+    assert spark_skyline_set(df, dims, algo="MR_DIM_Q", partitions=7) == base
+
+
+def test_grid_pruning_all_sense_combos_d3(spark, sf_dir):
+    # SURVEY §7.3 risk: MR_GRID best-corner pruning under mixed MIN/MAX;
+    # differential vs MR_DIM over all 8 sense combinations at d=3
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    for s1 in ("min", "max"):
+        for s2 in ("min", "max"):
+            for s3 in ("min", "max"):
+                dims = [("p_retailprice", s1), ("p_size", s2), ("p_partkey", s3)]
+                grid = spark_skyline_set(part, dims, algo="MR_GRID", partitions=3)
+                dim = spark_skyline_set(part, dims, algo="MR_DIM")
+                assert grid == dim, (s1, s2, s3)
+
+
 def test_map_side_combine_equivalent(lineitem):
     dims = [("l_extendedprice", "min"), ("l_quantity", "min")]
     with_c = spark_skyline_set(lineitem, dims, map_side_combine=True)
