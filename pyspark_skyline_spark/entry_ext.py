@@ -100,7 +100,12 @@ def _q_cosine_topk(spark, sf_dir):
 
 def _q_cosine_topk_lsh(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.cosine_topk_lsh(emb, "vec_id", "embedding", probe_id=_PROBE_ID, k=_TOPK_K)
+    # wide buckets + many tables: these embeddings are near-uniform, so
+    # narrow buckets would isolate the probe and return nothing
+    return S.cosine_topk_lsh(
+        emb, "vec_id", "embedding", probe_id=_PROBE_ID, k=_TOPK_K,
+        n_planes=4, n_tables=16,
+    )
 
 
 def _q_cosine_near_dup(spark, sf_dir):

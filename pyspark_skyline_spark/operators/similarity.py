@@ -115,19 +115,29 @@ def _hyperplanes(dim: int, n_planes: int, n_tables: int, seed: int = 42) -> np.n
     return rng.standard_normal((n_tables, n_planes, dim))
 
 
+def _bucket_udf(planes: np.ndarray):
+    """Packed sign-bit bucket ids for ALL LSH tables in one vectorized
+    pandas_udf: one einsum of the Arrow batch against every hyperplane
+    (n_tables * n_planes interpreted fold-expressions per row would be
+    the slow path). Returns array<long>, one bucket per table."""
+    _, n_planes, _ = planes.shape
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+
+    @F.pandas_udf("array<long>")
+    def buckets(s: pd.Series) -> pd.Series:
+        m = np.vstack(s.to_numpy()).astype(np.float64)  # (n, dim)
+        bits = np.einsum("nd,tpd->ntp", m, planes) > 0  # (n, T, P)
+        vals = (bits * weights).sum(axis=2).astype(np.int64)  # (n, T)
+        return pd.Series(list(vals))
+
+    return buckets
+
+
 def _bucket_exprs(vec_col: str, planes: np.ndarray) -> list[Column]:
-    """One packed sign-bit bucket id per LSH table (native exprs over
-    literal plane arrays)."""
-    n_tables, n_planes, _ = planes.shape
-    out = []
-    for t in range(n_tables):
-        acc = F.lit(0).cast("long")
-        for p in range(n_planes):
-            lit_plane = F.array(*[F.lit(float(x)) for x in planes[t, p]])
-            bit = F.when(dot_product(F.col(vec_col), lit_plane) > 0, 1).otherwise(0)
-            acc = acc + bit.cast("long") * F.lit(1 << p)
-        out.append(acc.alias(f"__b{t}"))
-    return out
+    """One bucket column per LSH table (vectorized; see _bucket_udf)."""
+    n_tables = planes.shape[0]
+    arr = _bucket_udf(planes)(F.col(vec_col))
+    return [arr.getItem(t).alias(f"__b{t}") for t in range(n_tables)]
 
 
 def cosine_near_dup_pairs(
@@ -173,10 +183,20 @@ def cosine_near_dup_pairs(
     )
     va = base.select(F.col("__id").alias("id_a"), F.col("__vec").alias("__va"))
     vb = base.select(F.col("__id").alias("id_b"), F.col("__vec").alias("__vb"))
+
+    @F.pandas_udf("double")
+    def pair_cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        ma = np.vstack(a.to_numpy()).astype(np.float64)
+        mb = np.vstack(b.to_numpy()).astype(np.float64)
+        return pd.Series(
+            (ma * mb).sum(axis=1)
+            / (np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1))
+        )
+
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .withColumn("cos", cosine(F.col("__va"), F.col("__vb")))
+        .withColumn("cos", pair_cos(F.col("__va"), F.col("__vb")))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
@@ -189,8 +209,8 @@ def cosine_topk_lsh(
     probe_id: int,
     k: int = 10,
     dim: int | None = None,
-    n_planes: int = 12,
-    n_tables: int = 4,
+    n_planes: int = 6,
+    n_tables: int = 8,
     seed: int = 42,
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane buckets (the scale path).

@@ -309,7 +309,7 @@ def skyline(
     algo: str = "auto",
     partitions: int | None = None,
     bounds: dict[str, tuple[float, float]] | None = None,
-    merge_fanout: int = 64,
+    merge_fanout: int = 256,
     prune_rounds: int = 8,
     by: list[str] | None = None,
     map_side_combine: bool | None = None,
@@ -332,8 +332,9 @@ def skyline(
         when None
     bounds : optional precomputed per-column (lo, hi) to skip the
         bounds pass
-    merge_fanout : fan-in of the tree merge (64 => one extra level per
-        64x cells)
+    merge_fanout : fan-in of the tree merge (256 => one merge pass up to
+        256 cells, two up to 65536, ...; local frontiers are small, so a
+        wide fan-in saves whole passes)
     prune_rounds : pivot pre-prune rounds inside the NumPy kernel
     map_side_combine : pre-shuffle batch-level reduction (None = auto by
         estimated input size: on for cluster-scale inputs where the
