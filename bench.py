@@ -87,6 +87,12 @@ def main() -> None:
 
     import __spark_entry__ as entry
 
+    # session warmup (codegen caches, parquet footers, Python workers) so
+    # per-query timings reflect steady state, not first-query JVM costs
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1000).groupBy(
+        "l_returnflag"
+    ).count().collect()
+
     timings: dict[str, float] = {}
     for name, fn in sorted(entry.queries().items()):
         t0 = time.perf_counter()
