@@ -156,6 +156,36 @@ def test_skyline_sql_front_door(lineitem):
     assert a == b
 
 
+def test_idempotence_and_permutation_invariance(spark, sf_dir):
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    dims = [("p_retailprice", "min"), ("p_size", "max")]
+    once = skyline(part, dims)
+    twice = skyline(once, dims)
+    shuffled = skyline(part.repartition(7), dims)
+    key = lambda df: sorted(  # noqa: E731
+        tuple(r) for r in df.select("p_retailprice", "p_size").dropDuplicates().collect()
+    )
+    assert key(once) == key(twice) == key(shuffled)
+
+
+def test_soundness_and_completeness(spark, sf_dir):
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    dims = [("p_retailprice", "min"), ("p_size", "min")]
+    sky = {(r.p_retailprice, r.p_size) for r in skyline(part, dims).collect()}
+    allr = [(r.p_retailprice, r.p_size) for r in part.collect()]
+
+    def dominated(p, q):
+        return q[0] <= p[0] and q[1] <= p[1] and (q[0] < p[0] or q[1] < p[1])
+
+    # soundness: no skyline point dominated by any input row
+    for s in sky:
+        assert not any(dominated(s, q) for q in allr)
+    # completeness: every excluded row dominated by some skyline row
+    for p in allr:
+        if p not in sky:
+            assert any(dominated(p, s) for s in sky)
+
+
 def test_nulls_excluded(spark):
     df = spark.createDataFrame(
         [(1, 1.0), (2, None), (None, 0.5), (3, 3.0)], "a int, b double"
