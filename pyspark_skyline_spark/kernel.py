@@ -77,8 +77,10 @@ def find_skyline_mask(cols, senses, prune_rounds: int = 8) -> np.ndarray:
     if n == 0:
         return mask
 
-    order = np.argsort(a.sum(axis=1), kind="stable")
+    sums = a.sum(axis=1)
+    order = np.argsort(sums, kind="stable")
     s = a[order]  # rows in ascending sum order
+    ssum = sums[order]  # non-decreasing; same summation tree as kernels
 
     alive = np.ones(n, dtype=bool)
     # Pivot pre-prune: the first alive row in sum order is a guaranteed
@@ -98,24 +100,95 @@ def find_skyline_mask(cols, senses, prune_rounds: int = 8) -> np.ndarray:
         alive &= ~dead
         start += 1
 
-    # Incremental BNL over survivors, ascending sum order: kept set only
-    # grows, each candidate is checked against current kept rows.
+    # Chunked incremental BNL over survivors, ascending sum order: the
+    # kept set only grows (a later point can never dominate an earlier
+    # kept one), so candidates are screened chunk-at-a-time against the
+    # kept rows with one broadcasted comparison, then pairwise within
+    # the chunk. Chunking turns n Python iterations into n/m (the
+    # difference between 37 s and seconds at d=10 frontiers of ~25k).
     idx_alive = np.nonzero(alive)[0]
     kept_rows = np.empty((len(idx_alive), d), dtype=np.float64)
+    kept_sums = np.empty(len(idx_alive), dtype=np.float64)
     k = 0
-    kept_src = []
-    for i in idx_alive:
-        p = s[i]
-        K = kept_rows[:k]
-        le = (K <= p).all(axis=1)
-        if le.any() and (K[le] < p).any(axis=1).any():
+    kept_src: list[np.ndarray] = []
+    pos = 0
+    while pos < len(idx_alive):
+        # bound temporaries to (m, k) booleans per dimension step —
+        # materializing (m, k, d) at once thrashes memory for big fronts
+        m = max(32, min(4096, 128_000_000 // max(k, 1)))
+        chunk_idx = idx_alive[pos : pos + m]
+        pos += m
+        C = s[chunk_idx]  # (m, d)
+        sC = ssum[chunk_idx]
+        dom = _dominated_by(C, kept_rows[:k], sC, kept_sums[:k])
+        surv = np.nonzero(~dom)[0]
+        if len(surv) == 0:
             continue
-        kept_rows[k] = p
-        k += 1
-        kept_src.append(i)
+        Cs = C[surv]
+        sCs = sC[surv]
+        # within-chunk pairwise (sound to use surviving chunk rows as
+        # dominators: a non-survivor's dominators dominate its victims
+        # too, by transitivity, and were already checked above)
+        dom2 = _dominated_by(Cs, Cs, sCs, sCs)
+        final = surv[~dom2]
+        if len(final):
+            kept_rows[k : k + len(final)] = C[final]
+            kept_sums[k : k + len(final)] = sC[final]
+            k += len(final)
+            kept_src.append(chunk_idx[final])
 
-    mask[order[np.asarray(kept_src, dtype=np.int64)]] = True
+    if kept_src:
+        mask[order[np.concatenate(kept_src)]] = True
     return mask
+
+
+def _dominated_by(
+    C: np.ndarray, K: np.ndarray, sC: np.ndarray, sK: np.ndarray
+) -> np.ndarray:
+    """For each row of C (m, d): is it dominated by any row of K (k, d)
+    in min-space?
+
+    Requires ``sK`` non-decreasing (K sorted by row sum) and ``sC``/
+    ``sK`` computed by the same ``np.sum(axis=1)`` over the same d, so
+    that elementwise-≤ rows have monotone sums. Then a dominator of
+    C[i] can only sit at ``sK < sC[i]`` — or at ``sK == sC[i]`` when
+    float rounding collapses the strict gap — so only the all-≤ matrix
+    ``le`` is materialized ((m, k) bools, dimension-at-a-time); the
+    strictness test collapses to a ``searchsorted`` prefix bound plus a
+    tiny equal-sum band check. Identical rows never dominate.
+    """
+    m, d = C.shape
+    k = len(K)
+    if k == 0 or m == 0:
+        return np.zeros(m, dtype=bool)
+    le = np.ones((m, k), dtype=bool)
+    for j in range(d):
+        le &= K[:, j][None, :] <= C[:, j][:, None]
+        if j == 1 and not le.any():
+            return np.zeros(m, dtype=bool)
+    first = le.argmax(axis=1)  # first all-≤ K row (0 when none)
+    any_le = le[np.arange(m), first]
+    lo = np.searchsorted(sK, sC, side="left")
+    dom = any_le & (first < lo)  # strictly-smaller-sum dominator exists
+    # Equal-float-sum band: all-≤ + any coordinate difference ⇒ strict
+    # somewhere ⇒ dominance. (All-≤ rows beyond the band would need a
+    # larger sum, contradicting monotone summation, so none exist.)
+    band = np.nonzero(any_le & ~dom)[0]
+    if len(band):
+        hi = np.searchsorted(sK, sC[band], side="right")
+        cnt = hi - lo[band]
+        pos = np.nonzero(cnt > 0)[0]
+        if len(pos):
+            b_rows, b_cnt, b_lo = band[pos], cnt[pos], lo[band[pos]]
+            rows = np.repeat(b_rows, b_cnt)
+            ends = np.cumsum(b_cnt)
+            cols = np.arange(ends[-1]) - np.repeat(ends - b_cnt, b_cnt) + np.repeat(
+                b_lo, b_cnt
+            )
+            hit = le[rows, cols] & (K[cols] != C[rows]).any(axis=1)
+            if hit.any():
+                dom[rows[hit]] = True
+    return dom
 
 
 def skyline_of_array(cols, senses) -> np.ndarray:
