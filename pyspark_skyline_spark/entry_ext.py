@@ -108,6 +108,15 @@ def _q_cosine_topk_lsh(spark, sf_dir):
     )
 
 
+def _q_cosine_topk_ivf(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    # near-uniform embeddings spread over cells: probe a third of them
+    return S.cosine_topk_ivf(
+        emb, "vec_id", "embedding", probe_id=_PROBE_ID, k=_TOPK_K,
+        nlist=12, nprobe=4,
+    )
+
+
 def _q_cosine_near_dup(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     return S.cosine_near_dup_pairs(
@@ -462,6 +471,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_documents": _q_simhash,  # rows-only: verified by pytest differential
     "cosine_topk_embeddings": _q_cosine_topk,
     "cosine_topk_lsh_embeddings": _q_cosine_topk_lsh,  # approximate: recall pytest
+    "cosine_topk_ivf_embeddings": _q_cosine_topk_ivf,  # approximate: recall pytest
     "cosine_near_dup_embeddings": _q_cosine_near_dup,  # approximate: LSH recall pytest
     "global_top_orders": _q_global_top_orders,
     "set_ops_customers": _q_set_ops_customers,

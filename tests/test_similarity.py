@@ -44,6 +44,40 @@ def test_lsh_recall(emb):
     assert len(got & want) >= 5, (sorted(got), sorted(want))
 
 
+def test_ivf_recall(emb):
+    rows = emb.collect()
+    want = set(numpy_topk(rows, probe_id=0, k=10))
+    got = {
+        r.vec_id
+        for r in S.cosine_topk_ivf(
+            emb, "vec_id", "embedding", 0, 10, nlist=12, nprobe=4
+        ).collect()
+    }
+    assert len(got & want) >= 5, (sorted(got), sorted(want))
+
+
+def test_ivf_full_probe_is_exact(emb):
+    # nprobe == nlist scans every cell => must equal the exact top-k
+    rows = emb.collect()
+    want = numpy_topk(rows, probe_id=0, k=10)
+    got = [
+        r.vec_id
+        for r in S.cosine_topk_ivf(
+            emb, "vec_id", "embedding", 0, 10, nlist=8, nprobe=8
+        ).orderBy("rank").collect()
+    ]
+    assert got == want
+
+
+def test_ivf_assign_is_total_partition(emb):
+    C = S.train_ivf_centroids(emb, "vec_id", "embedding", nlist=8, train_n=256)
+    assigned = S.ivf_assign(emb, "embedding", C)
+    n = emb.count()
+    assert assigned.count() == n
+    cells = [r["__cell"] for r in assigned.select("__cell").distinct().collect()]
+    assert all(0 <= c < 8 for c in cells)
+
+
 def test_arrow_impl_same_ranks(emb):
     fold = [r.vec_id for r in S.cosine_topk(emb, "vec_id", "embedding", 0, 10).orderBy("rank").collect()]
     arrow = [r.vec_id for r in S.cosine_topk(emb, "vec_id", "embedding", 0, 10, impl="arrow").orderBy("rank").collect()]
