@@ -278,26 +278,21 @@ SELECT id_a, id_b, jac FROM verified WHERE jac >= {_MH_T}
 """
 
 
-def _ngram_jaccard_oracle(w: int = 16) -> str:
+def _ngram_jaccard_oracle() -> str:
+    # strategy-independent oracle: ALL doc pairs above the threshold
+    # (all-pairs is fine at sf0.01; the engine's prefix-filter join must
+    # reproduce it exactly — prefix filtering is complete, not a heuristic)
     sh_hashed = (
         "list_sort(list_distinct(list_transform(" + _SHINGLES.strip() + ",\n"
         "  s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)))"
     )
     return f"""
 WITH base AS (
-  SELECT doc_id, len({_TOKS}) AS n, {sh_hashed} AS sh FROM documents),
-blocked AS (
-  SELECT doc_id, sh, u AS blk
-  FROM base, UNNEST([(n // {w}) * 2, ((n + {w // 2}) // {w}) * 2 + 1]) AS t(u)),
-cand AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.doc_id < b.doc_id)
-SELECT id_a, id_b,
+  SELECT doc_id, {sh_hashed} AS sh FROM documents)
+SELECT sa.doc_id AS id_a, sb.doc_id AS id_b,
        len(list_intersect(sa.sh, sb.sh))::DOUBLE /
        len(list_distinct(sa.sh || sb.sh)) AS jac
-FROM cand
-JOIN base sa ON sa.doc_id = id_a
-JOIN base sb ON sb.doc_id = id_b
+FROM base sa JOIN base sb ON sa.doc_id < sb.doc_id
 WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE /
       len(list_distinct(sa.sh || sb.sh)) >= {_NJ_T}
 """

@@ -29,7 +29,23 @@ __all__ = [
     "minhash_lsh_pairs",
     "simhash",
     "ngram_jaccard_pairs",
+    "spread_for_compute",
 ]
+
+
+def spread_for_compute(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the cluster's parallelism when the
+    input has fewer partitions than cores.
+
+    Byte-based file splitting undersizes compute-dense per-row work: a
+    one-file corpus scans as one partition, so hashing / shingling /
+    join fanout run on one core no matter how many are idle. At real
+    scale (input partitions >= cores) this is a no-op — no extra
+    shuffle is introduced."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= max(2, target // 2):
+        return df
+    return df.repartition(target)
 
 
 def dedup_exact(df: DataFrame, subset: list[str], order_col: str | None = None) -> DataFrame:
@@ -155,6 +171,7 @@ def minhash_lsh_pairs(
         raise ValueError("bands must divide num_hashes")
     rows_per_band = num_hashes // bands
 
+    df = spread_for_compute(df)
     sig_tbl = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k, hash_mode)
     band_keys = F.array(
         *[
@@ -214,28 +231,36 @@ def simhash(
     cosine distance of the token multisets.
 
     Relational formulation: explode tokens, hash once per token, then
-    one hash-aggregate with ``bits`` conditional sums (flat codegen'd
-    exprs, map-side partial agg)."""
-    tok_tbl = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__t"))
+    one hash-aggregate of ``bits`` bit-extraction sums (shiftright+and,
+    map-side partial agg) plus a token count; bit i of the sketch is set
+    iff set-count > half the tokens — same sign rule as the classic
+    +1/-1 accumulation (2*S_i > n), but the branch-free extraction
+    codegens to much smaller methods than ``bits`` when/otherwise
+    chains (~2x wall-clock at sf0.1)."""
+    tok_tbl = spread_for_compute(df).select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__t")
+    )
     hashed = tok_tbl.select(
         id_col, hash64_expr(F.col("__t"), None, hash_mode).alias("__h")
     )
     bit_sums = hashed.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__n"),
         *[
-            F.sum(
-                F.when(F.col("__h").bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1)
-            ).alias(f"__b{i}")
+            F.sum(F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1))).alias(f"__b{i}")
             for i in range(bits)
-        ]
+        ],
     )
     half = bits // 2
     lo = sum(
-        (F.when(F.col(f"__b{i}") > 0, F.lit(1 << i)).otherwise(0) for i in range(half)),
+        (
+            F.when(2 * F.col(f"__b{i}") > F.col("__n"), F.lit(1 << i)).otherwise(0)
+            for i in range(half)
+        ),
         F.lit(0).cast("long"),
     )
     hi = sum(
         (
-            F.when(F.col(f"__b{i}") > 0, F.lit(1 << (i - half))).otherwise(0)
+            F.when(2 * F.col(f"__b{i}") > F.col("__n"), F.lit(1 << (i - half))).otherwise(0)
             for i in range(half, bits)
         ),
         F.lit(0).cast("long"),
@@ -251,23 +276,33 @@ def ngram_jaccard_pairs(
     text_col: str,
     shingle_k: int = 3,
     threshold: float = 0.5,
-    block_width: int = 16,
 ) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs with length blocking.
+    """Exact n-gram Jaccard near-dup pairs via prefix filtering (the
+    AllPairs/PPJoin candidate rule, distributed as in Vernica et al.'s
+    MapReduce set-similarity join).
 
-    Blocking uses two shifted token-count grids of ``block_width`` (keys
-    ``2*floor(n/w)`` and ``2*floor((n + w/2)/w) + 1``): any two docs whose
-    token counts differ by <= w/2 share a block in at least one grid, so
-    candidate generation is an equi-join on the block key — never an
-    all-pairs product. (Docs differing by more than w/2 tokens can't
-    reach a high Jaccard anyway for small k.)
+    Shingle sets are canonically ordered by their 60-bit hash. If
+    ``J(A, B) >= t`` then the first ``|S| - ceil(t*|S|) + 1`` elements
+    of the two sorted sets must intersect, so candidates come from an
+    equi-join on exploded prefix elements plus the length filter
+    ``|A| >= ceil(t*|B|)`` both ways — never an all-pairs or
+    length-block product (length blocks barely discriminate on
+    same-length corpora: at sf0.1 they admitted ~4M candidate pairs
+    where prefixes admit orders of magnitude fewer).
+
+    Prefix elements are canonically ordered by GLOBAL document
+    frequency, rarest first (ties by hash) — the AllPairs token
+    ordering: common shingles sink past the prefix, so prefix-key
+    collisions happen only on rare shared content. Costs one
+    explode/count/re-aggregate pass over the corpus — two shuffles of
+    (id, shingle-hash) pairs, the documented trade the MapReduce
+    set-similarity literature makes for orders-of-magnitude fewer
+    candidates. Exact Jaccard verify on candidates keeps the operator
+    exact; any consistent total order preserves prefix-filter
+    completeness, so the verify step still uses plain hash-sorted sets.
     """
-    n = F.size(tokens(F.col(text_col)))
-    w = block_width
-    blocks = F.array(
-        (F.floor(n / F.lit(w)) * 2).cast("long"),
-        (F.floor((n + F.lit(w // 2)) / F.lit(w)) * 2 + 1).cast("long"),
-    )
+    t = threshold
+    df = spread_for_compute(df)
     # shingles as 60-bit hashes: set relations are preserved (same hash
     # both engines), and the verify-join intersects long arrays instead
     # of string arrays — far cheaper to shuffle and compare
@@ -279,24 +314,70 @@ def ngram_jaccard_pairs(
             )
         )
     )
-    base = df.select(
-        F.col(id_col).alias("__id"),
-        sh_hashed.alias("__sh"),
-        blocks.alias("__blocks"),
+    base = df.select(F.col(id_col).alias("__id"), sh_hashed.alias("__sh")).withColumn(
+        "__n", F.size("__sh")
     )
-    # candidates: ids only through the explode/join/dedup — no payload
-    exploded = base.select("__id", F.explode("__blocks").alias("__blk"))
-    a, b = exploded.alias("a"), exploded.alias("b")
+    prefix_len = (F.col("__n") - F.ceil(F.lit(t) * F.col("__n")) + 1).cast("int")
+    # rarest-first canonical order: per-shingle document frequency,
+    # then re-aggregate each doc's set sorted by (df, hash)
+    ex = base.select("__id", "__n", F.explode("__sh").alias("__h"))
+    dfreq = ex.groupBy("__h").agg(F.count(F.lit(1)).alias("__df"))
+    ranked = (
+        ex.join(dfreq, "__h")
+        .groupBy("__id", "__n")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__df"), F.col("__h")))
+            ).alias("__rsh")
+        )
+    )
+    # candidates: (id, size, prefix position+element) only — no payload
+    pref = ranked.select(
+        "__id",
+        "__n",
+        F.posexplode(
+            F.slice(F.transform("__rsh", lambda x: x["__h"]), F.lit(1), prefix_len)
+        ).alias("__pos", "__p"),
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    # PPJoin positional filter: overlap through a shared element at
+    # 0-based positions (i, j) is at most 1 + min(|A|-i-1, |B|-j-1),
+    # which must reach the overlap ceil(t/(1+t) * (|A|+|B|)) required
+    # for J >= t; the FIRST shared element sees the loosest bound, so
+    # per-element filtering never drops a qualifying pair. (The 1e-9
+    # slack keeps float ceil from exceeding the exact ceiling.)
+    min_overlap = F.ceil(
+        F.lit(t / (1.0 + t)) * (F.col("a.__n") + F.col("b.__n")) - F.lit(1e-9)
+    )
     cand = (
         a.join(
             b,
-            (F.col("a.__blk") == F.col("b.__blk")) & (F.col("a.__id") < F.col("b.__id")),
+            (F.col("a.__p") == F.col("b.__p"))
+            & (F.col("a.__id") < F.col("b.__id"))
+            & (F.col("a.__n") >= F.ceil(F.lit(t) * F.col("b.__n")))
+            & (F.col("b.__n") >= F.ceil(F.lit(t) * F.col("a.__n")))
+            & (
+                1
+                + F.least(
+                    F.col("a.__n") - F.col("a.__pos") - 1,
+                    F.col("b.__n") - F.col("b.__pos") - 1,
+                )
+                >= min_overlap
+            ),
         )
         .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .dropDuplicates()
     )
-    sh_a = base.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sh_a"))
-    sh_b = base.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__sh_b"))
+    # verify arrays come from ranked, not a fresh md5 pass: all three
+    # branches (prefix, verify-a, verify-b) then share one identical
+    # aggregation subtree, de-duplicable via ReusedExchange — set ops
+    # don't care about element order, so the (df, hash)-sorted
+    # projection works as-is
+    sets = ranked.select(
+        "__id", F.transform("__rsh", lambda x: x["__h"]).alias("__sh")
+    )
+    sh_a = sets.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sh_a"))
+    sh_b = sets.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__sh_b"))
     return (
         cand.join(sh_a, "id_a")
         .join(sh_b, "id_b")
