@@ -25,6 +25,7 @@ import pandas as pd
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from pyspark_skyline_spark.operators.dedup import spread_for_compute
 from pyspark_skyline_spark.operators.topk import top_k_per_group
 
 __all__ = [
@@ -163,6 +164,7 @@ def cosine_near_dup_pairs(
     check keeps pairs with ``cos >= threshold``. Deterministic (seeded
     planes). Returns (id_a, id_b, cos)."""
     dim = len(df.select(vec_col).first()[0])
+    df = spread_for_compute(df)
     planes = _hyperplanes(dim, n_planes, n_tables, seed)
     base = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"))
     with_buckets = base.select("__id", "__vec", *_bucket_exprs("__vec", planes))

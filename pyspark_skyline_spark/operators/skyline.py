@@ -258,14 +258,29 @@ def _default_param(algo: str, d: int, parallelism: int) -> int:
 
 def _local_skyline_pass(df_keyed: DataFrame, dim_cols, senses, prune_rounds: int, by=()):
     """One groupBy(by + cell).applyInPandas skyline pass; keeps the cell
-    col."""
+    col.
+
+    The grouped kernel is Python/Arrow LATENCY-bound (per-group IPC
+    round-trips), not byte-bound — but AQE coalesces the groupBy
+    exchange by byte size, which can funnel hundreds of groups into a
+    handful of tasks. An explicit ``repartition(n, keys)`` pins the
+    exchange at the session's shuffle parallelism (AQE leaves
+    explicit-numPartitions shuffles alone) and the groupBy reuses that
+    exchange — same shuffle count, full-width Python stage."""
     schema = df_keyed.schema
+    keys = [*by, _CELL]
+    try:
+        n = int(df_keyed.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):  # pragma: no cover - e.g. "auto"
+        n = df_keyed.sparkSession.sparkContext.defaultParallelism
 
     def fn(pdf):
         mask = find_skyline_mask([pdf[c] for c in dim_cols], senses, prune_rounds)
         return pdf[mask]
 
-    return df_keyed.groupBy(*by, _CELL).applyInPandas(fn, schema=schema)
+    return (
+        df_keyed.repartition(n, *keys).groupBy(*keys).applyInPandas(fn, schema=schema)
+    )
 
 
 def _map_side_prereduce(df_keyed: DataFrame, dim_cols, senses, prune_rounds: int, by=()):
