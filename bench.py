@@ -15,6 +15,8 @@ import os
 import sys
 import time
 
+import pandas as pd
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
@@ -92,6 +94,19 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1000).groupBy(
         "l_returnflag"
     ).count().collect()
+    # pre-spawn the Arrow Python-worker fleet (each worker imports
+    # pandas/numpy on first use — ~1s apiece if paid inside a query)
+    from pyspark.sql import functions as _F
+
+    @_F.pandas_udf("double")
+    def _warm(s: pd.Series) -> pd.Series:
+        import numpy as _np
+
+        return s * _np.float64(1.0)
+
+    spark.range(0, int(cpus) * 4, 1, int(cpus)).select(
+        _F.sum(_warm(_F.col("id").cast("double")))
+    ).collect()
 
     timings: dict[str, float] = {}
     for name, fn in sorted(entry.queries().items()):
