@@ -18,8 +18,21 @@ from pyspark_skyline_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash,
 )
-from pyspark_skyline_spark.operators.similarity import cosine_topk, cosine_topk_lsh
-from pyspark_skyline_spark.operators.text import fingerprint, lang_id, quality_flags, text_stats
+from pyspark_skyline_spark.operators.similarity import (
+    cosine_near_dup_pairs,
+    cosine_topk,
+    cosine_topk_ivf,
+    cosine_topk_lsh,
+)
+from pyspark_skyline_spark.operators.text import (
+    fingerprint,
+    lang_id,
+    quality_flags,
+    subword_count,
+    text_stats,
+    token_count,
+    winnow_fingerprints,
+)
 from pyspark_skyline_spark.operators.topk import top_k_per_group
 
 __all__ = [
@@ -32,11 +45,16 @@ __all__ = [
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
     "simhash",
+    "cosine_near_dup_pairs",
     "cosine_topk",
+    "cosine_topk_ivf",
     "cosine_topk_lsh",
     "fingerprint",
     "lang_id",
     "quality_flags",
+    "subword_count",
     "text_stats",
+    "token_count",
+    "winnow_fingerprints",
     "top_k_per_group",
 ]

@@ -64,6 +64,16 @@ def _q_fingerprint(spark, sf_dir):
     return T.fingerprint(docs).select("doc_id", "fp")
 
 
+def _q_subword_count(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return T.subword_count(docs).select("doc_id", "n_subwords")
+
+
+def _q_winnow(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return T.winnow_fingerprints(docs, "doc_id", "text", shingle_k=3, window=4)
+
+
 def _q_quality(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return T.quality_flags(docs).select(
@@ -122,6 +132,49 @@ def _q_cosine_near_dup(spark, sf_dir):
     return S.cosine_near_dup_pairs(
         emb, "vec_id", "embedding", threshold=0.45, n_planes=4, n_tables=16
     ).select("id_a", "id_b")
+
+
+def _q_stream_window_stats_orders(spark, sf_dir):
+    # watermarked tumbling-window aggregation through the REAL streaming
+    # engine (append mode): a single-file/single-batch stream leaves the
+    # watermark at max(o_orderdate) - 1 day after the data batch, and the
+    # trailing no-data batch flushes exactly the windows closed by then —
+    # deterministic, so a batch SQL oracle can reproduce the emitted set
+    import os
+    import uuid
+
+    from pyspark_skyline_spark.streaming.watermark import windowed_stream_stats
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = f"{sf_dir}/orders.parquet"
+    static = spark.read.parquet(path)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", os.path.basename(path))
+        .parquet(os.path.dirname(path))
+    )
+    stream = stream.select(
+        F.col("o_orderdate").cast("timestamp").alias("ts"),
+        F.col("o_totalprice").alias("v"),
+    )
+    out = windowed_stream_stats(stream, "ts", "v", "30 days", delay="1 day")
+    name = f"wm_stats_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "window_start",
+        "window_end",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.round(F.col("sum_value"), 2).alias("sum_value"),
+        F.round(F.col("min_value"), 2).alias("min_value"),
+        F.round(F.col("max_value"), 2).alias("max_value"),
+    )
 
 
 def _q_global_top_orders(spark, sf_dir):
@@ -229,13 +282,17 @@ def _q_join_skyline_customer_nation(spark, sf_dir):
 
 _TOKS = r"regexp_split_to_array(lower(trim(text)), '\s+')"
 
-# distinct word 3-shingles, mirroring dedup.shingles(k=3)
-_SHINGLES = f"""
+# ordered word 3-shingles (duplicates kept), mirroring
+# dedup.ordered_shingles(k=3)
+_ORDERED_SHINGLES = f"""
 CASE WHEN len({_TOKS}) >= 3
-     THEN list_distinct(list_transform(range(0, len({_TOKS}) - 2),
-          i -> {_TOKS}[i+1] || ' ' || {_TOKS}[i+2] || ' ' || {_TOKS}[i+3]))
+     THEN list_transform(range(0, len({_TOKS}) - 2),
+          i -> {_TOKS}[i+1] || ' ' || {_TOKS}[i+2] || ' ' || {_TOKS}[i+3])
      ELSE [array_to_string({_TOKS}, ' ')] END
 """
+
+# distinct word 3-shingles, mirroring dedup.shingles(k=3)
+_SHINGLES = f"list_distinct({_ORDERED_SHINGLES.strip()})"
 
 _HASH60 = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
 
@@ -388,12 +445,30 @@ SELECT lang,
          AS total_tokens
 FROM documents GROUP BY lang
 """,
+    "subword_count_documents": r"""
+SELECT doc_id,
+       CAST(coalesce(list_sum(list_transform(
+           regexp_extract_all(lower(text), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+'),
+           r -> CAST(ceil(length(r) / 6.0) AS BIGINT))), 0) AS BIGINT) AS n_subwords
+FROM documents
+""",
     "lang_id_documents": _lang_id_oracle(),
     "fingerprint_documents": r"""
 SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
 FROM documents
 """,
     "quality_documents": _quality_oracle(),
+    "winnow_fingerprints_documents": f"""
+WITH base AS (SELECT doc_id, {_ORDERED_SHINGLES.strip()} AS sh FROM documents),
+ex AS (SELECT doc_id, unnest(sh) AS s, generate_subscripts(sh, 1) - 1 AS pos0 FROM base),
+h AS (SELECT doc_id, pos0, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM ex),
+wm AS (SELECT doc_id, pos0,
+              min(h) OVER (PARTITION BY doc_id ORDER BY pos0
+                           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+              count(*) OVER (PARTITION BY doc_id) AS n
+       FROM h)
+SELECT DISTINCT doc_id, fp FROM wm WHERE pos0 <= greatest(n - 4, 0)
+""",
     "minhash_pairs_documents": _minhash_oracle(),
     "ngram_jaccard_documents": _ngram_jaccard_oracle(),
     "cosine_topk_embeddings": _cosine_topk_oracle(),
@@ -439,6 +514,23 @@ SELECT event_type,
        CAST(count(*) AS BIGINT) AS n_events
 FROM events GROUP BY event_type
 """,
+    "stream_window_stats_orders": """
+WITH w AS (
+  SELECT make_timestamp((epoch_us(o_orderdate::TIMESTAMP) // 2592000000000)
+                        * 2592000000000) AS window_start,
+         o_totalprice AS v
+  FROM orders),
+m AS (SELECT max(o_orderdate)::TIMESTAMP - INTERVAL 1 DAY AS wm FROM orders)
+SELECT window_start,
+       window_start + INTERVAL 30 DAY AS window_end,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round(sum(v), 2) AS sum_value,
+       round(min(v), 2) AS min_value,
+       round(max(v), 2) AS max_value
+FROM w, m
+GROUP BY window_start, wm
+HAVING window_start + INTERVAL 30 DAY <= wm
+""",
     "stream_skyline_orders": skyline_oracle_sql(
         "orders", [("o_totalprice", "max"), ("o_orderdate", "min")]
     ),
@@ -460,6 +552,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_stats_documents": _q_text_stats,
     "lang_id_documents": _q_lang_id,
     "fingerprint_documents": _q_fingerprint,
+    "subword_count_documents": _q_subword_count,
+    "winnow_fingerprints_documents": _q_winnow,
     "quality_documents": _q_quality,
     "minhash_pairs_documents": _q_minhash_pairs,
     "ngram_jaccard_documents": _q_ngram_jaccard,
@@ -477,6 +571,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "windowed_skyline_events": _q_windowed_skyline_events,
     "distinct_users_by_type": _q_distinct_users_by_type,
     "stream_skyline_orders": _q_stream_skyline_orders,
+    "stream_window_stats_orders": _q_stream_window_stats_orders,
     "skyline_orders_by_status": _q_skyline_by_status,
     "join_skyline_customer_nation": _q_join_skyline_customer_nation,
 }

@@ -24,6 +24,7 @@ __all__ = [
     "dedup_exact",
     "exact_dup_groups",
     "shingles",
+    "ordered_shingles",
     "hash64_expr",
     "minhash_signatures",
     "minhash_lsh_pairs",
@@ -71,9 +72,10 @@ def exact_dup_groups(
     )
 
 
-def shingles(text_col, k: int = 3) -> Column:
-    """Distinct word k-shingles of lowercased text; texts shorter than k
-    tokens collapse to their full token string (so every doc has >= 1
+def ordered_shingles(text_col, k: int = 3) -> Column:
+    """Word k-shingles of lowercased text IN TOKEN ORDER (duplicates
+    kept — the positional sequence winnowing needs); texts shorter than
+    k tokens collapse to their full token string (so every doc has >= 1
     shingle).
 
     Built as a ``zip_with`` fold of k shifted slices rather than a
@@ -91,9 +93,13 @@ def shingles(text_col, k: int = 3) -> Column:
             F.slice(toks, 1 + j, width),
             lambda a, b: F.concat(a, F.lit(" "), b),
         )
-    return F.when(n >= k, F.array_distinct(win)).otherwise(
-        F.array(F.concat_ws(" ", toks))
-    )
+    return F.when(n >= k, win).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def shingles(text_col, k: int = 3) -> Column:
+    """Distinct word k-shingles (set semantics — the form Jaccard and
+    MinHash consume); first-occurrence order."""
+    return F.array_distinct(ordered_shingles(text_col, k))
 
 
 def hash64_expr(s: Column, salt: Column | None, mode: str = "xxhash64") -> Column:

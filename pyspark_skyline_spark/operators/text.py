@@ -15,9 +15,11 @@ from pyspark.sql import Column, DataFrame, functions as F
 __all__ = [
     "tokens",
     "token_count",
+    "subword_count",
     "text_stats",
     "lang_id",
     "fingerprint",
+    "winnow_fingerprints",
     "quality_flags",
     "LANG_MARKERS",
 ]
@@ -30,6 +32,33 @@ def tokens(col) -> Column:
 
 def token_count(df: DataFrame, text_col: str = "text", out: str = "n_tokens") -> DataFrame:
     return df.withColumn(out, F.size(tokens(F.col(text_col))))
+
+
+#: BPE-ish lexer classes: letter runs, digit runs, non-space symbol runs.
+#: ASCII classes only so the Java and PCRE/RE2 regex dialects agree.
+_SUBWORD_SPLIT = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def subword_count(
+    df: DataFrame, text_col: str = "text", out: str = "n_subwords", max_piece: int = 6
+) -> DataFrame:
+    """BPE-flavored token-count estimate, fully relational.
+
+    Real BPE needs a learned merge table; pipelines mostly need the
+    COUNT, which is well approximated by lexing into letter/digit/symbol
+    runs (the pre-tokenization every BPE does) and charging one piece
+    per ``max_piece`` characters of each run (long words split into
+    roughly len/max_piece pieces under any merge table). Deterministic,
+    portable arithmetic: Σ ceil(len(run)/max_piece) over runs.
+    """
+    runs = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(_SUBWORD_SPLIT), 0)
+    pieces = F.aggregate(
+        runs,
+        F.lit(0).cast("long"),
+        lambda acc, r: acc
+        + F.ceil(F.length(r).cast("double") / F.lit(float(max_piece))).cast("long"),
+    )
+    return df.withColumn(out, pieces)
 
 
 def text_stats(
@@ -90,6 +119,57 @@ def fingerprint(df: DataFrame, text_col: str = "text", out: str = "fp") -> DataF
     trimmed text. md5 (not xxhash) so any SQL engine reproduces it."""
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     return df.withColumn(out, F.md5(norm.cast("binary")))
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing (MOSS-style rolling-hash) fingerprints: the distinct
+    minima of each sliding ``window`` of k-gram hashes.
+
+    Guarantees of the winnowing scheme: any shared substring long enough
+    to span window+k-1 tokens yields at least one shared fingerprint,
+    and per-doc fingerprint density is ~2/(window+1) — a bounded-size
+    sketch for plagiarism/overlap detection at corpus scale.
+
+    Relational formulation (one window function, no UDF): posexplode
+    token k-gram md5 hashes, per-row sliding min over the next
+    ``window`` rows (``ROWS BETWEEN CURRENT ROW AND window-1
+    FOLLOWING``), keep only full windows, DISTINCT. Identical SQL runs
+    on any engine with window frames, so the operator is oracle-able.
+    Returns (id_col, fp) rows.
+    """
+    from pyspark.sql import Window
+    from pyspark_skyline_spark.operators.dedup import (
+        hash64_expr,
+        ordered_shingles,
+        spread_for_compute,
+    )
+
+    df = spread_for_compute(df)
+    ex = df.select(
+        F.col(id_col),
+        F.posexplode(ordered_shingles(F.col(text_col), shingle_k)).alias("__pos", "__s"),
+    ).select(id_col, "__pos", hash64_expr(F.col("__s"), None, "md5").alias("__h"))
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("__pos")
+        .rowsBetween(Window.currentRow, window - 1)
+    )
+    n = Window.partitionBy(id_col)
+    return (
+        ex.withColumn("__wmin", F.min("__h").over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(n))
+        # docs with fewer than `window` shingles keep position 0 (its
+        # clipped frame covers the whole doc), so every doc fingerprints
+        .filter(F.col("__pos") <= F.greatest(F.col("__n") - F.lit(window), F.lit(0)))
+        .select(F.col(id_col), F.col("__wmin").alias("fp"))
+        .distinct()
+    )
 
 
 _PUNCT = ".,!?;:"

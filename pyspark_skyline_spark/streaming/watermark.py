@@ -1,0 +1,86 @@
+"""Watermarked streaming operators: bounded-state dedup and windowed
+aggregation with a late-data policy.
+
+The reference has NO event-time handling at all — no timestamp column,
+no ``withWatermark``, and its streaming ``dropDuplicates`` keeps state
+forever (reference src/jobs/stream_job.py:180; SURVEY.md §2.3 rows
+"streaming: watermarks" / "stateful ops & late data"). These operators
+supply the bounded-state equivalents the new engine promises:
+
+* ``watermarked_dedup`` — exact streaming dedup whose key state expires
+  once the watermark passes ``delay`` behind the max observed event
+  time. State is O(keys within the watermark horizon), not O(all keys
+  ever) — the fix for the reference's unbounded growth.
+* ``windowed_stream_stats`` — tumbling-window aggregation in APPEND
+  mode: a window only emits once the watermark closes it, and
+  later-than-watermark rows are dropped by policy instead of corrupting
+  emitted results.
+
+Both compose with any streaming source (Kafka/file/rate) and any sink;
+tests drive them through the real Structured Streaming engine with a
+file source + memory sink and ``availableNow`` triggers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["watermarked_dedup", "windowed_stream_stats"]
+
+
+def watermarked_dedup(
+    stream_df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup with bounded state.
+
+    Keeps the first row seen per ``keys``; key state expires once the
+    watermark passes ``delay`` behind that key's event time, so a
+    duplicate arriving after the horizon re-emits — the documented
+    trade for O(keys-in-horizon) instead of O(all-keys-ever) state.
+    Uses ``dropDuplicatesWithinWatermark`` (plain ``dropDuplicates``
+    without the event-time column in the subset never expires state —
+    the reference's exact bug, stream_job.py:180).
+    """
+    return stream_df.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(keys)
+
+
+def windowed_stream_stats(
+    stream_df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    window_duration: str = "1 hour",
+    delay: str = "10 minutes",
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Tumbling-window count/sum/min/max per (window [, by...]) in
+    append mode: results emit exactly once, when the watermark closes
+    the window; rows later than ``delay`` behind the stream's max event
+    time are dropped (the late-data policy the reference lacks).
+
+    Integer-friendly aggregates so a batch oracle can hash-match the
+    emitted rows.
+    """
+    by = list(by or ())
+    w = F.window(F.col(ts_col), window_duration)
+    return (
+        stream_df.withWatermark(ts_col, delay)
+        .groupBy(w.alias("__w"), *by)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col(value_col)).alias("sum_value"),
+            F.min(F.col(value_col)).alias("min_value"),
+            F.max(F.col(value_col)).alias("max_value"),
+        )
+        .select(
+            F.col("__w.start").alias("window_start"),
+            F.col("__w.end").alias("window_end"),
+            *by,
+            "n_rows",
+            "sum_value",
+            "min_value",
+            "max_value",
+        )
+    )

@@ -121,3 +121,47 @@ def test_quality_flags(spark):
     )
     got = {r.doc_id: r.keep for r in T.quality_flags(df).collect()}
     assert got == {1: False, 2: True}
+
+
+def test_subword_count_rule(spark):
+    import math, re
+    texts = [
+        "hello world",
+        "internationalization!!!",
+        "a1b2 c3",
+        "  ",
+        "token-counting, with punct...",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    from pyspark_skyline_spark.operators.text import subword_count, _SUBWORD_SPLIT
+    got = {r.doc_id: r.n_subwords for r in subword_count(df).collect()}
+    for i, t in enumerate(texts):
+        want = sum(math.ceil(len(r) / 6) for r in re.findall(_SUBWORD_SPLIT, t.lower()))
+        assert got[i] == want, (t, got[i], want)
+
+
+def test_winnow_shared_substring_shares_fingerprint(spark):
+    shared = "the quick brown fox jumps over the lazy dog near the river bank"
+    a = "intro words here " + shared + " trailing part one"
+    b = "completely different opening " + shared + " other ending text"
+    c = "nothing in common with either document at all whatsoever today"
+    df = spark.createDataFrame(
+        [(0, a), (1, b), (2, c)], "doc_id long, text string"
+    )
+    from pyspark_skyline_spark.operators.text import winnow_fingerprints
+    fps = winnow_fingerprints(df, "doc_id", "text", shingle_k=3, window=4)
+    sets = {i: set() for i in range(3)}
+    for r in fps.collect():
+        sets[r.doc_id].add(r.fp)
+    # winnowing guarantee: a shared run of >= window+k-1 tokens yields
+    # at least one shared fingerprint
+    assert sets[0] & sets[1]
+    assert not (sets[0] & sets[2])
+    assert not (sets[1] & sets[2])
+
+
+def test_winnow_short_doc_still_fingerprints(spark):
+    df = spark.createDataFrame([(0, "tiny doc"), (1, "one")], "doc_id long, text string")
+    from pyspark_skyline_spark.operators.text import winnow_fingerprints
+    got = winnow_fingerprints(df, "doc_id", "text").groupBy("doc_id").count().collect()
+    assert {r.doc_id for r in got} == {0, 1}
