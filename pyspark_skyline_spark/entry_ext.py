@@ -98,6 +98,12 @@ def _q_ngram_jaccard(spark, sf_dir):
     return D.ngram_jaccard_pairs(docs, "doc_id", "text", shingle_k=_NJ_K, threshold=_NJ_T)
 
 
+def _q_near_dup_clusters(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", shingle_k=_NJ_K, threshold=_NJ_T)
+    return D.near_dup_clusters(pairs)
+
+
 def _q_simhash(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return D.simhash(docs, "doc_id", "text")
@@ -471,6 +477,21 @@ SELECT DISTINCT doc_id, fp FROM wm WHERE pos0 <= greatest(n - 4, 0)
 """,
     "minhash_pairs_documents": _minhash_oracle(),
     "ngram_jaccard_documents": _ngram_jaccard_oracle(),
+    # connected components over the near-dup pair graph: the iterative
+    # min-label propagation must equal the recursive-CTE min-reachable-id
+    "near_dup_clusters_documents": f"""
+WITH RECURSIVE pairs AS ({_ngram_jaccard_oracle().strip()}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.node)
+SELECT node, CAST(min(r) AS BIGINT) AS cluster_id FROM reach GROUP BY node
+""",
     "cosine_topk_embeddings": _cosine_topk_oracle(),
     "global_top_orders": """
 SELECT o_orderkey, o_totalprice FROM orders
@@ -557,6 +578,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_documents": _q_quality,
     "minhash_pairs_documents": _q_minhash_pairs,
     "ngram_jaccard_documents": _q_ngram_jaccard,
+    "near_dup_clusters_documents": _q_near_dup_clusters,
     "simhash_documents": _q_simhash,  # rows-only: verified by pytest differential
     "cosine_topk_embeddings": _q_cosine_topk,
     "cosine_topk_lsh_embeddings": _q_cosine_topk_lsh,  # approximate: recall pytest

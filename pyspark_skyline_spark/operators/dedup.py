@@ -30,6 +30,7 @@ __all__ = [
     "minhash_lsh_pairs",
     "simhash",
     "ngram_jaccard_pairs",
+    "near_dup_clusters",
     "spread_for_compute",
 ]
 
@@ -395,3 +396,66 @@ def ngram_jaccard_pairs(
         .filter(F.col("jac") >= threshold)
         .select("id_a", "id_b", "jac")
     )
+
+
+def near_dup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph: every node
+    labeled with the smallest id reachable from it — the cluster
+    representative a dedup pipeline keeps.
+
+    Iterative min-label propagation as a driver loop of joins: each
+    round every node takes the min of its own label and its neighbors'
+    labels; converges in O(graph diameter) rounds (near-dup clusters
+    are dense and shallow, so a handful). Each round is one shuffle
+    join + aggregate over the EDGE list only — never materializes
+    anything super-linear — and ``localCheckpoint`` caps plan depth at
+    O(1) per round. Equivalent ANSI SQL: a recursive CTE computing min
+    reachable id, which is how the oracle states it.
+
+    Returns (node, cluster_id).
+    """
+    edges = pairs.select(
+        F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
+    )
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    edges = edges.localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("label").alias("cluster_id"))

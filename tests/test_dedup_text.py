@@ -165,3 +165,24 @@ def test_winnow_short_doc_still_fingerprints(spark):
     from pyspark_skyline_spark.operators.text import winnow_fingerprints
     got = winnow_fingerprints(df, "doc_id", "text").groupBy("doc_id").count().collect()
     assert {r.doc_id for r in got} == {0, 1}
+
+
+def test_near_dup_clusters_components(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r.node: r.cluster_id for r in D.near_dup_clusters(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_near_dup_clusters_long_chain(spark):
+    n = 12
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    )
+    got = {r.node: r.cluster_id for r in D.near_dup_clusters(pairs).collect()}
+    assert set(got.values()) == {0}
+    assert len(got) == n + 1
