@@ -186,3 +186,39 @@ def test_near_dup_clusters_long_chain(spark):
     got = {r.node: r.cluster_id for r in D.near_dup_clusters(pairs).collect()}
     assert set(got.values()) == {0}
     assert len(got) == n + 1
+
+
+def test_ngram_jaccard_matches_bruteforce_random(spark):
+    """Prefix-filter candidate generation must be COMPLETE: compare
+    against brute-force all-pairs Jaccard on random small corpora built
+    from a tiny vocabulary (high overlap => dense pair graph stresses
+    the PPJoin positional bound and the rarest-first ordering)."""
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+    texts = []
+    for i in range(40):
+        n = rng.randint(1, 12)
+        texts.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+
+    def py_shingles(t, k=3):
+        toks = t.lower().split()
+        if len(toks) >= k:
+            return {" ".join(toks[j : j + k]) for j in range(len(toks) - k + 1)}
+        return {" ".join(toks)}
+
+    want = set()
+    for (ia, ta), (ib, tb) in itertools.combinations(texts, 2):
+        sa, sb = py_shingles(ta), py_shingles(tb)
+        jac = len(sa & sb) / len(sa | sb)
+        if jac >= 0.5:
+            want.add((min(ia, ib), max(ia, ib)))
+
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b)
+        for r in D.ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert got == want
