@@ -183,6 +183,12 @@ def _q_stream_window_stats_orders(spark, sf_dir):
     )
 
 
+def _q_multimodal_frames(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = M.with_blob(docs, "text")
+    return M.sample_frames(blobs, "doc_id")
+
+
 def _q_global_top_orders(spark, sf_dir):
     orders = load_table(spark, sf_dir, "orders")
     return (
@@ -523,6 +529,16 @@ SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, md5(text) 
 FROM documents
 """,
     "multimodal_decode_meta": _decode_media_oracle(),
+    "multimodal_frame_sample": """
+WITH b AS (
+  SELECT doc_id AS id, text,
+         octet_length(encode(text)) % 5 + 1 AS nf
+  FROM documents),
+idx AS (SELECT id, text, range(0, nf) AS idxs FROM b)
+SELECT id, CAST(i AS INT) AS frame_idx, CAST(i * 40 AS BIGINT) AS ts_ms,
+       md5(text || ':' || i) AS frame_checksum
+FROM idx, UNNEST(idxs) AS t(i)
+""",
     "windowed_skyline_events": skyline_oracle_sql(
         "(SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start, "
         "value, event_id FROM events) w",
@@ -590,6 +606,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_lineitem_pricing": _q_agg_pricing,
     "multimodal_blob_meta": _q_blob_meta,
     "multimodal_decode_meta": _q_decode_media,
+    "multimodal_frame_sample": _q_multimodal_frames,
     "windowed_skyline_events": _q_windowed_skyline_events,
     "distinct_users_by_type": _q_distinct_users_by_type,
     "stream_skyline_orders": _q_stream_skyline_orders,

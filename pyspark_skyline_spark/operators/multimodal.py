@@ -18,7 +18,14 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["with_blob", "blob_meta", "decode_media_meta"]
+__all__ = [
+    "with_blob",
+    "blob_meta",
+    "decode_media_meta",
+    "sample_frames",
+    "resize_media",
+    "embed_media",
+]
 
 
 def with_blob(df: DataFrame, src_col: str, out: str = "blob") -> DataFrame:
@@ -79,3 +86,135 @@ def decode_media_meta(
             yield pd.DataFrame(metas, columns=["id", "n_bytes", "width", "height", "format"])
 
     return sel.mapInPandas(decode, schema=_DECODE_SCHEMA)
+
+
+_FRAME_SCHEMA = "id long, frame_idx int, ts_ms long, frame_checksum string"
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str,
+    blob_col: str = "blob",
+    frame_ms: int = 40,
+    decode_mode: str = "fake",
+) -> DataFrame:
+    """Frame sampling: one output row per sampled frame (the 1-to-N
+    ``mapInPandas`` shape video pipelines need — batch in, multiple
+    rows per input out, no ``explode`` of a pre-materialized array).
+
+    ``fake`` mode derives a deterministic frame count from the payload
+    (``octet_length % 5 + 1``) and checksums each pseudo-frame as
+    ``md5(payload || ':' || frame_idx)`` — simple enough that an ANSI
+    SQL oracle reproduces it exactly; ``strict`` raises until a real
+    ffmpeg-style demuxer is wired in.
+    """
+    if decode_mode not in ("fake", "strict"):
+        raise ValueError(f"decode_mode {decode_mode!r}")
+
+    sel = df.select(F.col(id_col).alias("id"), F.col(blob_col).alias("blob"))
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decode_mode == "strict":
+                raise NotImplementedError(
+                    "frame sampling requires a video demuxer not present in "
+                    "this environment; run with decode_mode='fake'"
+                )
+            rows = []
+            for _id, blob in zip(pdf["id"], pdf["blob"]):
+                raw = bytes(blob) if blob is not None else b""
+                n_frames = len(raw) % 5 + 1
+                for i in range(n_frames):
+                    rows.append(
+                        {
+                            "id": int(_id),
+                            "frame_idx": i,
+                            "ts_ms": i * frame_ms,
+                            "frame_checksum": hashlib.md5(
+                                raw + f":{i}".encode()
+                            ).hexdigest(),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["id", "frame_idx", "ts_ms", "frame_checksum"]
+            )
+
+    return sel.mapInPandas(sample, schema=_FRAME_SCHEMA)
+
+
+def resize_media(
+    df: DataFrame,
+    id_col: str,
+    blob_col: str = "blob",
+    width: int = 224,
+    height: int = 224,
+    decode_mode: str = "fake",
+) -> DataFrame:
+    """Resize plumbing: binary in, binary out, target dims in metadata.
+    ``fake`` mode passes a deterministic sha256-derived payload of
+    bounded size through the real Arrow path; ``strict`` raises until a
+    real image library is wired in."""
+    if decode_mode not in ("fake", "strict"):
+        raise ValueError(f"decode_mode {decode_mode!r}")
+
+    sel = df.select(F.col(id_col).alias("id"), F.col(blob_col).alias("blob"))
+    schema = "id long, width int, height int, resized binary"
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decode_mode == "strict":
+                raise NotImplementedError(
+                    "resize requires an image library not present in this "
+                    "environment; run with decode_mode='fake'"
+                )
+            out = []
+            for _id, blob in zip(pdf["id"], pdf["blob"]):
+                raw = bytes(blob) if blob is not None else b""
+                out.append(
+                    {
+                        "id": int(_id),
+                        "width": width,
+                        "height": height,
+                        "resized": hashlib.sha256(raw).digest(),
+                    }
+                )
+            yield pd.DataFrame(out, columns=["id", "width", "height", "resized"])
+
+    return sel.mapInPandas(resize, schema=schema)
+
+
+def embed_media(
+    df: DataFrame,
+    id_col: str,
+    blob_col: str = "blob",
+    dim: int = 16,
+    decode_mode: str = "fake",
+) -> DataFrame:
+    """Feature extraction: binary -> ``array<double>`` embedding, ready
+    for the similarity operators (``cosine_topk``/``cosine_topk_ivf``).
+    ``fake`` mode expands sha256 bytes into a deterministic unit-range
+    vector; ``strict`` raises until a real encoder is wired in."""
+    if decode_mode not in ("fake", "strict"):
+        raise ValueError(f"decode_mode {decode_mode!r}")
+
+    sel = df.select(F.col(id_col).alias("id"), F.col(blob_col).alias("blob"))
+    schema = "id long, embedding array<double>"
+
+    def embed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decode_mode == "strict":
+                raise NotImplementedError(
+                    "media embedding requires an encoder not present in this "
+                    "environment; run with decode_mode='fake'"
+                )
+            out = []
+            for _id, blob in zip(pdf["id"], pdf["blob"]):
+                raw = bytes(blob) if blob is not None else b""
+                material = hashlib.sha256(raw).digest()
+                while len(material) < dim:
+                    material += hashlib.sha256(material).digest()
+                vec = [b / 255.0 for b in material[:dim]]
+                out.append({"id": int(_id), "embedding": vec})
+            yield pd.DataFrame(out, columns=["id", "embedding"])
+
+    return sel.mapInPandas(embed, schema=schema)

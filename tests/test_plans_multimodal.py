@@ -69,3 +69,51 @@ def test_multimodal_deterministic(spark, sf_dir):
     a = sorted(tuple(r) for r in M.decode_media_meta(M.with_blob(docs, "text"), "doc_id").collect())
     b = sorted(tuple(r) for r in M.decode_media_meta(M.with_blob(docs, "text"), "doc_id").collect())
     assert a == b
+
+
+def test_sample_frames_deterministic_and_bounded(spark):
+    df = spark.createDataFrame(
+        [(1, "abcd"), (2, "xy"), (3, "")], "id long, text string"
+    )
+    from pyspark_skyline_spark.operators import multimodal as M
+
+    blobs = M.with_blob(df, "text")
+    a = sorted((r.id, r.frame_idx, r.ts_ms, r.frame_checksum)
+               for r in M.sample_frames(blobs, "id").collect())
+    b = sorted((r.id, r.frame_idx, r.ts_ms, r.frame_checksum)
+               for r in M.sample_frames(blobs, "id").collect())
+    assert a == b
+    per_id = {}
+    for t in a:
+        per_id.setdefault(t[0], []).append(t)
+    # fake rule: octet_length % 5 + 1 frames, 40ms apart
+    assert len(per_id[1]) == 4 % 5 + 1
+    assert len(per_id[2]) == 2 % 5 + 1
+    assert len(per_id[3]) == 0 % 5 + 1
+    assert [t[2] for t in per_id[1]] == [0, 40, 80, 120, 160][: len(per_id[1])]
+
+
+def test_resize_and_embed_strict_raise(spark):
+    from pyspark_skyline_spark.operators import multimodal as M
+
+    df = M.with_blob(
+        spark.createDataFrame([(1, "abc")], "id long, text string"), "text"
+    )
+    import pytest as _pt
+
+    with _pt.raises(Exception, match="NotImplementedError|image library|encoder"):
+        M.resize_media(df, "id", decode_mode="strict").collect()
+    with _pt.raises(Exception, match="NotImplementedError|image library|encoder"):
+        M.embed_media(df, "id", decode_mode="strict").collect()
+
+
+def test_embed_media_feeds_similarity(spark):
+    from pyspark_skyline_spark.operators import multimodal as M
+    from pyspark_skyline_spark.operators import similarity as S
+
+    texts = [(i, f"document number {i} with content {i*7}") for i in range(20)]
+    df = M.with_blob(spark.createDataFrame(texts, "id long, text string"), "text")
+    emb = M.embed_media(df, "id", dim=16)
+    assert emb.schema["embedding"].dataType.simpleString() == "array<double>"
+    top = S.cosine_topk(emb, "id", "embedding", probe_id=0, k=5, impl="arrow").collect()
+    assert len(top) == 5 and all(r.id != 0 for r in top)
