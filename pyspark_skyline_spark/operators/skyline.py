@@ -398,6 +398,22 @@ def skyline(
     senses = [s for _, s in dims]
     by = list(by or ())
 
+    # Giant-cell guard (SURVEY.md §7.3): a hot or lone cell would funnel
+    # its whole population into ONE applyInPandas group — the OOM shape
+    # at scale. Salt the cell id so the first local pass splits every
+    # cell into sub-groups (partial frontiers); the tree merge below
+    # folds the salt back out, and skyline(union) == skyline(union of
+    # partial skylines) keeps this exact. No-op when the cell count
+    # already saturates the cluster.
+    target_groups = max(2, parallelism) * 4
+    salt_mod = max(1, math.ceil(target_groups / max(ncells, 1)))
+    if salt_mod > 1:
+        salt = F.pmod(
+            F.xxhash64(*[F.col(c) for c in dim_cols]), F.lit(salt_mod)
+        ).cast("long")
+        keyed = keyed.withColumn(_CELL, F.col(_CELL) * F.lit(salt_mod) + salt)
+        ncells *= salt_mod
+
     if map_side_combine is None:
         # auto: the combiner pays an extra Python/Arrow pass to shrink the
         # exchange — worth it when the shuffle is network/disk-bound (big

@@ -200,3 +200,26 @@ def test_single_dimension(lineitem):
     vals = {r.l_quantity for r in res.select("l_quantity").collect()}
     minv = lineitem.agg(F.min("l_quantity")).collect()[0][0]
     assert vals == {minv}
+
+
+def test_single_cell_salting_still_exact(spark, sf_dir):
+    """partitions=1 collapses every algorithm to one logical cell; the
+    giant-cell salt must split it into sub-groups and the tree merge
+    must still produce the exact frontier."""
+    from pyspark.sql import functions as F
+    from pyspark_skyline_spark import skyline
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    dims = [("p_retailprice", "min"), ("p_size", "min")]
+    want = {
+        (r.p_partkey)
+        for r in skyline(part, dims, algo="MR_DIM").select("p_partkey").collect()
+    }
+    for algo in ("MR_DIM", "MR_GRID", "MR_ANGLE"):
+        got = {
+            (r.p_partkey)
+            for r in skyline(part, dims, algo=algo, partitions=1)
+            .select("p_partkey")
+            .collect()
+        }
+        assert got == want, algo
