@@ -403,19 +403,31 @@ def near_dup_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iters: int = 50,
+    driver_edge_limit: int = 2_000_000,
 ) -> DataFrame:
     """Connected components over a near-duplicate pair graph: every node
     labeled with the smallest id reachable from it — the cluster
     representative a dedup pipeline keeps.
 
-    Iterative min-label propagation as a driver loop of joins: each
-    round every node takes the min of its own label and its neighbors'
-    labels; converges in O(graph diameter) rounds (near-dup clusters
-    are dense and shallow, so a handful). Each round is one shuffle
-    join + aggregate over the EDGE list only — never materializes
-    anything super-linear — and ``localCheckpoint`` caps plan depth at
-    O(1) per round. Equivalent ANSI SQL: a recursive CTE computing min
-    reachable id, which is how the oracle states it.
+    The edge list is already orders of magnitude smaller than the corpus
+    (it holds only verified near-dup pairs), so two regimes:
+
+    * **small graph** (≤ ``driver_edge_limit`` edges, checked with one
+      count): collect the edges and run union-find on the driver —
+      O(E α(E)), one job, no iteration. This is the common case even at
+      100 TB corpus scale: a dedup pass that verifies billions of pairs
+      has a different problem (its threshold admits near-everything).
+    * **large graph**: iterative min-label propagation as a driver loop
+      of joins — each round every node takes the min of its own and its
+      neighbors' labels; converges in O(graph diameter) rounds
+      (near-dup clusters are dense and shallow, so a handful). Each
+      round is one shuffle join + aggregate over the EDGE list only —
+      never materializes anything super-linear — and ``localCheckpoint``
+      caps plan depth at O(1) per round.
+
+    Both regimes compute the same labeling. Equivalent ANSI SQL: a
+    recursive CTE computing min reachable id, which is how the oracle
+    states it.
 
     Returns (node, cluster_id).
     """
@@ -426,6 +438,34 @@ def near_dup_clusters(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
     edges = edges.localCheckpoint(eager=True)
+
+    if edges.count() <= driver_edge_limit:
+        rows = edges.collect()
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in rows:
+            a, b = r["src"], r["dst"]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by min id so the representative is the smallest
+                # reachable id, matching the propagation fixpoint
+                if ra < rb:
+                    parent[rb] = ra
+                else:
+                    parent[ra] = rb
+        out = [(n, find(n)) for n in parent]
+        spark = pairs.sparkSession
+        return spark.createDataFrame(out, schema="node long, cluster_id long")
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()

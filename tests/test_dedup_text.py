@@ -188,6 +188,22 @@ def test_near_dup_clusters_long_chain(spark):
     assert len(got) == n + 1
 
 
+def test_near_dup_clusters_distributed_path_matches_driver_path(spark):
+    """driver_edge_limit=0 forces the iterative label-propagation
+    regime; both regimes must produce the identical labeling."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (5, 4)],
+        "id_a long, id_b long",
+    )
+    fast = {r.node: r.cluster_id for r in D.near_dup_clusters(pairs).collect()}
+    dist = {
+        r.node: r.cluster_id
+        for r in D.near_dup_clusters(pairs, driver_edge_limit=0).collect()
+    }
+    assert fast == dist
+    assert fast[5] == 1
+
+
 def test_ngram_jaccard_matches_bruteforce_random(spark):
     """Prefix-filter candidate generation must be COMPLETE: compare
     against brute-force all-pairs Jaccard on random small corpora built
