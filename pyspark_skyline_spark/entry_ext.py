@@ -15,9 +15,11 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from pyspark_skyline_spark.operators import dedup as D
 from pyspark_skyline_spark.operators import multimodal as M
+from pyspark_skyline_spark.operators import sample as SA
 from pyspark_skyline_spark.operators import similarity as S
 from pyspark_skyline_spark.operators import text as T
 from pyspark_skyline_spark.operators import topk as K
+from pyspark_skyline_spark.operators.asof import asof_join
 from pyspark_skyline_spark.operators.skyline import skyline, windowed_skyline
 from pyspark_skyline_spark.oracles import skyline_oracle_sql
 from pyspark_skyline_spark.sources.tables import load_table
@@ -26,6 +28,9 @@ from pyspark_skyline_spark.sources.tables import load_table
 _MH_HASHES, _MH_BANDS, _MH_K, _MH_T = 32, 8, 3, 0.4
 _NJ_K, _NJ_T = 3, 0.5
 _TOPK_K, _PROBE_ID = 10, 0
+_SAMPLE_FRAC, _SAMPLE_SEED = 0.1, 7
+_STRATA_FRACS = {"click": 0.05, "view": 0.02, "error": 1.0}
+_VOCAB_K = 50
 
 
 # ---------------------------------------------------------------------------
@@ -288,6 +293,49 @@ def _q_join_skyline_customer_nation(spark, sf_dir):
     return res.select("n_regionkey", "c_acctbal", "c_custkey").dropDuplicates()
 
 
+def _q_asof_error_click(spark, sf_dir):
+    # for each error event: the same user's most recent click at-or-before
+    # it (single-shuffle union-scan as-of join; ties -> max click event_id)
+    ev = load_table(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select("user_id", "ts", "event_id")
+    clk = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    res = asof_join(
+        err, clk, "ts", "ts", by=["user_id"],
+        tiebreak="event_id", how="inner", right_prefix="click_",
+    )
+    return res.select(
+        F.col("event_id").alias("err_id"),
+        F.col("click_event_id").alias("click_id"),
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("click_ts"))).alias("gap_us"),
+    )
+
+
+def _q_hash_sample_orders(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    return SA.hash_sample(
+        orders, ["o_orderkey"], _SAMPLE_FRAC, seed=_SAMPLE_SEED
+    ).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+def _q_stratified_sample_events(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return SA.stratified_hash_sample(
+        ev, "event_type", _STRATA_FRACS, ["event_id"], seed=_SAMPLE_SEED
+    ).select("event_id", "event_type", "user_id")
+
+
+def _q_vocab_topk(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return T.vocab_topk(docs, "text", k=_VOCAB_K)
+
+
+def _q_dedup_corpus(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return D.dedup_corpus(
+        docs, "doc_id", "text", shingle_k=_NJ_K, threshold=_NJ_T
+    ).select("doc_id", "source")
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles (ANSI SQL mirrors)
 # ---------------------------------------------------------------------------
@@ -347,7 +395,7 @@ SELECT id_a, id_b, jac FROM verified WHERE jac >= {_MH_T}
 """
 
 
-def _ngram_jaccard_oracle() -> str:
+def _ngram_jaccard_oracle(table: str = "documents") -> str:
     # strategy-independent oracle: ALL doc pairs above the threshold
     # (all-pairs is fine at sf0.01; the engine's prefix-filter join must
     # reproduce it exactly — prefix filtering is complete, not a heuristic)
@@ -357,13 +405,48 @@ def _ngram_jaccard_oracle() -> str:
     )
     return f"""
 WITH base AS (
-  SELECT doc_id, {sh_hashed} AS sh FROM documents)
+  SELECT doc_id, {sh_hashed} AS sh FROM {table})
 SELECT sa.doc_id AS id_a, sb.doc_id AS id_b,
        len(list_intersect(sa.sh, sb.sh))::DOUBLE /
        len(list_distinct(sa.sh || sb.sh)) AS jac
 FROM base sa JOIN base sb ON sa.doc_id < sb.doc_id
 WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE /
       len(list_distinct(sa.sh || sb.sh)) >= {_NJ_T}
+"""
+
+
+def _dedup_corpus_oracle() -> str:
+    # phase 1: exact fingerprint groups keep min-id; phase 2: near-dup
+    # clusters (all-pairs Jaccard + recursive-CTE min-label) over the
+    # exact-phase survivors keep min-id — mirrors dedup.dedup_corpus
+    sh_hashed = (
+        "list_sort(list_distinct(list_transform(" + _SHINGLES.strip() + ",\n"
+        "  s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)))"
+    )
+    return rf"""
+WITH RECURSIVE base_fp AS (
+  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+  FROM documents),
+reps AS (SELECT min(doc_id) AS doc_id FROM base_fp GROUP BY fp),
+docs2 AS (SELECT d.* FROM documents d JOIN reps USING (doc_id)),
+sets AS (SELECT doc_id, {sh_hashed} AS sh FROM docs2),
+pairs AS (
+  SELECT sa.doc_id AS id_a, sb.doc_id AS id_b
+  FROM sets sa JOIN sets sb ON sa.doc_id < sb.doc_id
+  WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+        len(list_distinct(sa.sh || sb.sh)) >= {_NJ_T}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.node),
+labels AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)
+SELECT d.doc_id, d.source FROM docs2 d
+WHERE d.doc_id NOT IN (SELECT node FROM labels WHERE node <> cluster_id)
 """
 
 
@@ -580,6 +663,36 @@ HAVING window_start + INTERVAL 30 DAY <= wm
         [("c_acctbal", "max"), ("c_custkey", "min")],
         by=["n_regionkey"],
     ),
+    # as-of join: the quadratic row_number() formulation is the oracle;
+    # the engine's union-scan must reproduce it exactly (ties -> max
+    # click ts then max click event_id)
+    "asof_error_click_events": """
+SELECT e.event_id AS err_id, c.event_id AS click_id,
+       epoch_us(e.ts) - epoch_us(c.ts) AS gap_us
+FROM events e JOIN events c
+  ON c.user_id = e.user_id AND c.ts <= e.ts
+WHERE e.event_type = 'error' AND c.event_type = 'click'
+QUALIFY row_number() OVER (PARTITION BY e.event_id
+                           ORDER BY c.ts DESC, c.event_id DESC) = 1
+""",
+    "hash_sample_orders": f"""
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+WHERE ('0x' || substr(md5(o_orderkey::VARCHAR || '#{_SAMPLE_SEED}'), 1, 15))::BIGINT
+      < {int(_SAMPLE_FRAC * (1 << 60))}
+""",
+    "stratified_sample_events": f"""
+SELECT event_id, event_type, user_id FROM events
+WHERE ('0x' || substr(md5(event_id::VARCHAR || '#{_SAMPLE_SEED}'), 1, 15))::BIGINT
+      < CASE {' '.join(f"WHEN event_type = '{s}' THEN {int(f * (1 << 60))}" for s, f in sorted(_STRATA_FRACS.items()))} ELSE 0 END
+""",
+    "vocab_topk_documents": rf"""
+SELECT token, CAST(count(*) AS BIGINT) AS n FROM (
+  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+  FROM documents)
+WHERE token <> ''
+GROUP BY token ORDER BY n DESC, token LIMIT {_VOCAB_K}
+""",
+    "dedup_corpus_documents": _dedup_corpus_oracle(),
 }
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -613,6 +726,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_window_stats_orders": _q_stream_window_stats_orders,
     "skyline_orders_by_status": _q_skyline_by_status,
     "join_skyline_customer_nation": _q_join_skyline_customer_nation,
+    "asof_error_click_events": _q_asof_error_click,
+    "hash_sample_orders": _q_hash_sample_orders,
+    "stratified_sample_events": _q_stratified_sample_events,
+    "vocab_topk_documents": _q_vocab_topk,
+    "dedup_corpus_documents": _q_dedup_corpus,
 }
 
 

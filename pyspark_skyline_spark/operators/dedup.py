@@ -31,6 +31,7 @@ __all__ = [
     "simhash",
     "ngram_jaccard_pairs",
     "near_dup_clusters",
+    "dedup_corpus",
     "spread_for_compute",
 ]
 
@@ -499,3 +500,40 @@ def near_dup_clusters(
         if changed == 0:
             break
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
+
+
+def dedup_corpus(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """End-to-end corpus deduplication — the composition a training-data
+    pipeline actually runs, as one operator:
+
+    1. **exact phase**: group by the normalized-text fingerprint
+       (md5 of lowercased, whitespace-collapsed text); keep the min-id
+       representative per group. One hash-aggregate; at 100 TB this
+       removes the bulk of duplication (mirrors, retries) before any
+       similarity work happens.
+    2. **near-dup phase**: exact n-gram-Jaccard pairs (prefix-filter
+       join, ``ngram_jaccard_pairs``) over the exact-phase survivors
+       only, then connected components (``near_dup_clusters``); each
+       cluster keeps its min-id member.
+
+    Returns the surviving rows of ``df`` (all original columns).
+    Fully deterministic, hence oracle-able end to end: exact SQL =
+    fingerprint GROUP BY + all-pairs Jaccard + recursive-CTE min-label.
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    with_fp = df.withColumn("__fp", F.md5(norm.cast("binary")))
+    reps = with_fp.groupBy("__fp").agg(F.min(F.col(id_col)).alias(id_col)).drop("__fp")
+    survivors = df.join(reps, id_col, "semi")
+
+    pairs = ngram_jaccard_pairs(survivors, id_col, text_col, shingle_k, threshold)
+    clusters = near_dup_clusters(pairs)
+    losers = clusters.filter(F.col("node") != F.col("cluster_id")).select(
+        F.col("node").alias(id_col)
+    )
+    return survivors.join(losers, id_col, "anti")

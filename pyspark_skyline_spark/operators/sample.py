@@ -1,0 +1,77 @@
+"""Deterministic sampling for dataset curation (north-star extension;
+no counterpart in the reference).
+
+``df.sample()`` is seed-deterministic only for a FIXED partitioning —
+repartition the input (or rescale the cluster) and the sample changes,
+which is poison for reproducible training-data pipelines. These
+operators sample by hashing row KEYS instead: a row is in the sample
+iff ``hash(key, seed) < fraction * 2^60``, a pure per-row predicate —
+
+* reproducible across partitionings, cluster sizes, and engines (the
+  md5-derived 60-bit hash is plain ANSI SQL, so an external oracle
+  reproduces the exact row set);
+* pushdown-friendly: the predicate filters at the scan, no shuffle;
+* consistent: the same key always lands on the same side, so sampling
+  is stable across incremental runs (new data doesn't reshuffle old
+  rows in/out), and sampling two tables by the same key yields
+  co-sampled (joinable) subsets.
+
+The threshold compare is INTEGER (``hash < floor(fraction * 2^60)``,
+threshold computed once in Python) — no float rounding to disagree on
+across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from pyspark_skyline_spark.operators.dedup import hash64_expr
+
+__all__ = ["sample_hash01_key", "hash_sample", "stratified_hash_sample"]
+
+_SCALE = 1 << 60  # hash64_expr(md5 mode) yields uniform [0, 2^60)
+
+
+def sample_hash01_key(key_cols: list[str], seed: int = 42) -> Column:
+    """The 60-bit sampling hash of a row key (uniform on [0, 2^60))."""
+    key = F.concat_ws("#", *[F.col(c).cast("string") for c in key_cols])
+    return hash64_expr(key, F.lit(int(seed)), "md5")
+
+
+def hash_sample(
+    df: DataFrame, key_cols: list[str], fraction: float, seed: int = 42
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keep rows whose key hash falls
+    below ``fraction`` of the hash range."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    thr = int(fraction * _SCALE)
+    return df.filter(sample_hash01_key(key_cols, seed) < F.lit(thr))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    key_cols: list[str],
+    default_fraction: float = 0.0,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic stratified sample: per-stratum keep fractions (e.g.
+    downsample boilerplate sources, keep all rare ones). Strata absent
+    from ``fractions`` use ``default_fraction``. Same hash-threshold
+    predicate as ``hash_sample`` — one scan, no shuffle, reproducible
+    anywhere."""
+    chain = None
+    for stratum, frac in sorted(fractions.items()):
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for {stratum!r} must be in [0,1], got {frac}")
+        cond = F.col(strata_col) == F.lit(stratum)
+        thr = F.lit(int(frac * _SCALE))
+        chain = F.when(cond, thr) if chain is None else chain.when(cond, thr)
+    thr_expr = (
+        chain.otherwise(F.lit(int(default_fraction * _SCALE)))
+        if chain is not None
+        else F.lit(int(default_fraction * _SCALE))
+    )
+    return df.filter(sample_hash01_key(key_cols, seed) < thr_expr)

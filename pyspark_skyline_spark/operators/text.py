@@ -21,6 +21,7 @@ __all__ = [
     "fingerprint",
     "winnow_fingerprints",
     "quality_flags",
+    "vocab_topk",
     "LANG_MARKERS",
 ]
 
@@ -170,6 +171,26 @@ def winnow_fingerprints(
         .select(F.col(id_col), F.col("__wmin").alias("fp"))
         .distinct()
     )
+
+
+def vocab_topk(df: DataFrame, text_col: str = "text", k: int = 50) -> DataFrame:
+    """Corpus vocabulary heavy hitters: the ``k`` most frequent
+    whitespace tokens with their counts — the first step of any
+    tokenizer/vocab build.
+
+    Shape at scale: explode + hash-aggregate (map-side partial combine
+    collapses each partition's counts before the shuffle, so the
+    exchange carries one row per distinct token per partition, not one
+    per occurrence), then a global top-k (``TakeOrderedAndProject`` —
+    per-partition heaps, never a full sort). Total order (count desc,
+    token asc) makes the cut deterministic."""
+    tok = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return tok.orderBy(F.col("n").desc(), F.col("token").asc()).limit(k)
 
 
 _PUNCT = ".,!?;:"

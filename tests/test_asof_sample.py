@@ -1,0 +1,175 @@
+"""Unit tests: as-of join semantics and deterministic hash sampling."""
+
+from datetime import datetime
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from pyspark_skyline_spark.operators.asof import asof_join
+from pyspark_skyline_spark.operators.sample import (
+    hash_sample,
+    stratified_hash_sample,
+)
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+@pytest.fixture()
+def quotes(spark):
+    return spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:00:00"), 100.0, 1),
+            (1, _ts("2024-01-01T10:00:05"), 101.0, 2),
+            (1, _ts("2024-01-01T10:00:05"), 102.0, 3),  # tie on ts
+            (2, _ts("2024-01-01T10:00:02"), 200.0, 4),
+        ],
+        "sym long, ts timestamp, px double, qid long",
+    )
+
+
+@pytest.fixture()
+def trades(spark):
+    return spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:00:03"), 10),  # after quote qid=1
+            (1, _ts("2024-01-01T10:00:05"), 11),  # exactly at the tie
+            (2, _ts("2024-01-01T10:00:01"), 12),  # before any quote for sym 2
+            (3, _ts("2024-01-01T10:00:09"), 13),  # sym with no quotes at all
+        ],
+        "sym long, ts timestamp, tid long",
+    )
+
+
+def test_asof_backward_inclusive_and_ties(spark, quotes, trades):
+    got = {
+        r.tid: (r.q_qid, r.q_px)
+        for r in asof_join(
+            trades, quotes, "ts", "ts", by=["sym"], tiebreak="qid",
+            how="inner", right_prefix="q_",
+        ).collect()
+    }
+    # trade 10: only quote qid=1 is <= its ts
+    # trade 11: ties at 10:00:05 resolve to max qid (3)
+    # trade 12: no quote at-or-before -> dropped (inner)
+    assert got == {10: (1, 100.0), 11: (3, 102.0)}
+
+
+def test_asof_left_keeps_unmatched(spark, quotes, trades):
+    got = {
+        r.tid: r.q_qid
+        for r in asof_join(
+            trades, quotes, "ts", "ts", by=["sym"], tiebreak="qid",
+            how="left", right_prefix="q_",
+        ).collect()
+    }
+    assert got == {10: 1, 11: 3, 12: None, 13: None}
+
+
+def test_asof_forward_direction(spark, quotes, trades):
+    got = {
+        r.tid: r.q_qid
+        for r in asof_join(
+            trades, quotes, "ts", "ts", by=["sym"], direction="forward",
+            tiebreak="qid", how="left", right_prefix="q_",
+        ).collect()
+    }
+    # trade 10 (10:00:03): next quote at-or-after is the 10:00:05 pair;
+    # forward ties resolve to MIN qid (2)
+    # trade 12 (sym 2, 10:00:01): next quote is qid=4 at 10:00:02
+    assert got == {10: 2, 11: 2, 12: 4, 13: None}
+
+
+def test_asof_tolerance_drops_stale_matches(spark, quotes, trades):
+    got = {
+        r.tid: r.q_qid
+        for r in asof_join(
+            trades, quotes, "ts", "ts", by=["sym"], tiebreak="qid",
+            how="left", right_prefix="q_", tolerance_micros=1_000_000,
+        ).collect()
+    }
+    # trade 10 is 3s after quote 1 -> beyond 1s tolerance -> null
+    assert got == {10: None, 11: 3, 12: None, 13: None}
+
+
+def test_asof_collision_raises(spark, quotes, trades):
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(trades, quotes, "ts", "ts", by=["sym"])
+
+
+def test_hash_sample_partitioning_invariant(spark):
+    df = spark.range(0, 5000).withColumn("k", F.col("id"))
+    s1 = {r.id for r in hash_sample(df, ["k"], 0.2).collect()}
+    s2 = {r.id for r in hash_sample(df.repartition(17), ["k"], 0.2).collect()}
+    assert s1 == s2
+    # roughly the requested fraction (binomial, generous bounds)
+    assert 700 <= len(s1) <= 1300
+
+
+def test_hash_sample_nested_subsets(spark):
+    """Smaller fractions are strict subsets of larger ones (same seed):
+    the property that makes incremental downsampling consistent."""
+    df = spark.range(0, 2000).withColumn("k", F.col("id"))
+    small = {r.id for r in hash_sample(df, ["k"], 0.1).collect()}
+    big = {r.id for r in hash_sample(df, ["k"], 0.3).collect()}
+    assert small <= big
+
+
+def test_stratified_fractions_respected(spark):
+    rows = [(i, "a" if i % 2 else "b") for i in range(4000)]
+    df = spark.createDataFrame(rows, "id long, grp string")
+    got = stratified_hash_sample(
+        df, "grp", {"a": 1.0, "b": 0.0}, ["id"]
+    ).collect()
+    assert all(r.grp == "a" for r in got)
+    assert len(got) == 2000
+    # absent stratum uses default_fraction
+    got2 = stratified_hash_sample(df, "grp", {"a": 1.0}, ["id"], default_fraction=1.0)
+    assert got2.count() == 4000
+
+
+def test_dedup_corpus_exact_and_near(spark):
+    from pyspark_skyline_spark.operators.dedup import dedup_corpus
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "THE  quick   brown fox jumps over the lazy dog"),  # exact dup of 1 (normalized)
+            (3, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+            (4, "completely different content about spark engines"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r.doc_id for r in dedup_corpus(docs, "doc_id", "text", threshold=0.4).collect()
+    )
+    assert kept == [1, 4]
+
+
+def test_hash_sample_filter_is_scan_level(spark, sf_dir):
+    """The sampling predicate must stay a plain Filter over the scan —
+    one pass, no shuffle, no Python stage."""
+    from pyspark_skyline_spark.plans import formatted_plan
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    plan = formatted_plan(hash_sample(orders, ["o_orderkey"], 0.1))
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_asof_join_single_shuffle(spark, quotes, trades):
+    """The union-scan as-of join must cost exactly one hash exchange on
+    the by-keys (for the window sort) — never a range-join product or a
+    per-side join shuffle pair."""
+    from pyspark_skyline_spark.plans import formatted_plan
+
+    import re
+
+    plan = formatted_plan(
+        asof_join(trades, quotes, "ts", "ts", by=["sym"], tiebreak="qid",
+                  right_prefix="q_")
+    )
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "Join" not in plan and "CartesianProduct" not in plan, plan
