@@ -11,7 +11,12 @@ global reduce (reference: src/jobs/batch_job.py:183-188).
 
 from pyspark_skyline_spark.kernel import find_skyline_mask, skyline_of_array
 from pyspark_skyline_spark.parser import parse_skyline_query
-from pyspark_skyline_spark.operators.skyline import skyline, skyline_sql
+from pyspark_skyline_spark.operators.skyline import skyline, skyline_antijoin, skyline_sql
+from pyspark_skyline_spark.operators.asof import asof_join
+from pyspark_skyline_spark.operators.sample import (
+    hash_sample,
+    stratified_hash_sample,
+)
 from pyspark_skyline_spark.operators.dedup import (
     dedup_exact,
     minhash_lsh_pairs,
@@ -40,7 +45,11 @@ __all__ = [
     "skyline_of_array",
     "parse_skyline_query",
     "skyline",
+    "skyline_antijoin",
     "skyline_sql",
+    "asof_join",
+    "hash_sample",
+    "stratified_hash_sample",
     "dedup_exact",
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",

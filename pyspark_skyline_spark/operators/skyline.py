@@ -40,7 +40,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark_skyline_spark.kernel import find_skyline_mask
 from pyspark_skyline_spark.parser import parse_skyline_query
 
-__all__ = ["skyline", "skyline_sql", "ALGORITHMS"]
+__all__ = ["skyline", "skyline_sql", "skyline_antijoin", "ALGORITHMS"]
 
 ALGORITHMS = ("MR_DIM", "MR_DIM_Q", "MR_GRID", "MR_ANGLE", "auto")
 
@@ -436,6 +436,36 @@ def skyline(
         out = _local_skyline_pass(out, dim_cols, senses, prune_rounds, by)
 
     return out.drop(_CELL)
+
+
+def skyline_antijoin(df: DataFrame, dims) -> DataFrame:
+    """Skyline as a pure-Catalyst dominance ANTI-join — the declarative
+    ``NOT EXISTS`` formulation (SURVEY.md §2.3): keep row p iff no row q
+    is at-least-as-good in every dimension and strictly better in one.
+
+    This is a theta join, so Spark executes it as a broadcast
+    nested-loop — O(n²) work with one side broadcast. It is the right
+    tool ONLY for small inputs (a pre-filtered candidate set, a local
+    debug check, the oracle cross-check); the partitioned kernel path
+    (``skyline``) is the at-scale operator. Provided because it is
+    whole-stage-codegen'd, zero-Python, and exactly mirrors the SQL
+    oracle — a differential anchor for the kernel path.
+    """
+    dims = _normalize_dims(dims)
+    for c, _ in dims:
+        if c not in df.columns:
+            raise ValueError(f"skyline dimension {c!r} not in DataFrame columns {df.columns}")
+    df = df.filter(F.expr(" AND ".join(f"`{c}` IS NOT NULL" for c, _ in dims)))
+    p, q = df.alias("p"), df.alias("q")
+    no_worse = None
+    strictly_better = None
+    for c, sense in dims:
+        qc, pc = F.col(f"q.`{c}`"), F.col(f"p.`{c}`")
+        nw = (qc <= pc) if sense == "min" else (qc >= pc)
+        sb = (qc < pc) if sense == "min" else (qc > pc)
+        no_worse = nw if no_worse is None else (no_worse & nw)
+        strictly_better = sb if strictly_better is None else (strictly_better | sb)
+    return p.join(q, no_worse & strictly_better, "left_anti")
 
 
 def windowed_skyline(

@@ -173,3 +173,57 @@ def test_asof_join_single_shuffle(spark, quotes, trades):
     )
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
     assert "Join" not in plan and "CartesianProduct" not in plan, plan
+
+
+def test_asof_differential_vs_pandas_merge_asof(spark):
+    """Randomized differential against pandas.merge_asof (unique right
+    timestamps per key, so both tie rules coincide): backward, forward,
+    and backward+tolerance must agree on every match."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(1234)
+    n_keys = 7
+    left = pd.DataFrame({
+        "k": rng.integers(0, n_keys, 400),
+        "t": rng.integers(0, 10_000, 400).astype("int64"),
+        "lid": np.arange(400, dtype="int64"),
+    })
+    # unique right times per key: sample without replacement per key
+    rights = []
+    for k in range(n_keys):
+        times = rng.choice(10_000, size=60, replace=False).astype("int64")
+        rights.append(pd.DataFrame({"k": k, "t": times, "rid": times + k * 1_000_000}))
+    right = pd.concat(rights, ignore_index=True)
+
+    sl = spark.createDataFrame(left)
+    sr = spark.createDataFrame(right)
+
+    for direction, tol in (("backward", None), ("forward", None), ("backward", 500)):
+        got = asof_join(
+            sl, sr, "t", "t", by=["k"], direction=direction, how="left",
+            right_prefix="r_", tiebreak="rid",
+            tolerance_micros=tol,
+        ).toPandas()
+        exp = pd.merge_asof(
+            left.sort_values("t", kind="stable"),
+            right.sort_values("t", kind="stable"),
+            on="t", by="k", direction=direction,
+            tolerance=tol, suffixes=("", "_r"),
+        )
+        got_map = dict(zip(got["lid"], got["r_rid"].astype("float64")))
+        exp_map = dict(zip(exp["lid"], exp["rid"].astype("float64")))
+        assert len(got_map) == len(left)
+        for lid in exp_map:
+            g, e = got_map[lid], exp_map[lid]
+            assert (pd.isna(g) and pd.isna(e)) or g == e, (direction, tol, lid, g, e)
+
+
+def test_skyline_antijoin_matches_kernel_path(spark, sf_dir):
+    import pyspark_skyline_spark as se
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    dims = [("p_retailprice", "min"), ("p_size", "max")]
+    a = {tuple(r) for r in se.skyline_antijoin(part, dims).select("p_partkey").collect()}
+    b = {tuple(r) for r in se.skyline(part, dims).select("p_partkey").collect()}
+    assert a == b and len(a) > 0
