@@ -166,12 +166,26 @@ def minhash_lsh_pairs(
     shingle_k: int = 3,
     threshold: float = 0.5,
     hash_mode: str = "xxhash64",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH banding.
 
     Pipeline: signature -> per-band key (joined row slice) -> equi-join
     on (band, key) for candidates -> exact Jaccard verify on distinct
     shingle sets -> pairs with ``jac >= threshold``.
+
+    ``max_bucket_size`` guards the scale hazard of HOT buckets: a
+    cluster of k mutual near-dups shares band keys, so the self-join
+    emits ~k²/2 candidates per band — at corpus scale one 100k-strong
+    boilerplate cluster is a 5-billion-pair skew bomb in a single join
+    key. With the cap set, buckets larger than the cap are dropped
+    before the join (one count-by-key pass, map-side combined).
+    Trade-off, stated precisely: pairs whose EVERY matching band lands
+    in an over-cap bucket are lost — i.e. recall loss concentrates on
+    members of giant clusters, which (a) exact-dedup upstream should
+    have collapsed and (b) still interconnect through their other
+    bands with high probability. Default None = exact behavior (the
+    oracle mirrors banding, so oracle mode runs uncapped).
 
     Returns (id_a, id_b, jac) with id_a < id_b.
     """
@@ -200,6 +214,15 @@ def minhash_lsh_pairs(
     exploded = sig_tbl.select(
         F.col(id_col).alias("__id"), F.posexplode(band_keys).alias("__band_idx", "__band_key")
     )
+    if max_bucket_size is not None:
+        sizes = exploded.groupBy("__band_idx", "__band_key").agg(
+            F.count(F.lit(1)).alias("__bn")
+        )
+        exploded = (
+            exploded.join(sizes, ["__band_idx", "__band_key"])
+            .filter(F.col("__bn") <= max_bucket_size)
+            .drop("__bn")
+        )
     a = exploded.alias("a")
     b = exploded.alias("b")
     cand = (
@@ -339,6 +362,16 @@ def ngram_jaccard_pairs(
             ).alias("__rsh")
         )
     )
+    # MATERIALIZE the sketch table once: three consumers (prefix branch,
+    # verify-a, verify-b) would otherwise each recompute the whole
+    # shingle->md5->explode->dfreq-join->collect_list pipeline — Spark's
+    # exchange-reuse does NOT fire across these branches (verified from
+    # the physical plan: 3x duplicated aggregation subtrees, the
+    # dominant cost). The sketch table is strictly smaller than the
+    # corpus text, so this is the standard compute-sketches-once
+    # materialization; localCheckpoint trades lineage-based recovery
+    # for it (executor loss => job retry), the documented trade.
+    ranked = ranked.localCheckpoint(eager=False)
     # candidates: (id, size, prefix position+element) only — no payload
     pref = ranked.select(
         "__id",
@@ -376,11 +409,9 @@ def ngram_jaccard_pairs(
         .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .dropDuplicates()
     )
-    # verify arrays come from ranked, not a fresh md5 pass: all three
-    # branches (prefix, verify-a, verify-b) then share one identical
-    # aggregation subtree, de-duplicable via ReusedExchange — set ops
-    # don't care about element order, so the (df, hash)-sorted
-    # projection works as-is
+    # verify arrays come from the materialized ranked table, not a
+    # fresh md5 pass — set ops don't care about element order, so the
+    # (df, hash)-sorted projection works as-is
     sets = ranked.select(
         "__id", F.transform("__rsh", lambda x: x["__h"]).alias("__sh")
     )

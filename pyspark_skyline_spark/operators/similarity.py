@@ -156,13 +156,17 @@ def cosine_near_dup_pairs(
     n_planes: int = 8,
     n_tables: int = 8,
     seed: int = 42,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (the vector analogue of
     MinHash dedup): random-hyperplane LSH proposes candidates — rows
     sharing a bucket in ANY table, generated by an equi-join on
     (table, bucket), never an all-pairs product — then an exact cosine
     check keeps pairs with ``cos >= threshold``. Deterministic (seeded
-    planes). Returns (id_a, id_b, cos)."""
+    planes). ``max_bucket_size`` drops over-cap (table, bucket) groups
+    before the self-join — the same giant-cluster skew guard as
+    ``minhash_lsh_pairs``; None = exact LSH behavior.
+    Returns (id_a, id_b, cos)."""
     dim = len(df.select(vec_col).first()[0])
     df = spread_for_compute(df)
     planes = _hyperplanes(dim, n_planes, n_tables, seed)
@@ -179,6 +183,13 @@ def cosine_near_dup_pairs(
             )
         ).alias("tb"),
     ).select("__id", F.col("tb.t").alias("__t"), F.col("tb.b").alias("__b"))
+    if max_bucket_size is not None:
+        sizes = buckets.groupBy("__t", "__b").agg(F.count(F.lit(1)).alias("__bn"))
+        buckets = (
+            buckets.join(sizes, ["__t", "__b"])
+            .filter(F.col("__bn") <= max_bucket_size)
+            .drop("__bn")
+        )
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
         a.join(

@@ -238,3 +238,21 @@ def test_ngram_jaccard_matches_bruteforce_random(spark):
         for r in D.ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.5).collect()
     }
     assert got == want
+
+
+def test_minhash_bucket_cap_drops_giant_cluster_only(spark):
+    """max_bucket_size: a 30-copy boilerplate cluster floods its buckets
+    past the cap and drops out; an ordinary near-dup pair elsewhere
+    survives. Uncapped run still finds everything."""
+    boiler = [(i, "spam spam spam wonderful spam and eggs again") for i in range(30)]
+    pair = [
+        (100, "a distinctive document about distributed pareto frontiers ok"),
+        (101, "a distinctive document about distributed pareto frontiers yes"),
+    ]
+    docs = spark.createDataFrame(boiler + pair, "doc_id long, text string")
+    kw = dict(num_hashes=32, bands=8, threshold=0.4)
+    capped = D.minhash_lsh_pairs(docs, "doc_id", "text", max_bucket_size=10, **kw)
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert got == {(100, 101)}
+    uncapped = D.minhash_lsh_pairs(docs, "doc_id", "text", **kw)
+    assert uncapped.count() == 30 * 29 // 2 + 1

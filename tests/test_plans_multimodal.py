@@ -117,3 +117,35 @@ def test_embed_media_feeds_similarity(spark):
     assert emb.schema["embedding"].dataType.simpleString() == "array<double>"
     top = S.cosine_topk(emb, "id", "embedding", probe_id=0, k=5, impl="arrow").collect()
     assert len(top) == 5 and all(r.id != 0 for r in top)
+
+
+def test_text_dedup_pipelines_stay_jvm_side(spark, sf_dir):
+    """minhash/ngram/simhash hot paths are pure SQL expressions — a
+    Python stage anywhere in those plans is a regression."""
+    from pyspark_skyline_spark.operators import dedup as D
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for q in (
+        D.minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=16, bands=4),
+        D.ngram_jaccard_pairs(docs, "doc_id", "text"),
+        D.simhash(docs, "doc_id", "text"),
+    ):
+        plan = formatted_plan(q)
+        assert "BatchEvalPython" not in plan, plan
+        assert "ArrowEvalPython" not in plan, plan
+
+
+def test_ngram_computes_sketch_table_once(spark, sf_dir):
+    """The prefix branch and both verify branches consume ONE
+    materialized sketch table: the shingle->md5->dfreq->collect_list
+    pipeline must appear at most once in the executed plan (Spark's
+    exchange reuse does NOT fire across these branches — without the
+    materialization the whole pipeline ran three times)."""
+    from pyspark_skyline_spark.operators import dedup as D
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = D.ngram_jaccard_pairs(docs, "doc_id", "text")
+    q.count()  # force the lazy localCheckpoint
+    plan = formatted_plan(q)
+    assert plan.count("collect_list") == 0, plan
+    assert plan.count("md5") == 0, plan
