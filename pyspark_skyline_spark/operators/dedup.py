@@ -194,7 +194,26 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
 
     df = spread_for_compute(df)
-    sig_tbl = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k, hash_mode)
+    # shingle each document ONCE and materialize: the signature branch
+    # and the verify branch both need the shingle sets, and without the
+    # checkpoint each would re-run the tokenize->shingle pipeline (the
+    # compute-dense part) from the raw text
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        shingles(F.col(text_col), shingle_k).alias("__sh"),
+    ).localCheckpoint(eager=False)
+    sh_tbl = base.select("__id", F.explode("__sh").alias("__s"))
+    hashed = sh_tbl.select("__id", hash64_expr(F.col("__s"), None, hash_mode).alias("__h"))
+    mixed = hashed.select(
+        "__id",
+        *[
+            F.col("__h").bitwiseXOR(F.lit(j * _MIX_CONST)).alias(f"__h{j}")
+            for j in range(num_hashes)
+        ],
+    )
+    sig_tbl = mixed.groupBy("__id").agg(
+        *[F.min(f"__h{j}").alias(f"m{j}") for j in range(num_hashes)]
+    )
     band_keys = F.array(
         *[
             F.concat_ws(
@@ -207,12 +226,8 @@ def minhash_lsh_pairs(
             for b in range(bands)
         ]
     )
-    base = df.select(
-        F.col(id_col).alias("__id"),
-        shingles(F.col(text_col), shingle_k).alias("__sh"),
-    )
     exploded = sig_tbl.select(
-        F.col(id_col).alias("__id"), F.posexplode(band_keys).alias("__band_idx", "__band_key")
+        F.col("__id"), F.posexplode(band_keys).alias("__band_idx", "__band_key")
     )
     if max_bucket_size is not None:
         sizes = exploded.groupBy("__band_idx", "__band_key").agg(
@@ -348,17 +363,41 @@ def ngram_jaccard_pairs(
     base = df.select(F.col(id_col).alias("__id"), sh_hashed.alias("__sh")).withColumn(
         "__n", F.size("__sh")
     )
+    # MATERIALIZE the shingle computation once: the document-frequency
+    # branch and the ranked-set branch both consume `base`, and Spark's
+    # exchange reuse does not reliably dedupe the two subtrees — without
+    # this the tokenize->shingle->md5->sort pipeline (the compute-dense
+    # part, interpreted HOFs) executes once per branch, on however few
+    # tasks the byte-sized file split produced. The sketch table is a
+    # fraction of the corpus bytes, so caching it is the standard
+    # compute-sketches-once materialization; localCheckpoint trades
+    # lineage-based recovery for it (executor loss => job retry).
+    base = base.localCheckpoint(eager=False)
     prefix_len = (F.col("__n") - F.ceil(F.lit(t) * F.col("__n")) + 1).cast("int")
     # rarest-first canonical order: per-shingle document frequency,
     # then re-aggregate each doc's set sorted by (df, hash)
     ex = base.select("__id", "__n", F.explode("__sh").alias("__h"))
-    dfreq = ex.groupBy("__h").agg(F.count(F.lit(1)).alias("__df"))
+    # Only repeated shingles (df >= 2) need a real frequency: singletons
+    # — the overwhelming majority of shingles in a deduplicated corpus —
+    # all tie at df=1 and sort by hash anyway, so a left join against
+    # the df>=2 table + coalesce(df, 1) yields the identical total
+    # order while shrinking the join's build side by orders of
+    # magnitude (usually to broadcast range; the ordering stays
+    # globally consistent, which is all prefix-filter completeness
+    # requires).
+    dfreq = (
+        ex.groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") >= 2)
+    )
     ranked = (
-        ex.join(dfreq, "__h")
+        ex.join(dfreq, "__h", "left")
         .groupBy("__id", "__n")
         .agg(
             F.array_sort(
-                F.collect_list(F.struct(F.col("__df"), F.col("__h")))
+                F.collect_list(
+                    F.struct(F.coalesce(F.col("__df"), F.lit(1)).alias("__df"), F.col("__h"))
+                )
             ).alias("__rsh")
         )
     )
@@ -560,7 +599,11 @@ def dedup_corpus(
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     with_fp = df.withColumn("__fp", F.md5(norm.cast("binary")))
     reps = with_fp.groupBy("__fp").agg(F.min(F.col(id_col)).alias(id_col)).drop("__fp")
-    survivors = df.join(reps, id_col, "semi")
+    # survivors feeds three independent subtrees (the near-dup sketch
+    # pipeline, the cluster edge computation, and the final anti-join);
+    # materialize the scan+agg+semi-join once instead of letting each
+    # consumer re-execute it
+    survivors = df.join(reps, id_col, "semi").localCheckpoint(eager=False)
 
     pairs = ngram_jaccard_pairs(survivors, id_col, text_col, shingle_k, threshold)
     clusters = near_dup_clusters(pairs)

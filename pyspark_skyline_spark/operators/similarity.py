@@ -166,14 +166,30 @@ def cosine_near_dup_pairs(
     planes). ``max_bucket_size`` drops over-cap (table, bucket) groups
     before the self-join — the same giant-cluster skew guard as
     ``minhash_lsh_pairs``; None = exact LSH behavior.
-    Returns (id_a, id_b, cos)."""
+    Returns (id_a, id_b, cos).
+
+    Physical strategy — bucket-local verify, not a candidate join: each
+    (table, bucket) group is scored as ONE NumPy gemm inside
+    ``applyInPandas`` and only pairs passing the threshold leave the
+    group. The alternative (equi-join exploded bucket tables on
+    (t, b), distinct the candidate pairs, then re-join vectors twice)
+    materializes and shuffles every within-bucket pair — ~N²/2^planes
+    per table — before a single cosine is computed; with near-uniform
+    embeddings that candidate set is orders of magnitude larger than
+    the verified output. Here the quadratic work stays inside a BLAS
+    call on data already co-located by the groupBy shuffle, the
+    shuffle volume is n_tables × the vector table (the standard LSH
+    multiplicity), and only verified pairs (then one dropDuplicates
+    over tables that agree) hit the wire."""
     dim = len(df.select(vec_col).first()[0])
     df = spread_for_compute(df)
     planes = _hyperplanes(dim, n_planes, n_tables, seed)
+    id_type = df.schema[id_col].dataType.simpleString()
     base = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"))
     with_buckets = base.select("__id", "__vec", *_bucket_exprs("__vec", planes))
     buckets = with_buckets.select(
         "__id",
+        "__vec",
         F.explode(
             F.array(
                 *[
@@ -182,43 +198,39 @@ def cosine_near_dup_pairs(
                 ]
             )
         ).alias("tb"),
-    ).select("__id", F.col("tb.t").alias("__t"), F.col("tb.b").alias("__b"))
-    if max_bucket_size is not None:
-        sizes = buckets.groupBy("__t", "__b").agg(F.count(F.lit(1)).alias("__bn"))
-        buckets = (
-            buckets.join(sizes, ["__t", "__b"])
-            .filter(F.col("__bn") <= max_bucket_size)
-            .drop("__bn")
-        )
-    a, b = buckets.alias("a"), buckets.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.__t") == F.col("b.__t"))
-            & (F.col("a.__b") == F.col("b.__b"))
-            & (F.col("a.__id") < F.col("b.__id")),
-        )
-        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
-        .dropDuplicates()
-    )
-    va = base.select(F.col("__id").alias("id_a"), F.col("__vec").alias("__va"))
-    vb = base.select(F.col("__id").alias("id_b"), F.col("__vec").alias("__vb"))
+    ).select("__id", "__vec", F.col("tb.t").alias("__t"), F.col("tb.b").alias("__b"))
 
-    @F.pandas_udf("double")
-    def pair_cos(a: pd.Series, b: pd.Series) -> pd.Series:
-        ma = np.vstack(a.to_numpy()).astype(np.float64)
-        mb = np.vstack(b.to_numpy()).astype(np.float64)
-        return pd.Series(
-            (ma * mb).sum(axis=1)
-            / (np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1))
-        )
+    cap = max_bucket_size
+    thr = float(threshold)
+
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "cos": []})
+        if n < 2 or (cap is not None and n > cap):
+            return empty
+        # sort by id so upper-triangle (i < j) implies id_a < id_b
+        pdf = pdf.sort_values("__id")
+        ids = pdf["__id"].to_numpy()
+        m = np.vstack(pdf["__vec"].to_numpy()).astype(np.float64)
+        u = m / np.linalg.norm(m, axis=1, keepdims=True)
+        out = []
+        # blocked gemm: memory stays O(block * n) however big the group
+        for lo in range(0, n, 2048):
+            hi = min(lo + 2048, n)
+            sims = u[lo:hi] @ u.T
+            r, c = np.nonzero(sims >= thr)
+            keep = (r + lo) < c
+            out.append(
+                pd.DataFrame(
+                    {"id_a": ids[r[keep] + lo], "id_b": ids[c[keep]], "cos": sims[r[keep], c[keep]]}
+                )
+            )
+        return pd.concat(out) if out else empty
 
     return (
-        cand.join(va, "id_a")
-        .join(vb, "id_b")
-        .withColumn("cos", pair_cos(F.col("__va"), F.col("__vb")))
-        .filter(F.col("cos") >= threshold)
-        .select("id_a", "id_b", "cos")
+        buckets.groupBy("__t", "__b")
+        .applyInPandas(bucket_pairs, f"id_a {id_type}, id_b {id_type}, cos double")
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 

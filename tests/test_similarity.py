@@ -109,3 +109,29 @@ def test_topk_excludes_probe(emb):
     got = S.cosine_topk(emb, "vec_id", "embedding", 0, 10).collect()
     assert all(r.vec_id != 0 for r in got)
     assert [r.rank for r in sorted(got, key=lambda r: r.rank)] == list(range(1, 11))
+
+
+def test_cosine_near_dup_bucket_cap(spark):
+    """max_bucket_size: a planted clone flood (identical vectors fill
+    every bucket they land in past the cap) drops out; a small planted
+    pair elsewhere survives because its buckets stay under the cap."""
+    import numpy as np
+    rng = np.random.default_rng(11)
+    clone = rng.standard_normal(32)
+    base = rng.standard_normal(32)
+    near = base + rng.standard_normal(32) * 0.05
+    rows = [(i, [float(x) for x in clone]) for i in range(40)] + [
+        (100, [float(x) for x in base]),
+        (101, [float(x) for x in near]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kw = dict(threshold=0.9, n_planes=4, n_tables=8)
+    capped = S.cosine_near_dup_pairs(df, "vec_id", "embedding", max_bucket_size=20, **kw)
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert (100, 101) in got
+    assert not any(a < 40 and b < 40 for a, b in got)
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in S.cosine_near_dup_pairs(df, "vec_id", "embedding", **kw).collect()
+    }
+    assert {(a, b) for a in range(40) for b in range(a + 1, 40)} <= uncapped
