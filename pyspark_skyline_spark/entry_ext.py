@@ -31,6 +31,7 @@ _TOPK_K, _PROBE_ID = 10, 0
 _SAMPLE_FRAC, _SAMPLE_SEED = 0.1, 7
 _STRATA_FRACS = {"click": 0.05, "view": 0.02, "error": 1.0}
 _VOCAB_K = 50
+_SH_MAX_HAMMING = 3
 
 
 # ---------------------------------------------------------------------------
@@ -110,8 +111,17 @@ def _q_near_dup_clusters(spark, sf_dir):
 
 
 def _q_simhash(spark, sf_dir):
+    # md5 hash mode so the DuckDB oracle reproduces signatures
+    # bit-for-bit (production default is xxhash64)
     docs = load_table(spark, sf_dir, "documents")
-    return D.simhash(docs, "doc_id", "text")
+    return D.simhash(docs, "doc_id", "text", hash_mode="md5")
+
+
+def _q_simhash_pairs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_pairs(
+        docs, "doc_id", "text", max_hamming=_SH_MAX_HAMMING, hash_mode="md5"
+    ).withColumn("hamming", F.col("hamming").cast("long"))
 
 
 def _q_cosine_topk(spark, sf_dir):
@@ -395,6 +405,54 @@ SELECT id_a, id_b, jac FROM verified WHERE jac >= {_MH_T}
 """
 
 
+def _simhash_sig_sql(bits: int = 60) -> str:
+    """CTE body computing (doc_id, simhash_lo, simhash_hi) exactly as
+    ``dedup.simhash(hash_mode='md5')``: one md5-derived 60-bit hash per
+    whitespace token (duplicates kept), per-bit set-counts, majority
+    rule 2*S_i > n."""
+    half = bits // 2
+    hash60 = _HASH60.format(x="t")
+    bit_sums = ",\n         ".join(
+        f"sum((h >> {i}) & 1) AS b{i}" for i in range(bits)
+    )
+    lo = " + ".join(f"CASE WHEN 2*b{i} > n THEN {1 << i} ELSE 0 END" for i in range(half))
+    hi = " + ".join(
+        f"CASE WHEN 2*b{i} > n THEN {1 << (i - half)} ELSE 0 END"
+        for i in range(half, bits)
+    )
+    return f"""
+tok AS (
+  SELECT doc_id, {hash60} AS h
+  FROM documents, unnest({_TOKS}) AS u(t)),
+bitsums AS (
+  SELECT doc_id, count(*) AS n,
+         {bit_sums}
+  FROM tok GROUP BY doc_id),
+sig AS (
+  SELECT doc_id, ({lo})::BIGINT AS simhash_lo, ({hi})::BIGINT AS simhash_hi
+  FROM bitsums)"""
+
+
+def _simhash_oracle() -> str:
+    return f"WITH {_simhash_sig_sql()}\nSELECT doc_id, simhash_lo, simhash_hi FROM sig"
+
+
+def _simhash_pairs_oracle(max_hamming: int = 3, bits: int = 60) -> str:
+    # strategy-independent oracle: ALL pairs within the Hamming radius
+    # (the engine's banded-LSH join must reproduce it exactly — with
+    # bands > max_hamming the pigeonhole guarantee makes LSH complete)
+    half = bits // 2
+    return f"""
+WITH {_simhash_sig_sql(bits)},
+fullsig AS (
+  SELECT doc_id, simhash_hi * {1 << half} + simhash_lo AS s FROM sig)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.s, b.s))::BIGINT AS hamming
+FROM fullsig a JOIN fullsig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.s, b.s)) <= {max_hamming}
+"""
+
+
 def _ngram_jaccard_oracle(table: str = "documents") -> str:
     # strategy-independent oracle: ALL doc pairs above the threshold
     # (all-pairs is fine at sf0.01; the engine's prefix-filter join must
@@ -565,6 +623,8 @@ wm AS (SELECT doc_id, pos0,
 SELECT DISTINCT doc_id, fp FROM wm WHERE pos0 <= greatest(n - 4, 0)
 """,
     "minhash_pairs_documents": _minhash_oracle(),
+    "simhash_documents": _simhash_oracle(),
+    "simhash_pairs_documents": _simhash_pairs_oracle(_SH_MAX_HAMMING),
     "ngram_jaccard_documents": _ngram_jaccard_oracle(),
     # connected components over the near-dup pair graph: the iterative
     # min-label propagation must equal the recursive-CTE min-reachable-id
@@ -708,7 +768,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_pairs_documents": _q_minhash_pairs,
     "ngram_jaccard_documents": _q_ngram_jaccard,
     "near_dup_clusters_documents": _q_near_dup_clusters,
-    "simhash_documents": _q_simhash,  # rows-only: verified by pytest differential
+    "simhash_documents": _q_simhash,
+    "simhash_pairs_documents": _q_simhash_pairs,
     "cosine_topk_embeddings": _q_cosine_topk,
     "cosine_topk_lsh_embeddings": _q_cosine_topk_lsh,  # approximate: recall pytest
     "cosine_topk_ivf_embeddings": _q_cosine_topk_ivf,  # approximate: recall pytest

@@ -29,6 +29,7 @@ __all__ = [
     "minhash_signatures",
     "minhash_lsh_pairs",
     "simhash",
+    "simhash_pairs",
     "ngram_jaccard_pairs",
     "near_dup_clusters",
     "dedup_corpus",
@@ -313,6 +314,90 @@ def simhash(
     )
     return bit_sums.select(
         F.col(id_col), lo.alias("simhash_lo"), hi.alias("simhash_hi")
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bands: int | None = None,
+    bits: int = 60,
+    hash_mode: str = "xxhash64",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance, found with
+    banded LSH (the classic Charikar / Manku-Jain-Sarma web-dedup
+    scheme): split the ``bits``-bit sketch into ``bands`` equal chunks;
+    any pair within Hamming distance ``max_hamming`` must agree on at
+    least one whole chunk whenever ``bands > max_hamming`` (pigeonhole),
+    so candidates come from an equi-join on (chunk index, chunk value) —
+    never an all-pairs product — and an exact ``bit_count(xor)`` check
+    keeps true pairs. With the default ``bands = max_hamming + 1`` the
+    operator is EXACT (complete recall), not approximate.
+
+    ``max_bucket_size`` drops over-cap (chunk, value) groups before the
+    self-join — same giant-cluster skew guard as ``minhash_lsh_pairs``
+    (a chunk value shared by a huge boilerplate cluster is a k² join
+    bomb); None = no cap.
+
+    Returns (id_a, id_b, hamming) with id_a < id_b.
+    """
+    if bands is None:
+        bands = max_hamming + 1
+    if bands <= max_hamming:
+        raise ValueError(
+            f"bands ({bands}) must exceed max_hamming ({max_hamming}) "
+            "for the pigeonhole guarantee"
+        )
+    if bits % bands:
+        raise ValueError("bands must divide bits")
+    width = bits // bands
+    half = bits // 2
+
+    sig = simhash(df, id_col, text_col, bits, hash_mode)
+    # repack lo/hi into the full sketch (both halves are < 2^30 so the
+    # bits-bit value fits a positive bigint)
+    full = (F.col("simhash_hi") * F.lit(1 << half) + F.col("simhash_lo")).alias("__sig")
+    sig = sig.select(F.col(id_col).alias("__id"), full).localCheckpoint(eager=False)
+    chunks = sig.select(
+        "__id",
+        "__sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("__sig"), b * width)
+                    .bitwiseAND(F.lit((1 << width) - 1))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("__chunk_idx", "__chunk"),
+    )
+    if max_bucket_size is not None:
+        sizes = chunks.groupBy("__chunk_idx", "__chunk").agg(
+            F.count(F.lit(1)).alias("__bn")
+        )
+        chunks = (
+            chunks.join(sizes, ["__chunk_idx", "__chunk"])
+            .filter(F.col("__bn") <= max_bucket_size)
+            .drop("__bn")
+        )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.__chunk_idx") == F.col("b.__chunk_idx"))
+            & (F.col("a.__chunk") == F.col("b.__chunk"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.bit_count(F.col("a.__sig").bitwiseXOR(F.col("b.__sig"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 

@@ -256,3 +256,48 @@ def test_minhash_bucket_cap_drops_giant_cluster_only(spark):
     assert got == {(100, 101)}
     uncapped = D.minhash_lsh_pairs(docs, "doc_id", "text", **kw)
     assert uncapped.count() == 30 * 29 // 2 + 1
+
+
+def test_simhash_pairs_complete_vs_bruteforce(spark):
+    """Banded-LSH simhash pairs must equal the all-pairs Hamming
+    filter (pigeonhole: bands > max_hamming => complete recall)."""
+    import itertools
+    import random
+
+    rng = random.Random(5)
+    vocab = [f"w{i}" for i in range(80)]
+    docs = []
+    for i in range(40):
+        docs.append((i, " ".join(rng.choices(vocab, k=30))))
+    # planted near-dups: copy with small perturbations
+    for j, (src, _) in enumerate(docs[:6]):
+        base = docs[src][1].split()
+        base[rng.randrange(len(base))] = rng.choice(vocab)
+        docs.append((100 + j, " ".join(base)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    H = 8
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in D.simhash_pairs(
+            df, "doc_id", "text", max_hamming=H, bands=10
+        ).collect()
+    }
+    sigs = {
+        r.doc_id: r.simhash_hi * (1 << 30) + r.simhash_lo
+        for r in D.simhash(df, "doc_id", "text").collect()
+    }
+    want = set()
+    for a, b in itertools.combinations(sorted(sigs), 2):
+        h = bin(sigs[a] ^ sigs[b]).count("1")
+        if h <= H:
+            want.add((a, b, h))
+    assert got == want and len(want) > 0
+
+
+def test_simhash_pairs_validates_params(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    import pytest as _pt
+    with _pt.raises(ValueError, match="must exceed"):
+        D.simhash_pairs(df, "doc_id", "text", max_hamming=4, bands=4)
+    with _pt.raises(ValueError, match="divide"):
+        D.simhash_pairs(df, "doc_id", "text", max_hamming=6, bands=7)
