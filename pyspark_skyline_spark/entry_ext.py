@@ -20,6 +20,7 @@ from pyspark_skyline_spark.operators import similarity as S
 from pyspark_skyline_spark.operators import text as T
 from pyspark_skyline_spark.operators import topk as K
 from pyspark_skyline_spark.operators.asof import asof_join
+from pyspark_skyline_spark.operators.rangejoin import range_join
 from pyspark_skyline_spark.operators.skyline import skyline, windowed_skyline
 from pyspark_skyline_spark.oracles import skyline_oracle_sql
 from pyspark_skyline_spark.sources.tables import load_table
@@ -122,6 +123,24 @@ def _q_simhash_pairs(spark, sf_dir):
     return D.simhash_pairs(
         docs, "doc_id", "text", max_hamming=_SH_MAX_HAMMING, hash_mode="md5"
     ).withColumn("hamming", F.col("hamming").cast("long"))
+
+
+def _q_range_join_error_click(spark, sf_dir):
+    # every click within 10 minutes AFTER an error (any user): an
+    # interval x point range join, executed as a bin-bucketed hash
+    # equi-join (bin width = the 10-minute interval length, in micros)
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        F.col("ts").alias("err_ts"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("err_end"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    return range_join(
+        clicks, errors, "click_ts", "err_ts", "err_end", bin_width=600_000_000
+    ).select("err_id", "click_id")
 
 
 def _q_cosine_topk(spark, sf_dir):
@@ -625,6 +644,13 @@ SELECT DISTINCT doc_id, fp FROM wm WHERE pos0 <= greatest(n - 4, 0)
     "minhash_pairs_documents": _minhash_oracle(),
     "simhash_documents": _simhash_oracle(),
     "simhash_pairs_documents": _simhash_pairs_oracle(_SH_MAX_HAMMING),
+    # strategy-independent range-join oracle: plain theta join
+    "range_join_error_click_events": """
+SELECT e.event_id AS err_id, c.event_id AS click_id
+FROM events e, events c
+WHERE e.event_type = 'error' AND c.event_type = 'click'
+  AND c.ts >= e.ts AND c.ts < e.ts + INTERVAL 10 MINUTE
+""",
     "ngram_jaccard_documents": _ngram_jaccard_oracle(),
     # connected components over the near-dup pair graph: the iterative
     # min-label propagation must equal the recursive-CTE min-reachable-id
@@ -770,6 +796,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "near_dup_clusters_documents": _q_near_dup_clusters,
     "simhash_documents": _q_simhash,
     "simhash_pairs_documents": _q_simhash_pairs,
+    "range_join_error_click_events": _q_range_join_error_click,
     "cosine_topk_embeddings": _q_cosine_topk,
     "cosine_topk_lsh_embeddings": _q_cosine_topk_lsh,  # approximate: recall pytest
     "cosine_topk_ivf_embeddings": _q_cosine_topk_ivf,  # approximate: recall pytest

@@ -227,3 +227,103 @@ def test_skyline_antijoin_matches_kernel_path(spark, sf_dir):
     a = {tuple(r) for r in se.skyline_antijoin(part, dims).select("p_partkey").collect()}
     b = {tuple(r) for r in se.skyline(part, dims).select("p_partkey").collect()}
     assert a == b and len(a) > 0
+
+
+# ---------------------------------------------------------------------------
+# range join
+# ---------------------------------------------------------------------------
+
+def _rj_fixture(spark):
+    pts = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate([0, 1, 5, 9, 10, 15, 23, 42])],
+        "pid long, x double",
+    )
+    ivs = spark.createDataFrame(
+        [(100, 0.0, 10.0), (101, 5.0, 6.0), (102, 9.0, 30.0), (103, 40.0, 41.0)],
+        "iid long, lo double, hi double",
+    )
+    return pts, ivs
+
+
+def test_range_join_matches_bruteforce_all_closed_modes(spark):
+    from pyspark_skyline_spark.operators.rangejoin import range_join
+
+    pts, ivs = _rj_fixture(spark)
+    prows = [(r.pid, r.x) for r in pts.collect()]
+    irows = [(r.iid, r.lo, r.hi) for r in ivs.collect()]
+    ops = {
+        "left": lambda x, lo, hi: lo <= x < hi,
+        "right": lambda x, lo, hi: lo < x <= hi,
+        "both": lambda x, lo, hi: lo <= x <= hi,
+        "neither": lambda x, lo, hi: lo < x < hi,
+    }
+    for closed, pred in ops.items():
+        for bw in (1, 3, 100):  # tiny, mid, giant bins: all exact
+            got = {
+                (r.pid, r.iid)
+                for r in range_join(
+                    pts, ivs, "x", "lo", "hi", bin_width=bw, closed=closed
+                ).collect()
+            }
+            want = {
+                (pid, iid)
+                for pid, x in prows
+                for iid, lo, hi in irows
+                if pred(x, lo, hi)
+            }
+            assert got == want, (closed, bw)
+
+
+def test_range_join_with_equality_keys(spark):
+    from pyspark_skyline_spark.operators.rangejoin import range_join
+
+    pts = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "b", 5.0)], "pid long, k string, x double"
+    )
+    ivs = spark.createDataFrame(
+        [(10, "a", 0.0, 10.0), (11, "b", 6.0, 10.0)],
+        "iid long, k string, lo double, hi double",
+    )
+    got = {
+        (r.pid, r.iid)
+        for r in range_join(
+            pts, ivs, "x", "lo", "hi", bin_width=5, on=["k"]
+        ).collect()
+    }
+    assert got == {(1, 10)}  # (2,10) blocked by key, (2,11) by range
+
+
+def test_range_join_validates(spark):
+    from pyspark_skyline_spark.operators.rangejoin import range_join
+
+    pts, ivs = _rj_fixture(spark)
+    import pytest as _pt
+    with _pt.raises(ValueError, match="closed"):
+        range_join(pts, ivs, "x", "lo", "hi", 1, closed="open")
+    with _pt.raises(ValueError, match="positive"):
+        range_join(pts, ivs, "x", "lo", "hi", 0)
+    with _pt.raises(ValueError, match="disjoint"):
+        range_join(pts, pts.withColumnRenamed("pid", "iid"), "x", "x", "x", 1)
+
+
+def test_range_join_timestamp_keys(spark):
+    from pyspark.sql import functions as F
+    from pyspark_skyline_spark.operators.rangejoin import range_join
+
+    pts = spark.createDataFrame(
+        [(1, "2024-01-01 00:05:00"), (2, "2024-01-01 02:00:00")],
+        "pid long, t string",
+    ).select("pid", F.col("t").cast("timestamp").alias("t"))
+    ivs = spark.createDataFrame(
+        [(10, "2024-01-01 00:00:00", "2024-01-01 01:00:00")],
+        "iid long, s string, e string",
+    ).select(
+        "iid",
+        F.col("s").cast("timestamp").alias("s"),
+        F.col("e").cast("timestamp").alias("e"),
+    )
+    got = {
+        (r.pid, r.iid)
+        for r in range_join(pts, ivs, "t", "s", "e", bin_width=60_000_000).collect()
+    }
+    assert got == {(1, 10)}

@@ -149,3 +149,14 @@ def test_ngram_computes_sketch_table_once(spark, sf_dir):
     plan = formatted_plan(q)
     assert plan.count("collect_list") == 0, plan
     assert plan.count("md5") == 0, plan
+
+
+def test_range_join_is_hash_join_not_nested_loop(spark, sf_dir):
+    """The bin-bucketed range join must plan as a hash equi-join on the
+    bin id; a BroadcastNestedLoopJoin means the binning regressed to a
+    quadratic theta join."""
+    from pyspark_skyline_spark.entry_ext import _QUERIES
+
+    plan = formatted_plan(_QUERIES["range_join_error_click_events"](spark, sf_dir))
+    assert "NestedLoop" not in plan, plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
