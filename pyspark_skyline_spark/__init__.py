@@ -18,11 +18,15 @@ from pyspark_skyline_spark.operators.sample import (
     stratified_hash_sample,
 )
 from pyspark_skyline_spark.operators.dedup import (
+    dedup_corpus,
     dedup_exact,
     minhash_lsh_pairs,
+    near_dup_clusters,
     ngram_jaccard_pairs,
     simhash,
+    simhash_pairs,
 )
+from pyspark_skyline_spark.operators.rangejoin import range_join
 from pyspark_skyline_spark.operators.similarity import (
     cosine_near_dup_pairs,
     cosine_topk,
@@ -48,6 +52,10 @@ __all__ = [
     "skyline_antijoin",
     "skyline_sql",
     "asof_join",
+    "range_join",
+    "dedup_corpus",
+    "near_dup_clusters",
+    "simhash_pairs",
     "hash_sample",
     "stratified_hash_sample",
     "dedup_exact",
