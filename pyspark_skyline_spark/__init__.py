@@ -15,6 +15,7 @@ from pyspark_skyline_spark.operators.skyline import skyline, skyline_antijoin, s
 from pyspark_skyline_spark.operators.asof import asof_join
 from pyspark_skyline_spark.operators.sample import (
     hash_sample,
+    pack_batches,
     stratified_hash_sample,
 )
 from pyspark_skyline_spark.operators.dedup import (
@@ -34,6 +35,7 @@ from pyspark_skyline_spark.operators.similarity import (
     cosine_topk_lsh,
 )
 from pyspark_skyline_spark.operators.text import (
+    chunk_documents,
     fingerprint,
     lang_id,
     quality_flags,
@@ -58,6 +60,8 @@ __all__ = [
     "simhash_pairs",
     "hash_sample",
     "stratified_hash_sample",
+    "pack_batches",
+    "chunk_documents",
     "dedup_exact",
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",

@@ -33,6 +33,8 @@ _SAMPLE_FRAC, _SAMPLE_SEED = 0.1, 7
 _STRATA_FRACS = {"click": 0.05, "view": 0.02, "error": 1.0}
 _VOCAB_K = 50
 _SH_MAX_HAMMING = 3
+_CHUNK_TOKENS, _CHUNK_OVERLAP = 64, 16
+_N_BATCHES, _BATCH_SEED = 32, 7
 
 
 # ---------------------------------------------------------------------------
@@ -123,6 +125,20 @@ def _q_simhash_pairs(spark, sf_dir):
     return D.simhash_pairs(
         docs, "doc_id", "text", max_hamming=_SH_MAX_HAMMING, hash_mode="md5"
     ).withColumn("hamming", F.col("hamming").cast("long"))
+
+
+def _q_chunk_documents(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return T.chunk_documents(
+        docs, "doc_id", "text", chunk_tokens=_CHUNK_TOKENS, overlap=_CHUNK_OVERLAP
+    )
+
+
+def _q_pack_batches_orders(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    return SA.pack_batches(
+        orders, ["o_orderkey"], _N_BATCHES, seed=_BATCH_SEED, hash_mode="md5"
+    ).select("o_orderkey", "batch_id", "batch_pos")
 
 
 def _q_range_join_error_click(spark, sf_dir):
@@ -644,6 +660,25 @@ SELECT DISTINCT doc_id, fp FROM wm WHERE pos0 <= greatest(n - 4, 0)
     "minhash_pairs_documents": _minhash_oracle(),
     "simhash_documents": _simhash_oracle(),
     "simhash_pairs_documents": _simhash_pairs_oracle(_SH_MAX_HAMMING),
+    "chunk_documents": """
+WITH toks AS (
+  SELECT doc_id, {toks} AS t, len({toks}) AS n FROM documents),
+chunks AS (
+  SELECT doc_id, i AS chunk_idx, t[i*48+1 : i*48+64] AS c
+  FROM toks, unnest(range(0, cast(ceil(n / 48.0) AS BIGINT))) AS u(i))
+SELECT doc_id, chunk_idx::BIGINT AS chunk_idx,
+       array_to_string(c, ' ') AS chunk_text, len(c)::BIGINT AS n_tokens
+FROM chunks
+""".replace("{toks}", _TOKS),
+    "pack_batches_orders": """
+WITH h AS (
+  SELECT o_orderkey,
+         ('0x' || substr(md5(o_orderkey::VARCHAR || '#' || 7), 1, 15))::BIGINT AS hh
+  FROM orders)
+SELECT o_orderkey, (hh % 32)::BIGINT AS batch_id,
+       (row_number() OVER (PARTITION BY hh % 32 ORDER BY hh, o_orderkey) - 1)::BIGINT AS batch_pos
+FROM h
+""",
     # strategy-independent range-join oracle: plain theta join
     "range_join_error_click_events": """
 SELECT e.event_id AS err_id, c.event_id AS click_id
@@ -797,6 +832,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_documents": _q_simhash,
     "simhash_pairs_documents": _q_simhash_pairs,
     "range_join_error_click_events": _q_range_join_error_click,
+    "chunk_documents": _q_chunk_documents,
+    "pack_batches_orders": _q_pack_batches_orders,
     "cosine_topk_embeddings": _q_cosine_topk,
     "cosine_topk_lsh_embeddings": _q_cosine_topk_lsh,  # approximate: recall pytest
     "cosine_topk_ivf_embeddings": _q_cosine_topk_ivf,  # approximate: recall pytest

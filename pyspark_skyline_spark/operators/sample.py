@@ -23,11 +23,11 @@ across engines.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from pyspark_skyline_spark.operators.dedup import hash64_expr
 
-__all__ = ["sample_hash01_key", "hash_sample", "stratified_hash_sample"]
+__all__ = ["sample_hash01_key", "hash_sample", "stratified_hash_sample", "pack_batches"]
 
 _SCALE = 1 << 60  # hash64_expr(md5 mode) yields uniform [0, 2^60)
 
@@ -75,3 +75,39 @@ def stratified_hash_sample(
         else F.lit(int(default_fraction * _SCALE))
     )
     return df.filter(sample_hash01_key(key_cols, seed) < thr_expr)
+
+
+def pack_batches(
+    df: DataFrame,
+    key_cols: list[str],
+    n_batches: int,
+    seed: int = 0,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Deterministic training-batch assignment: every row gets a
+    ``batch_id`` in ``[0, n_batches)`` and a ``batch_pos`` ordering
+    within its batch — a reproducible global shuffle of the dataset
+    into batches.
+
+    Scale design: ``batch_id = pmod(hash(key, seed), n_batches)`` is a
+    pure per-row expression (no shuffle, engine-independent), and
+    ``batch_pos`` is a ``row_number`` windowed PER BATCH — n_batches
+    independent partitions, so the ranking parallelizes instead of the
+    single-task global-sort a total-order ``row_number`` would cost.
+    Batch sizes are multinomial (N/n_batches ± sqrt): exact-equal sizes
+    would require a global rank, which does not scale; training loops
+    tolerate ±1% batch-size jitter.
+
+    Deterministic for fixed keys regardless of partitioning or cluster
+    size (same property as ``hash_sample``); ``hash_mode="md5"`` makes
+    it bit-reproducible in any ANSI-SQL engine.
+    """
+    if n_batches <= 0:
+        raise ValueError("n_batches must be positive")
+    key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in key_cols])
+    h = hash64_expr(key, F.lit(seed), hash_mode)
+    with_batch = df.withColumn("batch_id", F.pmod(h, F.lit(n_batches)).cast("long"))
+    w = Window.partitionBy("batch_id").orderBy(h.asc(), *[F.col(c) for c in key_cols])
+    return with_batch.withColumn(
+        "batch_pos", (F.row_number().over(w) - 1).cast("long")
+    )

@@ -327,3 +327,57 @@ def test_range_join_timestamp_keys(spark):
         for r in range_join(pts, ivs, "t", "s", "e", bin_width=60_000_000).collect()
     }
     assert got == {(1, 10)}
+
+
+# ---------------------------------------------------------------------------
+# pack_batches / chunk_documents
+# ---------------------------------------------------------------------------
+
+def test_pack_batches_deterministic_and_dense(spark):
+    from pyspark_skyline_spark.operators.sample import pack_batches
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "k long")
+    out = pack_batches(df, ["k"], 8, seed=3).collect()
+    assert len(out) == 500
+    by_batch: dict[int, list[int]] = {}
+    for r in out:
+        by_batch.setdefault(r.batch_id, []).append(r.batch_pos)
+    assert set(by_batch) <= set(range(8))
+    # positions are dense 0..len-1 within every batch
+    for poss in by_batch.values():
+        assert sorted(poss) == list(range(len(poss)))
+    # partitioning-invariant: same assignment after a repartition
+    again = {
+        (r.k, r.batch_id, r.batch_pos)
+        for r in pack_batches(df.repartition(13), ["k"], 8, seed=3).collect()
+    }
+    assert again == {(r.k, r.batch_id, r.batch_pos) for r in out}
+    # different seed -> different shuffle
+    other = {
+        (r.k, r.batch_id) for r in pack_batches(df, ["k"], 8, seed=4).collect()
+    }
+    assert other != {(r.k, r.batch_id) for r in out}
+
+
+def test_chunk_documents_windows(spark):
+    from pyspark_skyline_spark.operators.text import chunk_documents
+
+    words = " ".join(f"t{i}" for i in range(10))
+    df = spark.createDataFrame([(1, words), (2, "solo")], "doc_id long, text string")
+    rows = sorted(
+        chunk_documents(df, "doc_id", "text", chunk_tokens=4, overlap=1).collect(),
+        key=lambda r: (r.doc_id, r.chunk_idx),
+    )
+    d1 = [r for r in rows if r.doc_id == 1]
+    # stride 3: starts at 0,3,6,9 -> windows of <=4 tokens
+    assert [r.chunk_text for r in d1] == [
+        "t0 t1 t2 t3", "t3 t4 t5 t6", "t6 t7 t8 t9", "t9",
+    ]
+    assert [r.n_tokens for r in d1] == [4, 4, 4, 1]
+    # every token covered
+    assert set(words.split()) == {t for r in d1 for t in r.chunk_text.split()}
+    d2 = [r for r in rows if r.doc_id == 2]
+    assert len(d2) == 1 and d2[0].chunk_text == "solo"
+    import pytest as _pt
+    with _pt.raises(ValueError, match="overlap"):
+        chunk_documents(df, "doc_id", "text", chunk_tokens=4, overlap=4)
