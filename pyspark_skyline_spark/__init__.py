@@ -11,7 +11,13 @@ global reduce (reference: src/jobs/batch_job.py:183-188).
 
 from pyspark_skyline_spark.kernel import find_skyline_mask, skyline_of_array
 from pyspark_skyline_spark.parser import parse_skyline_query
-from pyspark_skyline_spark.operators.skyline import skyline, skyline_antijoin, skyline_sql
+from pyspark_skyline_spark.operators.skyline import (
+    skyline,
+    skyline_antijoin,
+    skyline_layers,
+    skyline_sql,
+    windowed_skyline,
+)
 from pyspark_skyline_spark.operators.asof import asof_join
 from pyspark_skyline_spark.operators.sample import (
     hash_sample,
@@ -53,6 +59,8 @@ __all__ = [
     "skyline",
     "skyline_antijoin",
     "skyline_sql",
+    "skyline_layers",
+    "windowed_skyline",
     "asof_join",
     "range_join",
     "dedup_corpus",

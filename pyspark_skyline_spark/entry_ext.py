@@ -21,7 +21,7 @@ from pyspark_skyline_spark.operators import text as T
 from pyspark_skyline_spark.operators import topk as K
 from pyspark_skyline_spark.operators.asof import asof_join
 from pyspark_skyline_spark.operators.rangejoin import range_join
-from pyspark_skyline_spark.operators.skyline import skyline, windowed_skyline
+from pyspark_skyline_spark.operators.skyline import skyline, skyline_layers, windowed_skyline
 from pyspark_skyline_spark.oracles import skyline_oracle_sql
 from pyspark_skyline_spark.sources.tables import load_table
 
@@ -125,6 +125,15 @@ def _q_simhash_pairs(spark, sf_dir):
     return D.simhash_pairs(
         docs, "doc_id", "text", max_hamming=_SH_MAX_HAMMING, hash_mode="md5"
     ).withColumn("hamming", F.col("hamming").cast("long"))
+
+
+def _q_skyline_layers_orders(spark, sf_dir):
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    orders = load_table(spark, sf_dir, "orders")
+    out = skyline_layers(
+        orders, [("o_totalprice", "max"), ("o_orderdate", "min")], n_layers=3
+    )
+    return out.select("o_totalprice", "o_orderdate", "layer").dropDuplicates()
 
 
 def _q_chunk_documents(spark, sf_dir):
@@ -440,6 +449,44 @@ SELECT id_a, id_b, jac FROM verified WHERE jac >= {_MH_T}
 """
 
 
+
+def _skyline_layers_oracle(
+    table: str, dims: list[tuple[str, str]], n_layers: int, groups: int = 128
+) -> str:
+    """Onion-peeling oracle: per layer, the blocked two-phase skyline of
+    the remainder (same construction as ``skyline_oracle_sql``), then an
+    anti-join removes that layer's coordinate set before the next."""
+    cols = ", ".join(c for c, _ in dims)
+    le = " AND ".join(
+        f"q.{c} {'<=' if s == 'min' else '>='} p.{c}" for c, s in dims
+    )
+    lt = " OR ".join(f"q.{c} {'<' if s == 'min' else '>'} p.{c}" for c, s in dims)
+    ctes = [f"r0 AS (SELECT DISTINCT {cols} FROM {table})"]
+    selects = []
+    for i in range(1, n_layers + 1):
+        prev = f"r{i-1}"
+        ctes.append(
+            f"""b{i} AS (
+  SELECT *, (row_number() OVER (ORDER BY {cols})) % {groups} AS grp FROM {prev})"""
+        )
+        ctes.append(
+            f"""loc{i} AS (
+  SELECT {cols} FROM b{i} p WHERE NOT EXISTS (
+    SELECT 1 FROM b{i} q WHERE q.grp = p.grp AND {le} AND ({lt})))"""
+        )
+        ctes.append(
+            f"""s{i} AS (
+  SELECT {cols} FROM loc{i} p WHERE NOT EXISTS (
+    SELECT 1 FROM loc{i} q WHERE {le} AND ({lt})))"""
+        )
+        if i < n_layers:
+            ctes.append(
+                f"r{i} AS (SELECT {cols} FROM {prev} ANTI JOIN s{i} USING ({cols}))"
+            )
+        selects.append(f"SELECT {cols}, {i}::BIGINT AS layer FROM s{i}")
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
 def _simhash_sig_sql(bits: int = 60) -> str:
     """CTE body computing (doc_id, simhash_lo, simhash_hi) exactly as
     ``dedup.simhash(hash_mode='md5')``: one md5-derived 60-bit hash per
@@ -670,6 +717,9 @@ SELECT doc_id, chunk_idx::BIGINT AS chunk_idx,
        array_to_string(c, ' ') AS chunk_text, len(c)::BIGINT AS n_tokens
 FROM chunks
 """.replace("{toks}", _TOKS),
+    "skyline_layers_orders": _skyline_layers_oracle(
+        "orders", [("o_totalprice", "max"), ("o_orderdate", "min")], 3
+    ),
     "pack_batches_orders": """
 WITH h AS (
   SELECT o_orderkey,
@@ -833,6 +883,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_pairs_documents": _q_simhash_pairs,
     "range_join_error_click_events": _q_range_join_error_click,
     "chunk_documents": _q_chunk_documents,
+    "skyline_layers_orders": _q_skyline_layers_orders,
     "pack_batches_orders": _q_pack_batches_orders,
     "cosine_topk_embeddings": _q_cosine_topk,
     "cosine_topk_lsh_embeddings": _q_cosine_topk_lsh,  # approximate: recall pytest

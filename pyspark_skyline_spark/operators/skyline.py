@@ -40,7 +40,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark_skyline_spark.kernel import find_skyline_mask
 from pyspark_skyline_spark.parser import parse_skyline_query
 
-__all__ = ["skyline", "skyline_sql", "skyline_antijoin", "ALGORITHMS"]
+__all__ = ["skyline", "skyline_sql", "skyline_antijoin", "skyline_layers", "windowed_skyline", "ALGORITHMS"]
 
 ALGORITHMS = ("MR_DIM", "MR_DIM_Q", "MR_GRID", "MR_ANGLE", "auto")
 
@@ -494,3 +494,48 @@ def skyline_sql(df: DataFrame, query: str, **kwargs) -> DataFrame:
     MIN, b MAX")`` (grammar of src/utils/functions.py:303-333, plus
     column-name validation)."""
     return skyline(df, parse_skyline_query(query), **kwargs)
+
+
+def skyline_layers(
+    df: DataFrame,
+    dims,
+    n_layers: int = 3,
+    algo: str = "auto",
+    **skyline_kwargs,
+) -> DataFrame:
+    """Onion-peeling skyline layers: layer 1 is the skyline, layer i the
+    skyline of the input with layers 1..i-1 removed — the classic
+    layered-frontier decomposition (top-tier / next-tier ranking
+    without a scoring function; the iterative extension of the
+    reference's single-layer operator).
+
+    Driver loop of ``n_layers`` skyline passes; each peel removes the
+    current frontier with a broadcast anti-join on the dimension
+    columns (a frontier is small relative to its dataset — broadcasting
+    it is the scale-correct join side). The shrinking remainder is
+    localCheckpointed per round so plan depth stays O(1) per layer
+    instead of O(layers) nested anti-joins.
+
+    Returns the rows of the first ``n_layers`` layers with a ``layer``
+    column (1-based). Rows tied on all dimension columns land in the
+    same layer (dominance treats all-equal as incomparable).
+    """
+    if n_layers <= 0:
+        raise ValueError("n_layers must be positive")
+    dims_n = _normalize_dims(dims)
+    dim_cols = [c for c, _ in dims_n]
+    remainder = df
+    out: DataFrame | None = None
+    for layer in range(1, n_layers + 1):
+        front = skyline(remainder, dims_n, algo=algo, **skyline_kwargs)
+        tagged = front.withColumn("layer", F.lit(layer).cast("long"))
+        out = tagged if out is None else out.unionByName(tagged)
+        if layer == n_layers:
+            break
+        # remove every row coordinate-tied with a frontier member: the
+        # next layer is the skyline of what remains
+        keys = front.select(*dim_cols).dropDuplicates()
+        remainder = remainder.join(
+            F.broadcast(keys), dim_cols, "left_anti"
+        ).localCheckpoint(eager=False)
+    return out

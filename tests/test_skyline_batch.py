@@ -223,3 +223,31 @@ def test_single_cell_salting_still_exact(spark, sf_dir):
             .collect()
         }
         assert got == want, algo
+
+
+def test_skyline_layers_properties(spark):
+    """layer 1 == skyline; layers partition their union; every layer-i
+    point is dominated by some layer-(i-1) point (onion property)."""
+    import random
+
+    from pyspark_skyline_spark.operators.skyline import skyline, skyline_layers
+
+    rng = random.Random(9)
+    rows = [(i, rng.randrange(100), rng.randrange(100)) for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    dims = [("x", "min"), ("y", "min")]
+    out = skyline_layers(df, dims, n_layers=3).collect()
+    by_layer = {}
+    for r in out:
+        by_layer.setdefault(r.layer, set()).add((r.x, r.y))
+    sky = {(r.x, r.y) for r in skyline(df, dims).collect()}
+    assert by_layer[1] == sky
+    assert not (by_layer[1] & by_layer[2]) and not (by_layer[2] & by_layer.get(3, set()))
+
+    def dominated(p, q):
+        return q[0] <= p[0] and q[1] <= p[1] and (q[0] < p[0] or q[1] < p[1])
+
+    for i in (2, 3):
+        for p in by_layer.get(i, ()):
+            assert any(dominated(p, q) for q in by_layer[i - 1])
+            assert not any(dominated(p, q) for q in by_layer[i])
