@@ -22,6 +22,7 @@ from pyspark_skyline_spark.operators.asof import asof_join
 from pyspark_skyline_spark.operators.sample import (
     hash_sample,
     pack_batches,
+    sessionize,
     stratified_hash_sample,
 )
 from pyspark_skyline_spark.operators.dedup import (
@@ -69,6 +70,7 @@ __all__ = [
     "hash_sample",
     "stratified_hash_sample",
     "pack_batches",
+    "sessionize",
     "chunk_documents",
     "dedup_exact",
     "minhash_lsh_pairs",

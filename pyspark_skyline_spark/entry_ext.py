@@ -127,6 +127,14 @@ def _q_simhash_pairs(spark, sf_dir):
     ).withColumn("hamming", F.col("hamming").cast("long"))
 
 
+def _q_sessionize_events(spark, sf_dir):
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events")
+    return SA.sessionize(ev, "user_id", "ts", gap="30 minutes").select(
+        "event_id", "user_id", "session_id"
+    )
+
+
 def _q_skyline_layers_orders(spark, sf_dir):
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     orders = load_table(spark, sf_dir, "orders")
@@ -717,6 +725,20 @@ SELECT doc_id, chunk_idx::BIGINT AS chunk_idx,
        array_to_string(c, ' ') AS chunk_text, len(c)::BIGINT AS n_tokens
 FROM chunks
 """.replace("{toks}", _TOKS),
+    # gaps-and-islands: lag marks session starts, running sum numbers them
+    "sessionize_events": """
+WITH flagged AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts))
+SELECT event_id, user_id,
+       (sum(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) - 1)::BIGINT AS session_id
+FROM flagged
+""",
     "skyline_layers_orders": _skyline_layers_oracle(
         "orders", [("o_totalprice", "max"), ("o_orderdate", "min")], 3
     ),
@@ -884,6 +906,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_join_error_click_events": _q_range_join_error_click,
     "chunk_documents": _q_chunk_documents,
     "skyline_layers_orders": _q_skyline_layers_orders,
+    "sessionize_events": _q_sessionize_events,
     "pack_batches_orders": _q_pack_batches_orders,
     "cosine_topk_embeddings": _q_cosine_topk,
     "cosine_topk_lsh_embeddings": _q_cosine_topk_lsh,  # approximate: recall pytest

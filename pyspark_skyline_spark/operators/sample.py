@@ -27,7 +27,7 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from pyspark_skyline_spark.operators.dedup import hash64_expr
 
-__all__ = ["sample_hash01_key", "hash_sample", "stratified_hash_sample", "pack_batches"]
+__all__ = ["sample_hash01_key", "hash_sample", "stratified_hash_sample", "pack_batches", "sessionize"]
 
 _SCALE = 1 << 60  # hash64_expr(md5 mode) yields uniform [0, 2^60)
 
@@ -110,4 +110,41 @@ def pack_batches(
     w = Window.partitionBy("batch_id").orderBy(h.asc(), *[F.col(c) for c in key_cols])
     return with_batch.withColumn(
         "batch_pos", (F.row_number().over(w) - 1).cast("long")
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    gap: str = "30 minutes",
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Inactivity-gap sessionization: within each user's event stream
+    (ordered by time), a new session starts whenever the gap from the
+    previous event exceeds ``gap``. Adds ``session_col`` = a per-user
+    0-based session index.
+
+    The classic gaps-and-islands computation as two window functions
+    over ONE shuffle (both windows partition by user): ``lag`` marks
+    session starts, a running ``sum`` of the start flags numbers them.
+    Sessions parallelize per user — no global ordering anywhere.
+    Deterministic given unique (user, ts) pairs; ties on ts order by
+    timestamp only (same-instant events share a session regardless of
+    input order).
+    """
+    import pandas as pd
+
+    gap_micros = F.lit(int(pd.Timedelta(gap).total_seconds() * 1_000_000))
+    t = F.unix_micros(F.col(ts_col))
+    order = Window.partitionBy(user_col).orderBy(t.asc())
+    prev = F.lag(t).over(order)
+    is_start = F.when(
+        prev.isNull() | ((t - prev) > gap_micros), F.lit(1)
+    ).otherwise(F.lit(0))
+    running = Window.partitionBy(user_col).orderBy(t.asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return df.withColumn(
+        session_col, (F.sum(is_start).over(running) - 1).cast("long")
     )

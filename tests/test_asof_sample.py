@@ -381,3 +381,35 @@ def test_chunk_documents_windows(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="overlap"):
         chunk_documents(df, "doc_id", "text", chunk_tokens=4, overlap=4)
+
+
+def test_sessionize_gap_semantics(spark):
+    from pyspark.sql import functions as F
+    from pyspark_skyline_spark.operators.sample import sessionize
+
+    rows = [
+        (1, 1, "2024-01-01 10:00:00"),
+        (2, 1, "2024-01-01 10:10:00"),   # within 30m -> session 0
+        (3, 1, "2024-01-01 11:00:00"),   # 50m gap -> session 1
+        (4, 1, "2024-01-01 11:29:59"),   # within -> session 1
+        (5, 1, "2024-01-01 12:00:00"),   # 30m01s gap -> session 2
+        (6, 2, "2024-01-01 10:05:00"),   # other user -> own session 0
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, t string").select(
+        "event_id", "user_id", F.col("t").cast("timestamp").alias("ts")
+    )
+    got = {
+        (r.event_id, r.session_id)
+        for r in sessionize(df, "user_id", "ts", gap="30 minutes").collect()
+    }
+    assert got == {(1, 0), (2, 0), (3, 1), (4, 1), (5, 2), (6, 0)}
+    # exactly-at-gap boundary stays in the same session (> gap starts new)
+    df2 = spark.createDataFrame(
+        [(1, 1, "2024-01-01 10:00:00"), (2, 1, "2024-01-01 10:30:00")],
+        "event_id long, user_id long, t string",
+    ).select("event_id", "user_id", F.col("t").cast("timestamp").alias("ts"))
+    got2 = {
+        (r.event_id, r.session_id)
+        for r in sessionize(df2, "user_id", "ts", gap="30 minutes").collect()
+    }
+    assert got2 == {(1, 0), (2, 0)}
