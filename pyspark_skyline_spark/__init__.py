@@ -19,6 +19,7 @@ from pyspark_skyline_spark.operators.skyline import (
     windowed_skyline,
 )
 from pyspark_skyline_spark.operators.asof import asof_join
+from pyspark_skyline_spark.operators.skyband import k_skyband
 from pyspark_skyline_spark.operators.sample import (
     hash_sample,
     pack_batches,
@@ -61,6 +62,7 @@ __all__ = [
     "skyline_antijoin",
     "skyline_sql",
     "skyline_layers",
+    "k_skyband",
     "windowed_skyline",
     "asof_join",
     "range_join",

@@ -21,6 +21,7 @@ from pyspark_skyline_spark.operators import text as T
 from pyspark_skyline_spark.operators import topk as K
 from pyspark_skyline_spark.operators.asof import asof_join
 from pyspark_skyline_spark.operators.rangejoin import range_join
+from pyspark_skyline_spark.operators.skyband import k_skyband
 from pyspark_skyline_spark.operators.skyline import skyline, skyline_layers, windowed_skyline
 from pyspark_skyline_spark.oracles import skyline_oracle_sql
 from pyspark_skyline_spark.sources.tables import load_table
@@ -125,6 +126,15 @@ def _q_simhash_pairs(spark, sf_dir):
     return D.simhash_pairs(
         docs, "doc_id", "text", max_hamming=_SH_MAX_HAMMING, hash_mode="md5"
     ).withColumn("hamming", F.col("hamming").cast("long"))
+
+
+def _q_k_skyband_part(spark, sf_dir):
+    part = load_table(spark, sf_dir, "part")
+    return (
+        k_skyband(part, [("p_retailprice", "min"), ("p_size", "min")], k=3)
+        .select("p_retailprice", "p_size", "n_dominators")
+        .dropDuplicates()
+    )
 
 
 def _q_sessionize_events(spark, sf_dir):
@@ -725,6 +735,16 @@ SELECT doc_id, chunk_idx::BIGINT AS chunk_idx,
        array_to_string(c, ' ') AS chunk_text, len(c)::BIGINT AS n_tokens
 FROM chunks
 """.replace("{toks}", _TOKS),
+    # strategy-independent k-skyband oracle: exact dominator-count subquery
+    "k_skyband_part": """
+SELECT DISTINCT p_retailprice, p_size, cnt::BIGINT AS n_dominators FROM (
+  SELECT p.p_retailprice, p.p_size,
+         (SELECT count(*) FROM part q
+          WHERE q.p_retailprice <= p.p_retailprice AND q.p_size <= p.p_size
+            AND (q.p_retailprice < p.p_retailprice OR q.p_size < p.p_size)) AS cnt
+  FROM part p)
+WHERE cnt < 3
+""",
     # gaps-and-islands: lag marks session starts, running sum numbers them
     "sessionize_events": """
 WITH flagged AS (
@@ -907,6 +927,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_documents": _q_chunk_documents,
     "skyline_layers_orders": _q_skyline_layers_orders,
     "sessionize_events": _q_sessionize_events,
+    "k_skyband_part": _q_k_skyband_part,
     "pack_batches_orders": _q_pack_batches_orders,
     "cosine_topk_embeddings": _q_cosine_topk,
     "cosine_topk_lsh_embeddings": _q_cosine_topk_lsh,  # approximate: recall pytest
