@@ -128,6 +128,27 @@ def _q_simhash_pairs(spark, sf_dir):
     ).withColumn("hamming", F.col("hamming").cast("long"))
 
 
+def _q_rolling_stats_events(spark, sf_dir):
+    # analytic window FRAMES (rank/lead-lag are covered elsewhere): per
+    # user, ordered by time, stats over the trailing 5-row frame.
+    # Deliberately min/max/count only - no float accumulation to
+    # disagree on across engines.
+    from pyspark.sql import Window
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    frame = w.rowsBetween(-4, Window.currentRow)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(frame).cast("long").alias("n_in_frame"),
+        F.min("value").over(frame).alias("min_value"),
+        F.max("value").over(frame).alias("max_value"),
+        F.lag("value", 1).over(w).alias("prev_value"),
+    )
+
+
 def _q_k_skyband_part(spark, sf_dir):
     part = load_table(spark, sf_dir, "part")
     return (
@@ -735,6 +756,17 @@ SELECT doc_id, chunk_idx::BIGINT AS chunk_idx,
        array_to_string(c, ' ') AS chunk_text, len(c)::BIGINT AS n_tokens
 FROM chunks
 """.replace("{toks}", _TOKS),
+    "rolling_stats_events": """
+SELECT event_id, user_id,
+       count(*) OVER frame::BIGINT AS n_in_frame,
+       min(value) OVER frame AS min_value,
+       max(value) OVER frame AS max_value,
+       lag(value, 1) OVER w AS prev_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+       frame AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+""",
     # strategy-independent k-skyband oracle: exact dominator-count subquery
     "k_skyband_part": """
 SELECT DISTINCT p_retailprice, p_size, cnt::BIGINT AS n_dominators FROM (
@@ -928,6 +960,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "skyline_layers_orders": _q_skyline_layers_orders,
     "sessionize_events": _q_sessionize_events,
     "k_skyband_part": _q_k_skyband_part,
+    "rolling_stats_events": _q_rolling_stats_events,
     "pack_batches_orders": _q_pack_batches_orders,
     "cosine_topk_embeddings": _q_cosine_topk,
     "cosine_topk_lsh_embeddings": _q_cosine_topk_lsh,  # approximate: recall pytest

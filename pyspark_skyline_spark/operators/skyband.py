@@ -37,10 +37,11 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
 
+import math
+
 from pyspark_skyline_spark.operators.skyline import (
     _bucket,
     _compute_bounds,
-    _default_param,
     _minspace_exprs,
     _normalize_dims,
 )
@@ -94,7 +95,13 @@ def k_skyband(
     dims = _normalize_dims(dims)
     d = len(dims)
     spark = df.sparkSession
-    b = partitions or _default_param("MR_GRID", d, spark.sparkContext.defaultParallelism)
+    # Grid base sized for COUNTING, not skyline pruning: target ~4x
+    # parallelism cells total. Finer grids shrink per-cell work but the
+    # partial shell (and the audit shuffle) grows ~linearly with b, so
+    # over-partitioning costs more than it saves.
+    b = partitions or max(
+        2, math.ceil((4 * spark.sparkContext.defaultParallelism) ** (1.0 / d))
+    )
 
     df = df.filter(F.expr(" AND ".join(f"`{c}` IS NOT NULL" for c, _ in dims)))
     bounds = _compute_bounds(df, dims)
