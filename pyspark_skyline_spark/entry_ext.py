@@ -281,6 +281,50 @@ def _q_stream_window_stats_orders(spark, sf_dir):
     )
 
 
+def _q_stream_session_stats_events(spark, sf_dir):
+    # session windows (F.session_window) through the real streaming
+    # engine: per user, events closer than 4h merge into one session
+    # [first_ts, last_ts + 4h); append mode emits exactly the sessions
+    # closed by the final watermark (max ts - 1h after the single data
+    # batch), so a gaps-and-islands batch SQL oracle reproduces the set
+    import os
+    import uuid
+
+    from pyspark_skyline_spark.streaming.watermark import session_stream_stats
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
+    static = spark.read.parquet(path)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", os.path.basename(path))
+        .parquet(os.path.dirname(path))
+    )
+    if dict(static.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000").cast("long"))
+        )
+    out = session_stream_stats(
+        stream.select("ts", "user_id"), "ts", "user_id", gap="4 hours", delay="1 hour"
+    )
+    name = f"wm_sess_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "session_start",
+        "session_end",
+        "user_id",
+        F.col("n_rows").cast("long").alias("n_rows"),
+    )
+
+
 def _q_multimodal_frames(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     blobs = M.with_blob(docs, "text")
@@ -896,6 +940,26 @@ FROM w, m
 GROUP BY window_start, wm
 HAVING window_start + INTERVAL 30 DAY <= wm
 """,
+    "stream_session_stats_events": """
+WITH lg AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts >= lag(ts) OVER w + INTERVAL 4 HOUR THEN 1 ELSE 0 END AS brk
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s AS (
+  SELECT user_id, ts,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM lg),
+agg AS (
+  SELECT user_id, min(ts) AS session_start,
+         max(ts) + INTERVAL 4 HOUR AS session_end,
+         CAST(count(*) AS BIGINT) AS n_rows
+  FROM s GROUP BY user_id, sid),
+m AS (SELECT max(ts) - INTERVAL 1 HOUR AS wm FROM events)
+SELECT session_start, session_end, user_id, n_rows FROM agg, m
+WHERE session_end <= wm
+""",
     "stream_skyline_orders": skyline_oracle_sql(
         "orders", [("o_totalprice", "max"), ("o_orderdate", "min")]
     ),
@@ -977,6 +1041,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "distinct_users_by_type": _q_distinct_users_by_type,
     "stream_skyline_orders": _q_stream_skyline_orders,
     "stream_window_stats_orders": _q_stream_window_stats_orders,
+    "stream_session_stats_events": _q_stream_session_stats_events,
     "skyline_orders_by_status": _q_skyline_by_status,
     "join_skyline_customer_nation": _q_join_skyline_customer_nation,
     "asof_error_click_events": _q_asof_error_click,

@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["watermarked_dedup", "windowed_stream_stats"]
+__all__ = ["watermarked_dedup", "windowed_stream_stats", "sliding_stream_stats", "session_stream_stats"]
 
 
 def watermarked_dedup(
@@ -82,5 +82,69 @@ def windowed_stream_stats(
             "sum_value",
             "min_value",
             "max_value",
+        )
+    )
+
+
+def sliding_stream_stats(
+    stream_df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    window_duration: str = "1 hour",
+    slide: str = "15 minutes",
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Sliding-window streaming aggregation (append mode): every event
+    contributes to ``duration/slide`` overlapping windows; a window
+    emits once, when the watermark closes it. Same bounded-state /
+    late-data-drop semantics as ``windowed_stream_stats`` — the
+    tumbling op is the ``slide == duration`` special case.
+
+    count/min/max only (no float accumulation), so a batch SQL oracle
+    reproduces the emitted rows bit-for-bit.
+    """
+    w = F.window(F.col(ts_col), window_duration, slide)
+    return (
+        stream_df.withWatermark(ts_col, delay)
+        .groupBy(w.alias("__w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min(F.col(value_col)).alias("min_value"),
+            F.max(F.col(value_col)).alias("max_value"),
+        )
+        .select(
+            F.col("__w.start").alias("window_start"),
+            F.col("__w.end").alias("window_end"),
+            "n_rows",
+            "min_value",
+            "max_value",
+        )
+    )
+
+
+def session_stream_stats(
+    stream_df: DataFrame,
+    ts_col: str,
+    by: str,
+    gap: str = "30 minutes",
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Session-window streaming aggregation (``F.session_window``,
+    append mode): per ``by`` key, events closer than ``gap`` merge into
+    one session whose window is [first_ts, last_ts + gap); the session
+    emits once the watermark passes its close. The streaming-native
+    equivalent of the batch ``sessionize`` operator (which numbers
+    sessions instead of windowing them).
+    """
+    w = F.session_window(F.col(ts_col), gap)
+    return (
+        stream_df.withWatermark(ts_col, delay)
+        .groupBy(w.alias("__w"), F.col(by))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            F.col("__w.start").alias("session_start"),
+            F.col("__w.end").alias("session_end"),
+            by,
+            "n_rows",
         )
     )

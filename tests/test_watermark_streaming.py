@@ -11,6 +11,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from pyspark_skyline_spark.streaming.watermark import (
+    session_stream_stats,
+    sliding_stream_stats,
     watermarked_dedup,
     windowed_stream_stats,
 )
@@ -145,3 +147,68 @@ def test_windowed_stats_matches_batch_for_closed_windows(spark, tmp_path):
     assert got <= want_all
     # and all closed windows did emit (only the final window may be open)
     assert len(got) >= len(want_all) - 1
+
+
+def test_sliding_stats_overlapping_windows_match_batch(spark, tmp_path):
+    # 1h windows sliding by 30min: each event lands in 2 windows
+    b0 = [(1, _t(10), 10), (2, _t(40), 20), (3, _t(70), 30)]
+    b1 = [(4, _t(600), 40)]  # advances watermark far past all of b0
+    src = _write_batches(spark, str(tmp_path), [b0, b1])
+    out = sliding_stream_stats(
+        _stream(spark, src),
+        "ts",
+        "v",
+        window_duration="1 hour",
+        slide="30 minutes",
+        delay="10 minutes",
+    )
+    _run_to_memory(out, "wm_slide")
+    got = {
+        (str(r.window_start), r.n_rows, r.min_value, r.max_value)
+        for r in spark.sql("SELECT * FROM wm_slide").collect()
+    }
+    static = spark.createDataFrame(b0 + b1, SCHEMA)
+    want_all = {
+        (str(r.window_start), r.n_rows, r.min_value, r.max_value)
+        for r in (
+            static.groupBy(F.window("ts", "1 hour", "30 minutes").alias("__w"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.min("v").alias("min_value"),
+                F.max("v").alias("max_value"),
+            )
+            .select(
+                F.col("__w.start").alias("window_start"),
+                "n_rows",
+                "min_value",
+                "max_value",
+            )
+            .collect()
+        )
+    }
+    assert got <= want_all
+    # all four closed windows over b0 emitted (event @10min is in the
+    # [-30,30) and [0,60) windows; @40 in [0,60)+[30,90); @70 in
+    # [30,90)+[60,120)) — only the final windows around t=600 stay open
+    closed = {t for t in want_all if "10:" not in t[0]}
+    assert len(got) >= len(closed) - 2
+
+
+def test_session_stats_gap_merge(spark, tmp_path):
+    # user 1: events at 0,10,20 (one session), then 100 (new session);
+    # user 2: single event at 5
+    b0 = [(1, _t(0), 0), (1, _t(10), 0), (1, _t(20), 0), (2, _t(5), 0)]
+    b1 = [(1, _t(100), 0)]
+    b2 = [(9, _t(600), 0)]  # close everything
+    src = _write_batches(spark, str(tmp_path), [b0, b1, b2])
+    out = session_stream_stats(
+        _stream(spark, src), "ts", "k", gap="30 minutes", delay="10 minutes"
+    )
+    _run_to_memory(out, "wm_sess")
+    rows = spark.sql("SELECT * FROM wm_sess").collect()
+    got = {(r.k, str(r.session_start), str(r.session_end), r.n_rows) for r in rows}
+    # user 1 session A: [0, 20+30) with 3 rows; session B: [100, 130) 1 row
+    assert (1, "2024-01-01 00:00:00", "2024-01-01 00:50:00", 3) in got
+    assert (1, "2024-01-01 01:40:00", "2024-01-01 02:10:00", 1) in got
+    # user 2: single-event session [5, 35)
+    assert (2, "2024-01-01 00:05:00", "2024-01-01 00:35:00", 1) in got
