@@ -443,7 +443,10 @@ def _q_asof_error_click(spark, sf_dir):
     return res.select(
         F.col("event_id").alias("err_id"),
         F.col("click_event_id").alias("click_id"),
-        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("click_ts"))).alias("gap_us"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("click_ts").cast("timestamp"))
+        ).alias("gap_us"),
     )
 
 

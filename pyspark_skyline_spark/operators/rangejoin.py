@@ -46,10 +46,10 @@ def range_key(df: DataFrame, col: str) -> Column:
     in these units)."""
     dt = df.schema[col].dataType
     if isinstance(dt, (TimestampType, TimestampNTZType)):
-        # unix_micros, not a double cast: TIMESTAMP_NTZ does not cast
-        # to double under ANSI mode (Spark 4), and micros keep exact
-        # integer arithmetic
-        return F.unix_micros(F.col(col))
+        # unix_micros over a timestamp cast: TIMESTAMP_NTZ neither casts
+        # to double nor feeds unix_micros directly (Spark 4 requires
+        # TIMESTAMP), and micros keep exact integer arithmetic
+        return F.unix_micros(F.col(col).cast("timestamp"))
     if isinstance(dt, DateType):
         return F.datediff(F.col(col), F.lit("1970-01-01").cast("date"))
     return F.col(col)

@@ -136,7 +136,7 @@ def sessionize(
     import pandas as pd
 
     gap_micros = F.lit(int(pd.Timedelta(gap).total_seconds() * 1_000_000))
-    t = F.unix_micros(F.col(ts_col))
+    t = F.unix_micros(F.col(ts_col).cast("timestamp"))
     order = Window.partitionBy(user_col).orderBy(t.asc())
     prev = F.lag(t).over(order)
     is_start = F.when(
