@@ -128,29 +128,41 @@ def main() -> None:
     # a 32-thread single-JVM local mode are noisy (JIT tiers, GC, AQE
     # stage-size decisions); the min is the standard steady-state
     # estimator and is what a warmed long-running cluster would see
+    # Per-query fault isolation: one query's exception must never kill
+    # the whole run (round 1 lost ALL bench evidence to a single
+    # AnalysisException). Failing queries are recorded under "errors"
+    # and excluded from the total; the final JSON line always prints.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for _pass in range(2):
         for name, fn in sorted(entry.queries().items()):
+            if name in errors:
+                continue
             t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            n = df.count()
+            try:
+                df = fn(spark, sf_dir)
+                n = df.count()
+            except Exception as exc:
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                timings.pop(name, None)
+                print(f"# pass{_pass} {name}: ERROR {errors[name]}", file=sys.stderr)
+                continue
             dt = round(time.perf_counter() - t0, 3)
             if name not in timings or dt < timings[name]:
                 timings[name] = dt
             print(f"# pass{_pass} {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total wall-clock of headline queries",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "total wall-clock of headline queries",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        payload["errors"] = errors
+    print(json.dumps(payload))
     spark.stop()
 
 

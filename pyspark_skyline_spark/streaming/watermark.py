@@ -28,6 +28,31 @@ from pyspark.sql import DataFrame, functions as F
 __all__ = ["watermarked_dedup", "windowed_stream_stats", "sliding_stream_stats", "session_stream_stats"]
 
 
+def _with_event_time(stream_df: DataFrame, ts_col: str) -> DataFrame:
+    """Normalize the event-time column to TIMESTAMP before ``withWatermark``.
+
+    Spark requires the watermark column to be TIMESTAMP; parquet files
+    written with NTZ semantics (as the driver's testdata is) read back as
+    TIMESTAMP_NTZ and raise EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE. The cast
+    interprets NTZ wall-clock values in the *session timezone* — callers
+    should pin ``spark.sql.session.timeZone=UTC`` (the repo's entry points
+    do) or accept local-time semantics. Non-timestamp types (string, long)
+    are rejected rather than implicitly parsed, so a schema mistake fails
+    loudly instead of producing epoch-seconds surprises.
+    """
+    dtype = dict(stream_df.dtypes).get(ts_col)
+    if dtype is None:
+        raise ValueError(f"event-time column {ts_col!r} not found in {stream_df.columns}")
+    if dtype == "timestamp":
+        return stream_df
+    if dtype in ("timestamp_ntz", "date"):
+        return stream_df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    raise TypeError(
+        f"event-time column {ts_col!r} has type {dtype}; expected "
+        "timestamp/timestamp_ntz/date (cast explicitly if it is a string or epoch number)"
+    )
+
+
 def watermarked_dedup(
     stream_df: DataFrame,
     keys: list[str],
@@ -44,6 +69,7 @@ def watermarked_dedup(
     without the event-time column in the subset never expires state —
     the reference's exact bug, stream_job.py:180).
     """
+    stream_df = _with_event_time(stream_df, ts_col)
     return stream_df.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(keys)
 
 
@@ -63,6 +89,7 @@ def windowed_stream_stats(
     Integer-friendly aggregates so a batch oracle can hash-match the
     emitted rows.
     """
+    stream_df = _with_event_time(stream_df, ts_col)
     by = list(by or ())
     w = F.window(F.col(ts_col), window_duration)
     return (
@@ -103,6 +130,7 @@ def sliding_stream_stats(
     count/min/max only (no float accumulation), so a batch SQL oracle
     reproduces the emitted rows bit-for-bit.
     """
+    stream_df = _with_event_time(stream_df, ts_col)
     w = F.window(F.col(ts_col), window_duration, slide)
     return (
         stream_df.withWatermark(ts_col, delay)
@@ -136,6 +164,7 @@ def session_stream_stats(
     equivalent of the batch ``sessionize`` operator (which numbers
     sessions instead of windowing them).
     """
+    stream_df = _with_event_time(stream_df, ts_col)
     w = F.session_window(F.col(ts_col), gap)
     return (
         stream_df.withWatermark(ts_col, delay)
