@@ -59,13 +59,21 @@ _SKYLINE_QUERIES: dict[str, tuple[str, list[tuple[str, str]], str]] = {
 }
 
 
-def _make_skyline_query(table: str, dims, algo: str):
+def _make_skyline_query(table: str, dims, algo: str, via_sql: bool = False):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         # timestamp results must collect in UTC to match DuckDB's naive
         # timestamps regardless of the harness session's zone
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = load_table(spark, sf_dir, table)
         cols = [c for c, _ in dims]
+        if via_sql:
+            # K11 parser front door (parser.py): dims travel through the
+            # reference's query grammar instead of a Python list, so the
+            # driver row also grades the parser
+            query = "SKYLINE OF " + ", ".join(f"{c} {s.upper()}" for c, s in dims)
+            from pyspark_skyline_spark import skyline_sql
+
+            return skyline_sql(df, query, algo=algo).select(*cols).dropDuplicates()
         return skyline(df, dims, algo=algo).select(*cols).dropDuplicates()
 
     return run
@@ -80,7 +88,11 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name, (table, dims, algo) in _SKYLINE_QUERIES.items():
-        out[name] = _make_skyline_query(table, dims, algo)
+        # skyline_part_dim goes through the SKYLINE OF query-string front
+        # door so the K11 parser gets a graded driver row (same result)
+        out[name] = _make_skyline_query(
+            table, dims, algo, via_sql=(name == "skyline_part_dim")
+        )
     from pyspark_skyline_spark.entry_ext import ext_queries
 
     out.update(ext_queries())

@@ -48,7 +48,10 @@ def range_key(df: DataFrame, col: str) -> Column:
     if isinstance(dt, (TimestampType, TimestampNTZType)):
         # unix_micros over a timestamp cast: TIMESTAMP_NTZ neither casts
         # to double nor feeds unix_micros directly (Spark 4 requires
-        # TIMESTAMP), and micros keep exact integer arithmetic
+        # TIMESTAMP), and micros keep exact integer arithmetic. NTZ
+        # wall-clock values are interpreted in the session timezone —
+        # pin spark.sql.session.timeZone=UTC (as the repo's entry points
+        # do) so range arithmetic is DST-proof.
         return F.unix_micros(F.col(col).cast("timestamp"))
     if isinstance(dt, DateType):
         return F.datediff(F.col(col), F.lit("1970-01-01").cast("date"))

@@ -132,9 +132,21 @@ def sessionize(
     Deterministic given unique (user, ts) pairs; ties on ts order by
     timestamp only (same-instant events share a session regardless of
     input order).
+
+    ``ts_col`` must be a timestamp/timestamp_ntz/date column —
+    string/numeric columns are rejected rather than implicitly parsed.
+    TIMESTAMP_NTZ wall-clock values are interpreted in the session
+    timezone (pin ``spark.sql.session.timeZone=UTC``, as the repo's
+    entry points do, for timezone/DST-proof gap arithmetic).
     """
     import pandas as pd
 
+    dtype = dict(df.dtypes).get(ts_col)
+    if dtype not in ("timestamp", "timestamp_ntz", "date"):
+        raise TypeError(
+            f"sessionize ts_col {ts_col!r} has type {dtype}; expected "
+            "timestamp/timestamp_ntz/date (cast explicitly if it is a string or epoch number)"
+        )
     gap_micros = F.lit(int(pd.Timedelta(gap).total_seconds() * 1_000_000))
     t = F.unix_micros(F.col(ts_col).cast("timestamp"))
     order = Window.partitionBy(user_col).orderBy(t.asc())

@@ -180,11 +180,18 @@ def _grid_surviving_cells(keyed: DataFrame, b: int, d: int) -> list[int]:
     combined) + an O(ncells^2) driver check replaces it; the filter
     stays a pure Catalyst ``isin``.
     """
+    cells = [r[0] for r in keyed.select(_CELL).distinct().collect()]
+    return _surviving_cell_ids(cells, b, d)
+
+
+def _surviving_cell_ids(cells: list[int], b: int, d: int) -> list[int]:
+    """Cell ids NOT strictly dominated by any other id in ``cells``
+    (digit-wise strict domination in min-space; see
+    ``_grid_surviving_cells``)."""
     import numpy as np
 
-    cells = [r[0] for r in keyed.select(_CELL).distinct().collect()]
     if not cells:
-        return cells
+        return []
     ids = np.asarray(cells, dtype=np.int64)
     digits = np.empty((len(ids), d), dtype=np.int64)
     rem = ids.copy()
@@ -197,6 +204,40 @@ def _grid_surviving_cells(keyed: DataFrame, b: int, d: int) -> list[int]:
         if not dominated:
             survivors.append(int(cid))
     return survivors
+
+
+def _grid_prune_grouped(
+    keyed: DataFrame, b: int, d: int, by: list[str], max_census: int = 65536
+) -> DataFrame:
+    """Per-group dominated-cell prune for grouped skylines: the census
+    is the distinct (by..., cell) set, survivors are computed per group
+    on the driver, and the filter is a broadcast LEFT SEMI join on
+    (by..., cell) — the grouped analogue of the ungrouped ``isin``.
+
+    The ungrouped census is bounded by ``b**d`` by construction, but the
+    grouped census grows with the number of groups, so it is only
+    collected when it fits under ``max_census`` rows (checked with a
+    ``limit(n+1)`` probe, never an unbounded collect); past the cap the
+    prune is skipped — correct either way, pruning is an optimization.
+    """
+    from collections import defaultdict
+
+    census = keyed.select(*by, _CELL).distinct()
+    rows = census.limit(max_census + 1).collect()
+    if len(rows) > max_census:
+        return keyed
+    groups: dict[tuple, list[int]] = defaultdict(list)
+    for r in rows:
+        groups[tuple(r[c] for c in by)].append(r[_CELL])
+    surviving = [
+        (*g, cid)
+        for g, cells in groups.items()
+        for cid in _surviving_cell_ids(cells, b, d)
+    ]
+    if len(surviving) == len(rows):
+        return keyed  # nothing pruned; skip the join
+    surv_df = keyed.sparkSession.createDataFrame(surviving, schema=census.schema)
+    return keyed.join(F.broadcast(surv_df), on=[*by, _CELL], how="left_semi")
 
 
 def _mr_angle_key(vs, p: int):
@@ -387,12 +428,15 @@ def skyline(
         key, ncells = _mr_angle_key(vs, p)
 
     keyed = df.withColumn(_CELL, key)
-    if algo == "MR_GRID" and d > 1 and not by:
+    if algo == "MR_GRID" and d > 1:
         # Dominated-cell pruning: rows in cells strictly dominated by a
-        # nonempty cell can never be global skyline points. (Skipped for
-        # grouped skylines — the cell census would need to be per group.)
-        survivors = _grid_surviving_cells(keyed, p, d)
-        keyed = keyed.filter(F.col(_CELL).isin(survivors))
+        # nonempty cell can never be skyline points (per group when
+        # ``by`` is set — dominance never crosses groups).
+        if by:
+            keyed = _grid_prune_grouped(keyed, p, d, list(by))
+        else:
+            survivors = _grid_surviving_cells(keyed, p, d)
+            keyed = keyed.filter(F.col(_CELL).isin(survivors))
 
     dim_cols = [c for c, _ in dims]
     senses = [s for _, s in dims]

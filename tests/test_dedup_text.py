@@ -114,6 +114,16 @@ def test_fingerprint_whitespace_invariant(spark):
     assert fps[0] == fps[1] == fps[2]
 
 
+def test_token_count_whitespace_semantics(spark):
+    # token_count lost its dedicated driver row (its output is a strict
+    # projection of quality_documents), so pin the semantics here
+    df = spark.createDataFrame(
+        [(1, "a b  c"), (2, "  x "), (3, "one")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.n_tokens for r in T.token_count(df).collect()}
+    assert got == {1: 3, 2: 1, 3: 1}
+
+
 def test_quality_flags(spark):
     df = spark.createDataFrame(
         [(1, "short one"), (2, "this is a long enough document with many tokens")],

@@ -121,6 +121,23 @@ def test_grid_pruning_all_sense_combos_d3(spark, sf_dir):
                 assert grid == dim, (s1, s2, s3)
 
 
+def test_grouped_grid_prune_matches_mr_dim(orders):
+    # grouped MR_GRID now runs the per-group cell census prune
+    # (skyline.py _grid_prune_grouped); differential vs grouped MR_DIM
+    dims = [("o_totalprice", "max"), ("o_orderdate", "min")]
+
+    def run(algo):
+        res = skyline(orders, dims, by=["o_orderstatus"], algo=algo, partitions=4)
+        return sorted(
+            tuple(r)
+            for r in res.select("o_orderstatus", "o_totalprice", "o_orderdate")
+            .dropDuplicates()
+            .collect()
+        )
+
+    assert run("MR_GRID") == run("MR_DIM")
+
+
 def test_map_side_combine_equivalent(lineitem):
     dims = [("l_extendedprice", "min"), ("l_quantity", "min")]
     with_c = spark_skyline_set(lineitem, dims, map_side_combine=True)
