@@ -55,9 +55,16 @@ def sweep() -> None:
             df = spark.createDataFrame(pd.DataFrame(arr, columns=cols)).repartition(int(cpus))
             df.cache().count()
             dims = [(c, "min") for c in cols]
-            t0 = _t.perf_counter()
-            cnt = skyline(df, dims, algo="auto").count()
-            dt = round(_t.perf_counter() - t0, 2)
+            # two passes, keep the min: early grid points otherwise pay
+            # one-time JVM JIT/codegen costs (observed 5-6x inflation on
+            # the first execution of a shape) that a warmed long-running
+            # cluster never sees — same estimator as the main bench
+            dt, cnt = None, 0
+            for _ in range(2):
+                t0 = _t.perf_counter()
+                cnt = skyline(df, dims, algo="auto").count()
+                dt1 = round(_t.perf_counter() - t0, 2)
+                dt = dt1 if dt is None or dt1 < dt else dt
             df.unpersist()
             results[f"d{d}_n{n}"] = {"sec": dt, "skyline_size": cnt}
             print(f"# d={d} N={n}: {dt}s, frontier {cnt}", file=sys.stderr)

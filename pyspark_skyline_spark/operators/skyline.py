@@ -568,6 +568,14 @@ def skyline_layers(
         raise ValueError("n_layers must be positive")
     dims_n = _normalize_dims(dims)
     dim_cols = [c for c, _ in dims_n]
+    # one bounds pass for all peels: bounds only need to CONTAIN the
+    # data, and every remainder is a subset of df — saves one agg job
+    # per layer
+    if skyline_kwargs.get("bounds") is None:
+        skyline_kwargs["bounds"] = _compute_bounds(
+            df.filter(F.expr(" AND ".join(f"`{c}` IS NOT NULL" for c, _ in dims_n))),
+            dims_n,
+        )
     remainder = df
     out: DataFrame | None = None
     for layer in range(1, n_layers + 1):

@@ -138,6 +138,17 @@ def test_grouped_grid_prune_matches_mr_dim(orders):
     assert run("MR_GRID") == run("MR_DIM")
 
 
+def test_grouped_grid_prune_census_cap(orders):
+    # over-cap census -> prune skipped (returns input unchanged); result
+    # must still be exact either way
+    from pyspark_skyline_spark.operators import skyline as S
+
+    dims = [("o_totalprice", "max"), ("o_orderdate", "min")]
+    keyed = orders.withColumn(S._CELL, F.lit(0))
+    capped = S._grid_prune_grouped(keyed, 2, 2, ["o_orderstatus"], max_census=1)
+    assert capped is keyed  # skipped, not filtered
+
+
 def test_map_side_combine_equivalent(lineitem):
     dims = [("l_extendedprice", "min"), ("l_quantity", "min")]
     with_c = spark_skyline_set(lineitem, dims, map_side_combine=True)
