@@ -35,6 +35,11 @@ from pyspark_skyline_spark.operators.dedup import (
     simhash,
     simhash_pairs,
 )
+from pyspark_skyline_spark.operators.filtering import (
+    decontaminate,
+    pii_scrub,
+    repetition_stats,
+)
 from pyspark_skyline_spark.operators.rangejoin import range_join
 from pyspark_skyline_spark.operators.similarity import (
     cosine_near_dup_pairs,
@@ -78,6 +83,9 @@ __all__ = [
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
     "simhash",
+    "repetition_stats",
+    "pii_scrub",
+    "decontaminate",
     "cosine_near_dup_pairs",
     "cosine_topk",
     "cosine_topk_ivf",

@@ -1,0 +1,126 @@
+"""Corpus filtering ops: repetition metrics, PII scrubbing, benchmark
+decontamination — hand-computed expectations + plan-shape checks."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_skyline_spark.operators import filtering as FL
+
+
+def test_repetition_stats_hand_computed(spark):
+    df = spark.createDataFrame(
+        [
+            # 6 words, all distinct, 3 distinct non-empty lines
+            (1, "alpha beta gamma\ndelta epsilon zeta"),
+            # degenerate spam: one word repeated 6 times, 3 identical lines
+            (2, "spam spam\nspam spam\nspam spam"),
+            # too short
+            (3, "hi there"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r
+        for r in FL.repetition_stats(df).select(
+            "doc_id", "n_words", "dup_line_frac", "dup_word_frac",
+            "top_word_frac", "keep",
+        ).collect()
+    }
+    assert got[1].n_words == 6
+    assert got[1].dup_line_frac == 0.0
+    assert got[1].dup_word_frac == 0.0
+    assert got[1].top_word_frac == pytest.approx(1 / 6)
+    assert got[1].keep is True
+
+    assert got[2].n_words == 6
+    assert got[2].dup_line_frac == pytest.approx(2 / 3)  # 3 lines, 1 distinct
+    assert got[2].dup_word_frac == pytest.approx(5 / 6)
+    assert got[2].top_word_frac == pytest.approx(1.0)
+    assert got[2].keep is False
+
+    assert got[3].keep is False  # under min_words
+
+
+def test_repetition_stats_empty_text(spark):
+    df = spark.createDataFrame([(1, ""), (2, "   ")], "doc_id long, text string")
+    rows = FL.repetition_stats(df).select("doc_id", "keep").collect()
+    assert all(r.keep is False for r in rows)  # no crash, no division by zero
+
+
+def test_pii_scrub_patterns(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe+x@example.co.uk or call +1 (555) 123-4567"),
+            (2, "server 192.168.0.1 charged card 4111 1111 1111 1111 today"),
+            (3, "nothing sensitive here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in FL.pii_scrub(df).collect()}
+    assert "<EMAIL>" in got[1].text_scrubbed
+    assert "jane.doe" not in got[1].text_scrubbed
+    assert "<PHONE>" in got[1].text_scrubbed
+    assert got[1].n_email == 1 and got[1].n_phone == 1
+
+    assert "<IP>" in got[2].text_scrubbed and "192.168" not in got[2].text_scrubbed
+    assert "<CARD>" in got[2].text_scrubbed and "4111" not in got[2].text_scrubbed
+    assert got[2].n_ipv4 == 1 and got[2].n_card == 1
+
+    assert got[3].text_scrubbed == got[3].text
+    assert got[3].n_email == got[3].n_phone == got[3].n_ipv4 == got[3].n_card == 0
+
+
+def test_pii_scrub_kind_subset_and_validation(spark):
+    df = spark.createDataFrame([(1, "a@b.io on 10.0.0.1")], "doc_id long, text string")
+    row = FL.pii_scrub(df, kinds=["email"]).collect()[0]
+    assert "<EMAIL>" in row.text_scrubbed and "10.0.0.1" in row.text_scrubbed
+    assert not hasattr(row, "n_ipv4")
+    with pytest.raises(ValueError, match="unknown PII kinds"):
+        FL.pii_scrub(df, kinds=["ssn"])
+
+
+@pytest.fixture()
+def contamination_pair(spark):
+    # doc 1 quotes the probe verbatim (>= 8 shared words in a row);
+    # doc 2 is clean; doc 3 shares only a short 3-word phrase
+    quote = "the quick brown fox jumps over the lazy dog tonight"
+    train = spark.createDataFrame(
+        [
+            (1, f"intro text then {quote} and some trailing words"),
+            (2, "completely unrelated content about spark partitions"),
+            (3, "the quick brown cat sleeps all day long at home"),
+        ],
+        "doc_id long, text string",
+    )
+    probe = spark.createDataFrame([(quote,)], "text string")
+    return train, probe
+
+
+def test_decontaminate_drop_and_flag(spark, contamination_pair):
+    train, probe = contamination_pair
+    kept = FL.decontaminate(train, probe, "doc_id", shingle_k=8)
+    assert sorted(r.doc_id for r in kept.collect()) == [2, 3]
+
+    flagged = FL.decontaminate(train, probe, "doc_id", shingle_k=8, mode="flag")
+    got = {r.doc_id: r for r in flagged.collect()}
+    assert got[1].contaminated is True and got[1].n_contaminated_grams >= 1
+    assert got[2].contaminated is False and got[2].n_contaminated_grams == 0
+    assert got[3].contaminated is False
+
+    with pytest.raises(ValueError, match="mode"):
+        FL.decontaminate(train, probe, "doc_id", mode="purge")
+
+
+def test_decontaminate_broadcasts_probe(spark, contamination_pair):
+    train, probe = contamination_pair
+    plan = FL.decontaminate(train, probe, "doc_id")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # probe grams broadcast, corpus never shuffled for the match
+
+
+def test_decontaminate_on_documents_table(spark, sf_dir):
+    # self-decontamination: probing with its own first rows must drop them
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    probe = docs.orderBy("doc_id").limit(3).select("text")
+    before = docs.count()
+    after = FL.decontaminate(docs, probe, "doc_id", shingle_k=8).count()
+    assert after < before
