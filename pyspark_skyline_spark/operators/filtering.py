@@ -67,11 +67,12 @@ def repetition_stats(
     the pathological single-document-of-many-MB case the word count
     cap already rejects the row.
     """
-    toks = tokens(F.col(text_col))
+    text = F.coalesce(F.col(text_col), F.lit(""))  # NULL text == empty doc
+    toks = tokens(text)
     n_words = F.size(toks)
     distinct_words = F.array_distinct(toks)
     lines = F.filter(
-        F.split(F.col(text_col), r"\n"), lambda ln: F.trim(ln) != F.lit("")
+        F.split(text, r"\n"), lambda ln: F.trim(ln) != F.lit("")
     )
     n_lines = F.size(lines)
     top_count = F.array_max(
@@ -136,13 +137,14 @@ def pii_scrub(
         bad = set(kinds) - known
         if bad:
             raise ValueError(f"unknown PII kinds {sorted(bad)}; known: {sorted(known)}")
-    scrubbed = F.col(text_col)
+    text = F.coalesce(F.col(text_col), F.lit(""))  # NULL text == empty doc
+    scrubbed = text
     for _, pat, repl in chosen:
         scrubbed = F.regexp_replace(scrubbed, pat, repl)
     out = df
     for kind, pat, _ in chosen:
         out = out.withColumn(
-            f"n_{kind}", F.regexp_count(F.col(text_col), F.lit(pat)).cast("long")
+            f"n_{kind}", F.regexp_count(text, F.lit(pat)).cast("long")
         )
     return out.withColumn(out_col, scrubbed)
 

@@ -41,10 +41,15 @@ def test_repetition_stats_hand_computed(spark):
     assert got[3].keep is False  # under min_words
 
 
-def test_repetition_stats_empty_text(spark):
-    df = spark.createDataFrame([(1, ""), (2, "   ")], "doc_id long, text string")
+def test_repetition_stats_empty_and_null_text(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, None)], "doc_id long, text string"
+    )
     rows = FL.repetition_stats(df).select("doc_id", "keep").collect()
     assert all(r.keep is False for r in rows)  # no crash, no division by zero
+
+    scrubbed = {r.doc_id: r for r in FL.pii_scrub(df).collect()}
+    assert scrubbed[3].text_scrubbed == "" and scrubbed[3].n_email == 0
 
 
 def test_pii_scrub_patterns(spark):
