@@ -123,8 +123,10 @@ def pii_scrub(
     Adds ``out_col`` (the scrubbed text) and one ``n_<kind>`` count per
     pattern (emails, 16-digit card-shaped numbers, phone numbers, IPv4
     addresses). Counts are computed on the ORIGINAL text with the same
-    patterns, so audits don't depend on replacement order; replacements
-    apply in the fixed ``_PII_PATTERNS`` order. Pure ``regexp_replace``
+    patterns, so audits don't depend on replacement order (which also
+    means one span can be counted under multiple kinds — a card number
+    contains phone-shaped digit runs); replacements apply in the fixed
+    ``_PII_PATTERNS`` order, earliest pattern wins the span. Pure ``regexp_replace``
     / ``regexp_count`` chains — scan-speed, no Python, no shuffle.
 
     This is pattern-shaped redaction (the standard first pass), not NER:

@@ -122,6 +122,33 @@ def test_decontaminate_broadcasts_probe(spark, contamination_pair):
     assert "BroadcastHashJoin" in plan  # probe grams broadcast, corpus never shuffled for the match
 
 
+def test_filtering_ops_run_in_streaming(spark, sf_dir, tmp_path):
+    # repetition_stats + pii_scrub are stateless projections, so they
+    # compose with Structured Streaming unchanged — prove it end to end
+    import uuid
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    src = str(tmp_path / "docs_stream")
+    docs.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    out = FL.pii_scrub(FL.repetition_stats(stream)).select(
+        "doc_id", "keep", "text_scrubbed"
+    )
+    name = f"filt_{uuid.uuid4().hex[:6]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table(name)
+    assert got.count() == 50
+    batch = FL.pii_scrub(FL.repetition_stats(docs)).select("doc_id", "keep", "text_scrubbed")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
+
+
 def test_decontaminate_on_documents_table(spark, sf_dir):
     # self-decontamination: probing with its own first rows must drop them
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
