@@ -7,6 +7,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from pyspark_skyline_spark.sources.streams import (
+    decode_csv_points,
+    encode_json_records,
     file_stream_source,
     kafka_json_sink_writer,
 )
@@ -46,6 +48,29 @@ def test_kafka_sink_writer_shape(spark, sf_dir):
     )
     # builder configures without a broker; starting it would need one
     assert writer is not None
+
+
+def test_kafka_edge_transforms_roundtrip(spark):
+    # the reference's full Kafka record path minus only the socket:
+    # CSV record values -> decode -> skyline -> JSON record values ->
+    # parse back; proves both edge transforms on real executors
+    from pyspark_skyline_spark import skyline
+
+    raw = spark.createDataFrame(
+        [("1,9",), ("3,3",), ("9,1",), ("5,5",), ("2,8",)], "value string"
+    )
+    pts = decode_csv_points(raw, 2)
+    assert pts.columns == ["x1", "x2"] and pts.count() == 5
+
+    sky = skyline(pts, [("x1", "min"), ("x2", "min")])
+    records = encode_json_records(sky.withColumn("key", F.col("x1")), key_col="key")
+    assert records.columns == ["key", "value"]
+    parsed = records.select(
+        F.from_json(F.col("value"), "x1 INT, x2 INT").alias("p")
+    ).select("p.*")
+    got = sorted(tuple(r) for r in parsed.collect())
+    # (5,5) dominated by (3,3); the rest are pairwise incomparable
+    assert got == [(1, 9), (2, 8), (3, 3), (9, 1)]
 
 
 def test_file_stream_source(spark, sf_dir, tmp_path):
