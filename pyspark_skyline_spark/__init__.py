@@ -40,6 +40,7 @@ from pyspark_skyline_spark.operators.filtering import (
     pii_scrub,
     repetition_stats,
 )
+from pyspark_skyline_spark.operators.profile import column_profile
 from pyspark_skyline_spark.operators.rangejoin import range_join
 from pyspark_skyline_spark.operators.similarity import (
     cosine_near_dup_pairs,
@@ -83,6 +84,7 @@ __all__ = [
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
     "simhash",
+    "column_profile",
     "repetition_stats",
     "pii_scrub",
     "decontaminate",

@@ -1,0 +1,32 @@
+"""column_profile: one-pass dataset profiling."""
+
+import pytest
+
+from pyspark_skyline_spark.operators.profile import column_profile
+
+
+def test_column_profile_values(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, None, "b"), (3, 30.0, "b"), (None, 20.0, None)],
+        "k long, v double, s string",
+    )
+    prof = {r.column: r for r in column_profile(df).collect()}
+    assert set(prof) == {"k", "v", "s"}
+    assert all(r.n_rows == 4 for r in prof.values())
+    assert prof["k"].n_nulls == 1 and prof["v"].n_nulls == 1 and prof["s"].n_nulls == 1
+    assert prof["v"].min == 10.0 and prof["v"].max == 30.0
+    assert prof["v"].mean == pytest.approx(20.0)
+    assert prof["s"].min is None and prof["s"].mean is None  # non-numeric
+    assert prof["k"].approx_distinct == 3  # exact at tiny cardinality
+
+
+def test_column_profile_subset_and_validation(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    prof = column_profile(orders, ["o_orderkey", "o_totalprice"])
+    rows = {r.column: r for r in prof.collect()}
+    n = orders.count()
+    assert rows["o_orderkey"].n_rows == n and rows["o_orderkey"].n_nulls == 0
+    # o_orderkey is unique: HLL at rsd=0.05 must land within 10%
+    assert abs(rows["o_orderkey"].approx_distinct - n) <= 0.1 * n
+    with pytest.raises(ValueError, match="not in DataFrame"):
+        column_profile(orders, ["nope"])
