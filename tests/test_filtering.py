@@ -52,6 +52,45 @@ def test_repetition_stats_empty_and_null_text(spark):
     assert scrubbed[3].text_scrubbed == "" and scrubbed[3].n_email == 0
 
 
+def test_repetition_stats_python_differential(spark):
+    # differential vs an independent pure-Python computation on random
+    # word-soup docs (fixed seed)
+    import random
+
+    rng = random.Random(7)
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    docs = []
+    for i in range(60):
+        n = rng.randint(0, 12)
+        words = [rng.choice(vocab) for _ in range(n)]
+        # random line structure
+        text, pos = "", 0
+        while pos < n:
+            take = rng.randint(1, 4)
+            text += " ".join(words[pos : pos + take]) + "\n"
+            pos += take
+        docs.append((i, text.rstrip("\n")))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r for r in FL.repetition_stats(df).collect()}
+
+    for i, text in docs:
+        words = text.lower().split()
+        lines = [ln for ln in text.split("\n") if ln.strip()]
+        r = got[i]
+        # split(r'\s+') on "" yields [''] -> size 1; mirror that edge
+        expect_words = words if words else [""]
+        assert r.n_words == len(expect_words), (i, text)
+        if lines:
+            assert r.dup_line_frac == pytest.approx(
+                1 - len(set(lines)) / len(lines)
+            ), i
+        assert r.dup_word_frac == pytest.approx(
+            1 - len(set(expect_words)) / len(expect_words)
+        ), i
+        top = max(expect_words.count(w) for w in set(expect_words))
+        assert r.top_word_frac == pytest.approx(top / len(expect_words)), i
+
+
 def test_pii_scrub_patterns(spark):
     df = spark.createDataFrame(
         [
