@@ -30,6 +30,27 @@ def test_cli_batch_csv(tmp_path):
     assert "wrote 12 skyline rows" in r.stdout  # golden: 12 points (FIXTURES.md)
 
 
+def test_cli_stream_mode(spark, sf_dir, tmp_path):
+    # reference stream_job parity: the stream subcommand consumes a
+    # directory through Structured Streaming and must produce the same
+    # frontier as the batch path
+    src = tmp_path / "pts_in"
+    out = tmp_path / "sky_out"
+    pts = spark.read.schema("x1 INT, x2 INT").csv(REF_CSV)
+    pts.repartition(2).write.parquet(str(src))
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "pyspark_skyline_spark.cli",
+            "stream", "SKYLINE OF x1 MIN, x2 MIN", "MR_DIM", "8",
+            "--input-dir", str(src), "--output", str(out), "--cpus", "4",
+        ],
+        capture_output=True, text=True, timeout=600, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    got = spark.read.parquet(str(out)).select("x1", "x2").dropDuplicates()
+    assert got.count() == 12  # golden: 12 points (FIXTURES.md)
+
+
 def test_cli_rejects_bad_query():
     r = subprocess.run(
         [sys.executable, "-m", "pyspark_skyline_spark.cli", "batch", "NOT A QUERY"],
