@@ -63,9 +63,11 @@ def repetition_stats(
       repetition fraction under its cap)
 
     ``top_word_frac`` is an O(distinct x total) per-document HOF —
-    vectorized JVM work bounded by document length, no shuffle; for
-    the pathological single-document-of-many-MB case the word count
-    cap already rejects the row.
+    vectorized JVM work bounded by document length, no shuffle. It is
+    only computed for rows with ``n_words <= max_words``: past the cap
+    the composite ``keep`` already rejects the row, so the expensive
+    HOF is skipped and ``top_word_frac`` is NULL there (``keep`` stays
+    False — ``false AND NULL`` is false).
     """
     text = F.coalesce(F.col(text_col), F.lit(""))  # NULL text == empty doc
     toks = tokens(text)
@@ -75,11 +77,17 @@ def repetition_stats(
         F.split(text, r"\n"), lambda ln: F.trim(ln) != F.lit("")
     )
     n_lines = F.size(lines)
-    top_count = F.array_max(
-        F.transform(
-            distinct_words,
-            lambda w: F.size(F.filter(toks, lambda x: x == w)),
-        )
+    # O(distinct x total) HOF — guarded so a single multi-MB document
+    # never pays the quadratic cost: past the word-count cap the row is
+    # rejected by ``keep`` anyway, so top_word_frac is left NULL there
+    top_count = F.when(
+        n_words <= max_words,
+        F.array_max(
+            F.transform(
+                distinct_words,
+                lambda w: F.size(F.filter(toks, lambda x: x == w)),
+            )
+        ),
     )
     total_chars = F.aggregate(
         toks, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w).cast("long")
@@ -103,12 +111,15 @@ def repetition_stats(
 
 #: ASCII-only patterns so Java regex and RE2/PCRE oracles agree.
 #: Order matters: cards before phones (a 16-digit run must not be
-#: half-eaten by the phone pattern).
+#: half-eaten by the phone pattern) and ipv4 before phones (the phone
+#: pattern can consume dotted IPs whose last two octets are 3 digits,
+#: e.g. 192.168.100.100 — counts run on the ORIGINAL text, so
+#: replacement order does not affect the audit columns).
 _PII_PATTERNS: list[tuple[str, str, str]] = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("card", r"\b(?:\d[ -]?){15}\d\b", "<CARD>"),
-    ("phone", r"\+?\d{1,3}[ .-]?\(?\d{2,4}\)?[ .-]?\d{3,4}[ .-]?\d{3,4}\b", "<PHONE>"),
     ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d{1,3}[ .-]?\(?\d{2,4}\)?[ .-]?\d{3,4}[ .-]?\d{3,4}\b", "<PHONE>"),
 ]
 
 

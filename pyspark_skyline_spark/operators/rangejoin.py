@@ -28,7 +28,12 @@ stay correct — only the shuffle/compare volume changes.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
-from pyspark.sql.types import DateType, TimestampNTZType, TimestampType
+from pyspark.sql.types import (
+    DateType,
+    NumericType,
+    TimestampNTZType,
+    TimestampType,
+)
 
 __all__ = ["range_join", "range_key"]
 
@@ -55,7 +60,14 @@ def range_key(df: DataFrame, col: str) -> Column:
         return F.unix_micros(F.col(col).cast("timestamp"))
     if isinstance(dt, DateType):
         return F.datediff(F.col(col), F.lit("1970-01-01").cast("date"))
-    return F.col(col)
+    if isinstance(dt, NumericType):
+        return F.col(col)
+    # same loud-failure policy as streaming/watermark._with_event_time:
+    # a string/bool range column would bin as NULL and compare lexically
+    raise TypeError(
+        f"range column {col!r} has type {dt.simpleString()}; expected "
+        "timestamp/timestamp_ntz/date/numeric (cast explicitly first)"
+    )
 
 
 def range_join(

@@ -190,6 +190,9 @@ def _surviving_cell_ids(cells: list[int], b: int, d: int) -> list[int]:
     ``_grid_surviving_cells``)."""
     import numpy as np
 
+    # NULL cell ids (a NULL dimension value yields a NULL key) are not
+    # comparable to any cell; callers must keep those rows unpruned
+    cells = [c for c in cells if c is not None]
     if not cells:
         return []
     ids = np.asarray(cells, dtype=np.int64)
@@ -234,10 +237,22 @@ def _grid_prune_grouped(
         for g, cells in groups.items()
         for cid in _surviving_cell_ids(cells, b, d)
     ]
+    # NULL cell ids are incomparable (NULL dim values): always keep them
+    surviving += [
+        (*g, None) for g, cells in groups.items() if any(c is None for c in cells)
+    ]
     if len(surviving) == len(rows):
         return keyed  # nothing pruned; skip the join
     surv_df = keyed.sparkSession.createDataFrame(surviving, schema=census.schema)
-    return keyed.join(F.broadcast(surv_df), on=[*by, _CELL], how="left_semi")
+    # null-safe equality: groupBy keeps a NULL group, and a plain equi
+    # semi-join would silently drop every row of a NULL-keyed group
+    # (NULL = NULL is never true); cell ids can be NULL too when a
+    # dimension value is NULL, so the cell term is null-safe as well
+    cond = None
+    for c in [*by, _CELL]:
+        piece = keyed[c].eqNullSafe(surv_df[c])
+        cond = piece if cond is None else cond & piece
+    return keyed.join(F.broadcast(surv_df), on=cond, how="left_semi")
 
 
 def _mr_angle_key(vs, p: int):
@@ -436,7 +451,10 @@ def skyline(
             keyed = _grid_prune_grouped(keyed, p, d, list(by))
         else:
             survivors = _grid_surviving_cells(keyed, p, d)
-            keyed = keyed.filter(F.col(_CELL).isin(survivors))
+            # NULL cells (NULL dim values) are incomparable: keep them
+            keyed = keyed.filter(
+                F.col(_CELL).isNull() | F.col(_CELL).isin(survivors)
+            )
 
     dim_cols = [c for c, _ in dims]
     senses = [s for _, s in dims]

@@ -77,6 +77,19 @@ def windowed_stream_skyline(
     dim_cols = [c for c, _ in dims]
     senses = [s for _, s in dims]
 
+    # The state function compares NAIVE pandas datetimes (epoch of the
+    # session-zone wall clock) against getCurrentWatermarkMs (UTC
+    # epoch); any non-UTC session zone would silently shift the late-row
+    # cut and the timeout anchor, so enforce the requirement loudly
+    # instead of documenting it away.
+    tz = stream_df.sparkSession.conf.get("spark.sql.session.timeZone")
+    if tz != "UTC":
+        raise ValueError(
+            "windowed_stream_skyline requires spark.sql.session.timeZone="
+            f"'UTC' (got {tz!r}): the in-state watermark comparison treats "
+            "naive event times as UTC epochs"
+        )
+
     stream_df = _with_event_time(stream_df, ts_col)
     stream_df = stream_df.withWatermark(ts_col, delay)
 

@@ -413,3 +413,28 @@ def test_sessionize_gap_semantics(spark):
         for r in sessionize(df2, "user_id", "ts", gap="30 minutes").collect()
     }
     assert got2 == {(1, 0), (2, 0)}
+
+
+def test_range_join_rejects_string_range_columns(spark):
+    from pyspark_skyline_spark.operators.rangejoin import range_join
+
+    # loud-failure policy (streaming/watermark._with_event_time): a
+    # string range column would bin as NULL and compare lexically
+    pts = spark.createDataFrame([("5",)], "p string")
+    iv = spark.createDataFrame([("0", "10")], "s string, e string")
+    with pytest.raises(TypeError, match="range column"):
+        range_join(pts, iv, "p", "s", "e", bin_width=10)
+
+
+def test_sessionize_rejects_non_timestamp(spark):
+    from pyspark_skyline_spark.operators.sample import sessionize
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (1, "2024-01-01 01:00:00")],
+        "user_id long, ts string",
+    )
+    with pytest.raises(TypeError, match="sessionize ts_col"):
+        sessionize(df, "user_id", "ts")
+    df2 = spark.createDataFrame([(1, 1700000000)], "user_id long, ts long")
+    with pytest.raises(TypeError, match="sessionize ts_col"):
+        sessionize(df2, "user_id", "ts")

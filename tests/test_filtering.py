@@ -195,3 +195,29 @@ def test_decontaminate_on_documents_table(spark, sf_dir):
     before = docs.count()
     after = FL.decontaminate(docs, probe, "doc_id", shingle_k=8).count()
     assert after < before
+
+
+def test_pii_scrub_ip_not_eaten_by_phone(spark):
+    # 192.168.100.100 is phone-shaped (3-4 digit dotted groups); the
+    # ipv4 pattern must win the span so the redacted label and the
+    # n_ipv4 audit count agree
+    df = spark.createDataFrame(
+        [(1, "host 192.168.100.100 answered")], "doc_id long, text string"
+    )
+    row = FL.pii_scrub(df).collect()[0]
+    assert "<IP>" in row.text_scrubbed
+    assert "<PHONE>" not in row.text_scrubbed
+    assert row.n_ipv4 == 1
+
+
+def test_repetition_stats_skips_quadratic_hof_past_word_cap(spark):
+    df = spark.createDataFrame(
+        [(1, "w1 w2 w3 w4 w5 w6"), (2, "a a b")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in FL.repetition_stats(df, min_words=2, max_words=4).collect()}
+    # doc 1 exceeds the cap: the O(distinct x total) HOF is skipped
+    # (top_word_frac NULL) and keep is False, not NULL
+    assert got[1].top_word_frac is None
+    assert got[1].keep is False
+    # doc 2 is under the cap and computes normally
+    assert got[2].top_word_frac == pytest.approx(2 / 3)

@@ -279,3 +279,36 @@ def test_skyline_layers_properties(spark):
         for p in by_layer.get(i, ()):
             assert any(dominated(p, q) for q in by_layer[i - 1])
             assert not any(dominated(p, q) for q in by_layer[i])
+
+
+def test_grouped_grid_prune_keeps_null_group_keys(spark):
+    # groupBy keeps a NULL group; the grouped grid prune's semi-join must
+    # be null-safe or every row of the NULL-keyed group silently vanishes
+    rows = [
+        ("a", 1.0, 1.0), ("a", 2.0, 2.0), ("a", 9.0, 9.0),
+        (None, 1.0, 2.0), (None, 3.0, 1.0), (None, 8.0, 8.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    dims = [("x", "min"), ("y", "min")]
+    got = sorted(
+        (
+            tuple(r)
+            for r in skyline(df, dims, by=["g"], algo="MR_GRID", partitions=4)
+            .select("g", "x", "y")
+            .dropDuplicates()
+            .collect()
+        ),
+        key=repr,
+    )
+    want = sorted(
+        (
+            tuple(r)
+            for r in skyline(df, dims, by=["g"], algo="MR_DIM", partitions=4)
+            .select("g", "x", "y")
+            .dropDuplicates()
+            .collect()
+        ),
+        key=repr,
+    )
+    assert got == want
+    assert {r for r in got if r[0] is None} == {(None, 1.0, 2.0), (None, 3.0, 1.0)}

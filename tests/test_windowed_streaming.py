@@ -102,3 +102,19 @@ def test_windowed_stream_skyline_drops_late_rows(spark, tmp_path):
     assert starts == {10}  # the late day-1 window never emits
     ids = {r.event_id for r in emitted.collect()}
     assert {1, 2}.issubset(ids) and 3 not in ids
+
+
+def test_windowed_stream_skyline_rejects_non_utc_session(spark, sf_dir):
+    import pytest
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    bounds = _compute_bounds(
+        events.withColumn("ts", F.col("ts").cast("timestamp")), DIMS
+    )
+    stream = spark.readStream.schema(events.schema).parquet(sf_dir + "/events.parquet")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        with pytest.raises(ValueError, match="session.timeZone"):
+            windowed_stream_skyline(stream, "ts", "1 day", DIMS, bounds, partitions=4)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
