@@ -47,9 +47,11 @@ _SKYLINE_QUERIES: dict[str, tuple[str, list[tuple[str, str]], str]] = {
         [("c_acctbal", "max"), ("c_custkey", "min")],
         "MR_GRID",
     ),
-    # differential triple: same query, one entry per algorithm
+    # differential pair: same query through MR_DIM (via the parser front
+    # door) and MR_ANGLE; the MR_GRID leg moved to extra_queries() —
+    # MR_GRID keeps its driver row via skyline_customer_acctbal, and the
+    # three-way differential survives in pytest
     "skyline_part_dim": ("part", [("p_retailprice", "min"), ("p_size", "min")], "MR_DIM"),
-    "skyline_part_grid": ("part", [("p_retailprice", "min"), ("p_size", "min")], "MR_GRID"),
     "skyline_part_angle": ("part", [("p_retailprice", "min"), ("p_size", "min")], "MR_ANGLE"),
     "skyline_events_value_ts": (
         "events",
@@ -85,6 +87,22 @@ def entry(spark: SparkSession) -> DataFrame:
     return run(spark, "/root/testdata/sf0.001")
 
 
+#: the driver grades at most 50 queries() entries (dict insertion
+#: order); round 1 silently lost 2 rows past the cap, so the count is
+#: now a hard invariant
+DRIVER_QUERY_CAP = 50
+
+#: retired skyline rows (see _SKYLINE_QUERIES note): pytest-graded via
+#: extra_queries(), outside the driver's capped registry
+_EXTRA_SKYLINE_QUERIES: dict[str, tuple[str, list[tuple[str, str]], str]] = {
+    "skyline_part_grid": (
+        "part",
+        [("p_retailprice", "min"), ("p_size", "min")],
+        "MR_GRID",
+    ),
+}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name, (table, dims, algo) in _SKYLINE_QUERIES.items():
@@ -96,6 +114,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from pyspark_skyline_spark.entry_ext import ext_queries
 
     out.update(ext_queries())
+    assert len(out) == DRIVER_QUERY_CAP, (
+        f"driver registry must hold exactly {DRIVER_QUERY_CAP} queries "
+        f"(the driver grades at most {DRIVER_QUERY_CAP}; extras belong in "
+        f"extra_queries()), got {len(out)}"
+    )
     return out
 
 
@@ -106,4 +129,27 @@ def oracle_sql() -> dict[str, str]:
     from pyspark_skyline_spark.entry_ext import ext_oracle_sql
 
     out.update(ext_oracle_sql())
+    return out
+
+
+def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Oracle-graded by pytest (tests/test_entry.py) but deliberately
+    outside the driver's 50-entry registry — entries retired as
+    redundant with rows that remain driver-graded."""
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name, (table, dims, algo) in _EXTRA_SKYLINE_QUERIES.items():
+        out[name] = _make_skyline_query(table, dims, algo)
+    from pyspark_skyline_spark.entry_ext import ext_extra_queries
+
+    out.update(ext_extra_queries())
+    return out
+
+
+def extra_oracle_sql() -> dict[str, str]:
+    out: dict[str, str] = {}
+    for name, (table, dims, _algo) in _EXTRA_SKYLINE_QUERIES.items():
+        out[name] = skyline_oracle_sql(table, dims)
+    from pyspark_skyline_spark.entry_ext import ext_extra_oracle_sql
+
+    out.update(ext_extra_oracle_sql())
     return out

@@ -22,6 +22,7 @@ def column_profile(
     df: DataFrame,
     cols: list[str] | None = None,
     distinct_rsd: float = 0.05,
+    distinct_mode: str = "approx",
 ) -> DataFrame:
     """Profile ``cols`` (default: all) in one aggregate pass.
 
@@ -32,12 +33,18 @@ def column_profile(
     are deliberately left out of the uniform schema; query them
     directly when needed).
 
-    ``approx_distinct`` uses HyperLogLog++ (relative sd
-    ``distinct_rsd``) — deterministic for a given dataset since sketch
-    inserts and merges are order-independent. At 100 TB this is the
-    affordable form of distinctness; exact NDV is a full shuffle per
-    column.
+    With the default ``distinct_mode="approx"``, ``approx_distinct``
+    uses HyperLogLog++ (relative sd ``distinct_rsd``) — deterministic
+    for a given dataset since sketch inserts and merges are
+    order-independent. At 100 TB this is the affordable form of
+    distinctness; exact NDV is a full shuffle per column.
+    ``distinct_mode="exact"`` computes exact ``count(DISTINCT)`` per
+    column instead (still one aggregate job — Spark expands the
+    distinct aggregates); use it for small inputs or when an external
+    SQL oracle must reproduce the value bit-for-bit.
     """
+    if distinct_mode not in ("approx", "exact"):
+        raise ValueError(f"distinct_mode must be approx|exact, got {distinct_mode!r}")
     cols = list(cols or df.columns)
     missing = [c for c in cols if c not in df.columns]
     if missing:
@@ -49,7 +56,10 @@ def column_profile(
     for c in cols:
         col = F.col(f"`{c}`")
         aggs.append(F.count(F.when(col.isNull(), 1)).alias(f"__nulls_{c}"))
-        aggs.append(F.approx_count_distinct(col, distinct_rsd).alias(f"__nd_{c}"))
+        if distinct_mode == "exact":
+            aggs.append(F.countDistinct(col).alias(f"__nd_{c}"))
+        else:
+            aggs.append(F.approx_count_distinct(col, distinct_rsd).alias(f"__nd_{c}"))
         if c in numeric:
             aggs.append(F.min(col).cast("double").alias(f"__min_{c}"))
             aggs.append(F.max(col).cast("double").alias(f"__max_{c}"))

@@ -47,10 +47,36 @@ def test_entry_smoke(spark):
     assert df.count() > 0
 
 
-@pytest.mark.parametrize("name", sorted(entry_mod.queries().keys()))
+def test_registry_holds_exactly_driver_cap():
+    # the driver grades at most 50 entries in dict order; an accidental
+    # 51st would silently push a graded row off the end (round-1 bug).
+    # queries() itself asserts, so exercise it plus the disjointness of
+    # the extras registry.
+    qs = entry_mod.queries()
+    assert len(qs) == entry_mod.DRIVER_QUERY_CAP
+    extras = entry_mod.extra_queries()
+    assert not (set(qs) & set(extras))
+    # every main entry has an oracle; extras may be rows-only
+    assert set(entry_mod.oracle_sql()) == set(qs)
+    assert set(entry_mod.extra_oracle_sql()) <= set(extras)
+
+
+def _all_queries():
+    out = dict(entry_mod.queries())
+    out.update(entry_mod.extra_queries())
+    return out
+
+
+def _all_oracles():
+    out = dict(entry_mod.oracle_sql())
+    out.update(entry_mod.extra_oracle_sql())
+    return out
+
+
+@pytest.mark.parametrize("name", sorted(_all_queries().keys()))
 def test_query_matches_oracle(spark, sf_dir, name):
-    q = entry_mod.queries()[name]
-    oracles = entry_mod.oracle_sql()
+    q = _all_queries()[name]
+    oracles = _all_oracles()
     sdf = q(spark, sf_dir)
     srows = sdf.collect()
     if name not in oracles:
