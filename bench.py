@@ -20,11 +20,26 @@ import pandas as pd
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _anticorrelated(rng, n: int, d: int):
+    """Anticorrelated point cloud (Börzsönyi et al. 2001 generator shape):
+    each point's coordinates share a fixed "energy" budget drawn near 0.5,
+    split across dimensions by a Dirichlet draw — dims are negatively
+    correlated, which maximizes frontier size (worst case for skylines;
+    far harder than the reference report's uniform grid)."""
+    import numpy as np
+
+    energy = rng.normal(0.5, 0.05, size=n).clip(0.0, 1.0)
+    props = rng.dirichlet(np.ones(d), size=n)
+    pts = (props * (energy[:, None] * d)).clip(0.0, 1.0)
+    return (pts * 1e9).astype(np.int64)
+
+
 def sweep() -> None:
     """--sweep: replay the reference report's d x N grid (uniform random
-    ints in [0, 1e9], all-MIN query; BASELINE.md) on this engine.
-    Reference numbers: ~20 s (d=2, N=1e5) to ~600 s / DNF (d=7, N=1e6)
-    on 12 cores."""
+    ints in [0, 1e9], all-MIN query; BASELINE.md) on this engine, plus
+    adversarial ANTICORRELATED shapes the reference never attempted
+    (worst-case frontier size). Reference numbers: ~20 s (d=2, N=1e5) to
+    ~600 s / DNF (d=7, N=1e6) on 12 cores."""
     import numpy as np
     import time as _t
 
@@ -46,30 +61,143 @@ def sweep() -> None:
     results = {}
     # d=10 only at N=1e5 (the reference report's own d=10 coverage, p.3;
     # at 1e6 the frontier is most of the dataset — intrinsic, SURVEY §7.3)
-    for n, ds in ((100_000, (2, 3, 5, 7, 10)), (1_000_000, (2, 3, 5, 7))):
-        for d in ds:
-            cols = [f"x{i+1}" for i in range(d)]
+    shapes = [(n, d, "uniform") for n, ds in ((100_000, (2, 3, 5, 7, 10)), (1_000_000, (2, 3, 5, 7))) for d in ds]
+    # adversarial points the reference never dared: anticorrelated dims
+    # (worst-case frontier growth) and d=10 at 1e6. d=10 anticorr stays
+    # at 1e5 — at 1e6 the frontier IS most of the dataset (degenerate
+    # by construction, not a meaningful query; SURVEY §7.3)
+    shapes += [(100_000, 10, "anticorr"), (1_000_000, 5, "anticorr"), (1_000_000, 10, "uniform")]
+    for n, d, dist in shapes:
+        cols = [f"x{i+1}" for i in range(d)]
+        if dist == "anticorr":
+            arr = _anticorrelated(rng, n, d)
+        else:
             arr = rng.integers(0, 10**9, size=(n, d), dtype=np.int64)
-            import pandas as pd
+        import pandas as pd
 
-            df = spark.createDataFrame(pd.DataFrame(arr, columns=cols)).repartition(int(cpus))
-            df.cache().count()
-            dims = [(c, "min") for c in cols]
-            # two passes, keep the min: early grid points otherwise pay
-            # one-time JVM JIT/codegen costs (observed 5-6x inflation on
-            # the first execution of a shape) that a warmed long-running
-            # cluster never sees — same estimator as the main bench
-            dt, cnt = None, 0
-            for _ in range(2):
-                t0 = _t.perf_counter()
-                cnt = skyline(df, dims, algo="auto").count()
-                dt1 = round(_t.perf_counter() - t0, 2)
-                dt = dt1 if dt is None or dt1 < dt else dt
-            df.unpersist()
-            results[f"d{d}_n{n}"] = {"sec": dt, "skyline_size": cnt}
-            print(f"# d={d} N={n}: {dt}s, frontier {cnt}", file=sys.stderr)
+        df = spark.createDataFrame(pd.DataFrame(arr, columns=cols)).repartition(int(cpus))
+        df.cache().count()
+        dims = [(c, "min") for c in cols]
+        # two passes, keep the min: early grid points otherwise pay
+        # one-time JVM JIT/codegen costs (observed 5-6x inflation on
+        # the first execution of a shape) that a warmed long-running
+        # cluster never sees — same estimator as the main bench
+        dt, cnt = None, 0
+        for _ in range(2):
+            t0 = _t.perf_counter()
+            cnt = skyline(df, dims, algo="auto").count()
+            dt1 = round(_t.perf_counter() - t0, 2)
+            dt = dt1 if dt is None or dt1 < dt else dt
+        df.unpersist()
+        key = f"d{d}_n{n}" + ("_anticorr" if dist == "anticorr" else "")
+        results[key] = {"sec": dt, "skyline_size": cnt}
+        print(f"# d={d} N={n} {dist}: {dt}s, frontier {cnt}", file=sys.stderr)
     print(json.dumps({"metric": "baseline-grid sweep", "grid": results}))
     spark.stop()
+
+
+def ann_recall(spark, sf_dir: str) -> dict:
+    """Approximation quality of the ANN family at PRODUCTION parameters
+    (the driver rows grade them in exhaustive-parameter mode where exact
+    oracles apply; this surfaces real-parameter quality in the bench
+    artifact so degradation is visible round-over-round).
+
+    - lsh_topk@10 / ivf_topk@10: mean recall vs exact cosine top-10 over
+      several probes on the sf embeddings table.
+    - near_dup_pairs: recall of LSH-bucketed near-dup pairs vs the exact
+      all-pairs >= threshold set (ground truth via driver-side NumPy on
+      the collected table — bench-only, bounded by the sf table size).
+    """
+    import numpy as np
+
+    from pyspark_skyline_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    unit = mat / norms[:, None]
+    probes = [int(ids[i]) for i in (0, len(ids) // 3, 2 * len(ids) // 3)]
+    k = 10
+
+    def exact_topk(pid):
+        p = unit[ids == pid][0]
+        cos = unit @ p
+        mask = ids != pid
+        order = np.lexsort((ids[mask], -cos[mask]))
+        return set(int(x) for x in ids[mask][order][:k])
+
+    lsh_hits = ivf_hits = 0
+    for pid in probes:
+        want = exact_topk(pid)
+        got_lsh = {
+            r.vec_id
+            for r in S.cosine_topk_lsh(
+                emb, "vec_id", "embedding", pid, k, n_planes=4, n_tables=16
+            ).collect()
+        }
+        got_ivf = {
+            r.vec_id
+            for r in S.cosine_topk_ivf(
+                emb, "vec_id", "embedding", pid, k, nlist=12, nprobe=4
+            ).collect()
+        }
+        lsh_hits += len(got_lsh & want)
+        ivf_hits += len(got_ivf & want)
+
+    # near-dup PLANTED-PAIR recall at production LSH parameters: the sf
+    # embeddings are near-uniform (no real pairs >= threshold), so plant
+    # 8 perturbed clones (cosine ~0.999 to their base) and measure both
+    # planted recall and full recall vs the exact all-pairs truth set of
+    # the augmented table
+    threshold = 0.9
+    prng = np.random.default_rng(7)
+    n_plant = 8
+    base_idx = prng.choice(len(ids), size=n_plant, replace=False)
+    next_id = int(ids.max()) + 1
+    plant_ids = np.arange(next_id, next_id + n_plant)
+    plant_vecs = mat[base_idx] + prng.standard_normal((n_plant, mat.shape[1])) * (
+        norms[base_idx][:, None] * 0.02
+    )
+    aug_ids = np.concatenate([ids, plant_ids])
+    aug_unit = np.vstack(
+        [unit, plant_vecs / np.linalg.norm(plant_vecs, axis=1)[:, None]]
+    )
+    planted = {
+        (int(min(a, b)), int(max(a, b)))
+        for a, b in zip(ids[base_idx], plant_ids)
+    }
+    gram = aug_unit @ aug_unit.T
+    iu = np.triu_indices(len(aug_ids), 1)
+    hit = gram[iu] >= threshold
+    truth = {
+        (int(min(a, b)), int(max(a, b)))
+        for a, b in zip(aug_ids[iu[0]][hit], aug_ids[iu[1]][hit])
+    }
+    emb2 = emb.select("vec_id", "embedding")
+    aug = emb2.unionByName(
+        spark.createDataFrame(
+            [
+                (int(i), [float(x) for x in v])
+                for i, v in zip(plant_ids, plant_vecs)
+            ],
+            emb2.schema,
+        )
+    )
+    got_pairs = {
+        (int(r.id_a), int(r.id_b))
+        for r in S.cosine_near_dup_pairs(
+            aug, "vec_id", "embedding", threshold=threshold, n_planes=4, n_tables=8
+        ).collect()
+    }
+    return {
+        "lsh_topk@10": round(lsh_hits / (k * len(probes)), 3),
+        "ivf_topk@10": round(ivf_hits / (k * len(probes)), 3),
+        "near_dup_planted": round(len(got_pairs & planted) / len(planted), 3),
+        "near_dup_all_pairs": round(len(got_pairs & truth) / len(truth), 3) if truth else 1.0,
+        "near_dup_truth_pairs": len(truth),
+    }
 
 
 def main() -> None:
@@ -169,6 +297,14 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    # untimed tail: ANN approximation quality at PRODUCTION parameters
+    # (driver rows grade exhaustive mode; this tracks real-parameter
+    # recall round-over-round)
+    try:
+        payload["recall"] = ann_recall(spark, sf_dir)
+        print(f"# recall: {json.dumps(payload['recall'])}", file=sys.stderr)
+    except Exception as exc:  # quality probe must never kill the bench
+        print(f"# recall probe failed: {exc}", file=sys.stderr)
     if errors:
         payload["errors"] = errors
     print(json.dumps(payload))

@@ -161,9 +161,17 @@ def _dominated_by(
     k = len(K)
     if k == 0 or m == 0:
         return np.zeros(m, dtype=bool)
+    # contiguous per-dimension rows: K[:, j] on a C-contiguous (k, d)
+    # matrix strides d*8 bytes, so the broadcasted compare would touch a
+    # full cache line per element — one transposed copy (k*d*8 bytes)
+    # makes the inner loop stream contiguously (~8x less memory traffic
+    # on wide frontiers)
+    KT = np.ascontiguousarray(K.T)
     le = np.ones((m, k), dtype=bool)
+    cmp = np.empty((m, k), dtype=bool)
     for j in range(d):
-        le &= K[:, j][None, :] <= C[:, j][:, None]
+        np.less_equal(KT[j][None, :], C[:, j][:, None], out=cmp)
+        le &= cmp
         if j == 1 and not le.any():
             return np.zeros(m, dtype=bool)
     first = le.argmax(axis=1)  # first all-≤ K row (0 when none)

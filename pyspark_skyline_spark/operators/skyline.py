@@ -37,7 +37,7 @@ import math
 
 from pyspark.sql import DataFrame, functions as F
 
-from pyspark_skyline_spark.kernel import find_skyline_mask
+from pyspark_skyline_spark.kernel import _dominated_by, find_skyline_mask, to_min_space
 from pyspark_skyline_spark.parser import parse_skyline_query
 
 __all__ = ["skyline", "skyline_sql", "skyline_antijoin", "skyline_layers", "windowed_skyline", "ALGORITHMS"]
@@ -374,6 +374,66 @@ def _map_side_prereduce(df_keyed: DataFrame, dim_cols, senses, prune_rounds: int
     return df_keyed.mapInPandas(fn, schema=schema)
 
 
+def _broadcast_final_filter(cand: DataFrame, dim_cols, senses) -> DataFrame:
+    """Parallel global merge for LARGE candidate frontiers: collect the
+    candidates' min-space dimension matrix (bounded by the caller's
+    ``broadcast_cap`` — dims only, never full rows), broadcast it sorted
+    by ascending coordinate sum, and drop every candidate dominated by
+    any broadcast row via ``mapInPandas``.
+
+    Sound because killing a candidate dominated by ANY candidate row is
+    transitively safe (its dominator's dominators also dominate it), and
+    true skyline points have no dominator anywhere. Exact duplicates
+    never dominate each other (kernel semantics), so they all survive —
+    same as the tree merge.
+
+    The intrinsic O(F² · d) verification work of a huge frontier is
+    unchanged, but it runs across every core/executor instead of inside
+    the tree merge's final single ``applyInPandas`` group (68k-point
+    frontiers: minutes single-threaded, seconds parallel)."""
+    import numpy as np
+
+    pdf = cand.select(*dim_cols).toPandas()
+    K = np.column_stack(
+        [to_min_space(pdf[c], s) for c, s in zip(dim_cols, senses)]
+    )
+    sK = K.sum(axis=1)
+    order = np.argsort(sK, kind="stable")
+    K, sK = np.ascontiguousarray(K[order]), sK[order]
+    bc = cand.sparkSession.sparkContext.broadcast((K, sK))
+    schema = cand.schema
+
+    def fn(batches):
+        Kb, sKb = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C_all = np.column_stack(
+                [to_min_space(pdf[c], s) for c, s in zip(dim_cols, senses)]
+            )
+            sC_all = C_all.sum(axis=1)
+            # ascending-sum chunk order: a chunk only needs the K prefix
+            # with sums <= its max, so sorted chunks compare against
+            # ~half of K on average instead of nearly all of it
+            corder = np.argsort(sC_all, kind="stable")
+            keep = np.ones(len(pdf), dtype=bool)
+            # chunk rows so the (m, k) boolean temporaries stay bounded
+            # (same memory budget as the kernel's BNL)
+            m_cap = max(32, 128_000_000 // max(len(Kb), 1))
+            for st in range(0, len(corder), m_cap):
+                idx = corder[st : st + m_cap]
+                C = np.ascontiguousarray(C_all[idx])
+                sC = sC_all[idx]
+                # dominators need sum <= max(sC): slice the sorted K
+                hi = int(np.searchsorted(sKb, sC[-1], side="right"))
+                if hi == 0:
+                    continue
+                keep[idx] = ~_dominated_by(C, Kb[:hi], sC, sKb[:hi])
+            yield pdf[keep]
+
+    return cand.mapInPandas(fn, schema=schema)
+
+
 def skyline(
     df: DataFrame,
     dims,
@@ -384,6 +444,9 @@ def skyline(
     prune_rounds: int = 8,
     by: list[str] | None = None,
     map_side_combine: bool | None = None,
+    merge_strategy: str = "auto",
+    broadcast_threshold: int = 8192,
+    broadcast_cap: int = 2_000_000,
 ) -> DataFrame:
     """Skyline of ``df`` under per-dimension MIN/MAX senses.
 
@@ -410,6 +473,17 @@ def skyline(
     map_side_combine : pre-shuffle batch-level reduction (None = auto by
         estimated input size: on for cluster-scale inputs where the
         exchange is the bottleneck, off for small local runs)
+    merge_strategy : "auto" | "tree" | "broadcast". The tree merge's
+        final fold runs the whole frontier through ONE applyInPandas
+        group — fine for typical frontiers, minutes-single-threaded for
+        the huge ones (high-d / anticorrelated data). "auto"
+        materializes the local frontiers (localCheckpoint), counts
+        them, and switches to ``_broadcast_final_filter`` when the
+        count is in (broadcast_threshold, broadcast_cap]; outside that
+        range (or for grouped skylines, whose parallelism comes from
+        groups) it tree-merges. "broadcast" forces the parallel filter,
+        "tree" forces the fold (also the >cap fallback — frontiers past
+        the cap are never collected).
 
     Rows with NULL in any skyline dimension are excluded (SQL
     ``NOT EXISTS`` oracle semantics need the same guard).
@@ -487,6 +561,21 @@ def skyline(
         keyed = _map_side_prereduce(keyed, dim_cols, senses, prune_rounds, by)
 
     out = _local_skyline_pass(keyed, dim_cols, senses, prune_rounds, by)
+
+    if merge_strategy not in ("auto", "tree", "broadcast"):
+        raise ValueError(f"merge_strategy must be auto/tree/broadcast, got {merge_strategy!r}")
+    if merge_strategy != "tree" and not by and ncells > 1:
+        # Adaptive global merge: materialize the (small relative to the
+        # input) local frontiers once, then pick the merge shape by
+        # candidate count. The lazy checkpoint materializes inside the
+        # count job (one extra job, not two) and the chosen merge path
+        # reuses the materialization instead of recomputing the pass.
+        out = out.localCheckpoint(eager=False)
+        n_cand = out.count()
+        if merge_strategy == "broadcast" or (
+            broadcast_threshold < n_cand <= broadcast_cap
+        ):
+            return _broadcast_final_filter(out, dim_cols, senses).drop(_CELL)
 
     # Tree merge: repeatedly fold cell ids and re-run the kernel until a
     # single group remains. Replaces the reference's one-task global

@@ -312,3 +312,63 @@ def test_grouped_grid_prune_keeps_null_group_keys(spark):
     )
     assert got == want
     assert {r for r in got if r[0] is None} == {(None, 1.0, 2.0), (None, 3.0, 1.0)}
+
+
+def test_broadcast_merge_matches_tree_on_anticorrelated(spark):
+    # adversarial shape for the final merge: anticorrelated dims put a
+    # large fraction of rows on the frontier, where the tree merge's
+    # final fold funnels everything through one kernel group and the
+    # broadcast filter runs the same O(F^2 d) verification in parallel
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    n, d = 3000, 5
+    energy = rng.normal(0.5, 0.05, size=n).clip(0, 1)
+    props = rng.dirichlet(np.ones(d), size=n)
+    arr = ((props * (energy[:, None] * d)).clip(0, 1) * 1e9).astype("int64")
+    cols = [f"x{i+1}" for i in range(d)]
+    import pandas as pd
+
+    df = spark.createDataFrame(pd.DataFrame(arr, columns=cols))
+    dims = [(c, "min") for c in cols]
+    tree = {tuple(r) for r in skyline(df, dims, merge_strategy="tree").collect()}
+    bcast = {tuple(r) for r in skyline(df, dims, merge_strategy="broadcast").collect()}
+    # auto with a tiny threshold must take the broadcast path and agree
+    auto = {
+        tuple(r)
+        for r in skyline(df, dims, merge_strategy="auto", broadcast_threshold=8).collect()
+    }
+    assert tree == bcast == auto
+    assert len(tree) > 100  # genuinely wide frontier, not a trivial case
+
+
+def test_broadcast_merge_cap_falls_back_to_tree(spark):
+    # past broadcast_cap the candidates are never collected; the tree
+    # fallback must still produce the same frontier
+    rows = [(float(i), float(100 - i)) for i in range(100)] + [(50.0, 50.0)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    dims = [("x", "min"), ("y", "min")]
+    capped = {
+        tuple(r)
+        for r in skyline(
+            df, dims, merge_strategy="auto", broadcast_threshold=2, broadcast_cap=5
+        ).collect()
+    }
+    tree = {tuple(r) for r in skyline(df, dims, merge_strategy="tree").collect()}
+    assert capped == tree
+
+
+def test_broadcast_merge_handles_timestamp_dims(spark, sf_dir):
+    # datetime64 dims go through to_min_space on both sides of the
+    # broadcast filter (driver collect + executor batches)
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    dims = [("value", "min"), ("ts", "min")]
+    tree = {
+        (r.value, r.ts)
+        for r in skyline(df, dims, merge_strategy="tree").select("value", "ts").collect()
+    }
+    bcast = {
+        (r.value, r.ts)
+        for r in skyline(df, dims, merge_strategy="broadcast").select("value", "ts").collect()
+    }
+    assert tree == bcast
