@@ -521,6 +521,18 @@ def _q_vocab_topk(spark, sf_dir):
     return T.vocab_topk(docs, "text", k=_VOCAB_K)
 
 
+def _q_split_dataset_orders(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    return SA.split_dataset(orders, ["o_orderkey"], seed=_SAMPLE_SEED).select(
+        "o_orderkey", "split"
+    )
+
+
+def _q_tfidf_topk_documents(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return T.tfidf_topk_terms(docs, "doc_id", "text", k=3)
+
+
 def _q_dedup_corpus(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return D.dedup_corpus(
@@ -1322,6 +1334,37 @@ WHERE token <> ''
 GROUP BY token ORDER BY n DESC, token LIMIT {_VOCAB_K}
 """,
     "dedup_corpus_documents": _dedup_corpus_oracle(),
+    # shared integer cut points via split_thresholds(): both engines use
+    # the SAME float-accumulated band edges on the md5 60-bit hash
+    "split_dataset_orders": (lambda bands: f"""
+SELECT o_orderkey,
+       CASE {' '.join(f"WHEN h < {thr} THEN '{name}'" for name, thr in bands[:-1])}
+            ELSE '{bands[-1][0]}' END AS split
+FROM (SELECT o_orderkey,
+             ('0x' || substr(md5(o_orderkey::VARCHAR || '#{_SAMPLE_SEED}'), 1, 15))::BIGINT AS h
+      FROM orders)
+""")(SA.split_thresholds({"train": 0.8, "val": 0.1, "test": 0.1})),
+    # rank orders by the ROUNDED score in both engines so float ties
+    # cannot reorder the cut; (doc, term) is unique so rank is total
+    "tfidf_topk_documents": r"""
+WITH tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+    FROM documents)
+  WHERE term <> '' GROUP BY doc_id, term),
+dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df_term FROM tf GROUP BY term),
+n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM documents)
+SELECT * FROM (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         round(tf.tf * ln(n.n_docs / dfq.df_term), 6) AS score,
+         CAST(row_number() OVER (
+              PARTITION BY tf.doc_id
+              ORDER BY round(tf.tf * ln(n.n_docs / dfq.df_term), 6) DESC,
+                       tf.term ASC) AS BIGINT) AS rank
+  FROM tf JOIN dfq USING (term), n)
+WHERE rank <= 3
+""",
     "repetition_stats_documents": _repetition_oracle(),
     "pii_scrub_documents": _pii_oracle(),
     "decontaminate_documents": _decontaminate_oracle(),
@@ -1419,6 +1462,9 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "near_dup_clusters_documents": _q_near_dup_clusters,
     # the hash-threshold sampler core is graded via stratified_sample_events
     "hash_sample_orders": _q_hash_sample_orders,
+    # round-3 additions past the 50-cap: oracle-graded by pytest
+    "split_dataset_orders": _q_split_dataset_orders,
+    "tfidf_topk_documents": _q_tfidf_topk_documents,
 }
 
 

@@ -27,7 +27,15 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from pyspark_skyline_spark.operators.dedup import hash64_expr
 
-__all__ = ["sample_hash01_key", "hash_sample", "stratified_hash_sample", "pack_batches", "sessionize"]
+__all__ = [
+    "sample_hash01_key",
+    "hash_sample",
+    "stratified_hash_sample",
+    "split_dataset",
+    "split_thresholds",
+    "pack_batches",
+    "sessionize",
+]
 
 _SCALE = 1 << 60  # hash64_expr(md5 mode) yields uniform [0, 2^60)
 
@@ -75,6 +83,58 @@ def stratified_hash_sample(
         else F.lit(int(default_fraction * _SCALE))
     )
     return df.filter(sample_hash01_key(key_cols, seed) < thr_expr)
+
+
+def split_dataset(
+    df: DataFrame,
+    key_cols: list[str],
+    fractions: dict[str, float] | None = None,
+    seed: int = 42,
+    out: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: every row gets a split
+    label from ``fractions`` (insertion order defines the hash-range
+    bands; values must sum to 1). Same key-hash foundation as
+    ``hash_sample``, so the assignment is
+
+    * reproducible across partitionings, cluster sizes, and engines
+      (band thresholds are integers on the md5 60-bit hash range);
+    * leak-proof under growth: a row's split never changes when new
+      data arrives, and any table keyed on the same columns splits
+      CONSISTENTLY (a doc and its derived chunks land on the same
+      side — the property that prevents train/test contamination);
+    * a pure per-row expression — no shuffle, no sort, scan-speed.
+    """
+    h = sample_hash01_key(key_cols, seed)
+    bands = split_thresholds(fractions or {"train": 0.8, "val": 0.1, "test": 0.1})
+    chain = None
+    for name, thr in bands[:-1]:
+        cond = h < F.lit(thr)
+        chain = F.when(cond, F.lit(name)) if chain is None else chain.when(cond, F.lit(name))
+    last = bands[-1][0]
+    label = F.lit(last) if chain is None else chain.otherwise(F.lit(last))
+    return df.withColumn(out, label)
+
+
+def split_thresholds(fractions: dict[str, float]) -> list[tuple[str, int]]:
+    """(label, integer upper threshold) bands on the 60-bit hash range,
+    in ``fractions`` insertion order — shared by ``split_dataset`` and
+    external SQL oracles so both sides use IDENTICAL float-accumulated
+    cut points (the last band's threshold is the full range)."""
+    if not fractions:
+        raise ValueError("fractions must be non-empty")
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    out = []
+    cum = 0.0
+    for name, frac in fractions.items():
+        if frac < 0:
+            raise ValueError(f"fraction for {name!r} must be non-negative")
+        cum += frac
+        out.append((name, int(cum * _SCALE)))
+    out[-1] = (out[-1][0], _SCALE)
+    return out
 
 
 def pack_batches(

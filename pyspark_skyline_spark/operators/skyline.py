@@ -374,23 +374,9 @@ def _map_side_prereduce(df_keyed: DataFrame, dim_cols, senses, prune_rounds: int
     return df_keyed.mapInPandas(fn, schema=schema)
 
 
-def _broadcast_final_filter(cand: DataFrame, dim_cols, senses) -> DataFrame:
-    """Parallel global merge for LARGE candidate frontiers: collect the
-    candidates' min-space dimension matrix (bounded by the caller's
-    ``broadcast_cap`` — dims only, never full rows), broadcast it sorted
-    by ascending coordinate sum, and drop every candidate dominated by
-    any broadcast row via ``mapInPandas``.
-
-    Sound because killing a candidate dominated by ANY candidate row is
-    transitively safe (its dominator's dominators also dominate it), and
-    true skyline points have no dominator anywhere. Exact duplicates
-    never dominate each other (kernel semantics), so they all survive —
-    same as the tree merge.
-
-    The intrinsic O(F² · d) verification work of a huge frontier is
-    unchanged, but it runs across every core/executor instead of inside
-    the tree merge's final single ``applyInPandas`` group (68k-point
-    frontiers: minutes single-threaded, seconds parallel)."""
+def _collect_minspace(cand: DataFrame, dim_cols, senses):
+    """(K, sK) of the candidates' min-space dims, sorted by ascending
+    coordinate sum (dims only are collected, never full rows)."""
     import numpy as np
 
     pdf = cand.select(*dim_cols).toPandas()
@@ -399,7 +385,14 @@ def _broadcast_final_filter(cand: DataFrame, dim_cols, senses) -> DataFrame:
     )
     sK = K.sum(axis=1)
     order = np.argsort(sK, kind="stable")
-    K, sK = np.ascontiguousarray(K[order]), sK[order]
+    return np.ascontiguousarray(K[order]), sK[order]
+
+
+def _filter_against(cand: DataFrame, K, sK, dim_cols, senses) -> DataFrame:
+    """Drop every ``cand`` row dominated by any row of the broadcast
+    min-space matrix ``K`` (sorted by ascending sum) via mapInPandas."""
+    import numpy as np
+
     bc = cand.sparkSession.sparkContext.broadcast((K, sK))
     schema = cand.schema
 
@@ -432,6 +425,38 @@ def _broadcast_final_filter(cand: DataFrame, dim_cols, senses) -> DataFrame:
             yield pdf[keep]
 
     return cand.mapInPandas(fn, schema=schema)
+
+
+def _broadcast_final_filter(
+    cand: DataFrame, dim_cols, senses, prune_k: int = 8192
+) -> DataFrame:
+    """Parallel global merge for LARGE candidate frontiers, two phases:
+
+    1. **Prune**: broadcast only the ``prune_k`` smallest-sum candidates
+       (the strongest dominators — the global minimum-sum point is
+       always among them) and drop every candidate they dominate. For
+       benign data this kills almost all non-frontier candidates at
+       O(n · prune_k · d) cost, avoiding the all-vs-all trap where the
+       candidate set is much larger than the frontier.
+    2. **Verify**: re-collect the survivors and filter them against the
+       full survivor matrix — exact, and now sized by the (near-)
+       frontier rather than the raw candidate count.
+
+    Sound because killing a candidate dominated by ANY candidate row is
+    transitively safe, and true skyline points have no dominator
+    anywhere; exact duplicates never dominate each other (kernel
+    semantics), so they all survive — same as the tree merge. The
+    intrinsic O(F² · d) verification of a genuinely huge frontier still
+    runs — but across every core/executor instead of inside the tree
+    merge's final single ``applyInPandas`` group (68k-point frontiers:
+    minutes single-threaded, seconds parallel)."""
+    K, sK = _collect_minspace(cand, dim_cols, senses)
+    if len(K) > prune_k:
+        cand = _filter_against(
+            cand, K[:prune_k], sK[:prune_k], dim_cols, senses
+        ).localCheckpoint(eager=False)
+        K, sK = _collect_minspace(cand, dim_cols, senses)
+    return _filter_against(cand, K, sK, dim_cols, senses)
 
 
 def skyline(

@@ -10,7 +10,7 @@ bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 __all__ = [
     "tokens",
@@ -23,6 +23,7 @@ __all__ = [
     "quality_flags",
     "chunk_documents",
     "vocab_topk",
+    "tfidf_topk_terms",
     "LANG_MARKERS",
 ]
 
@@ -192,6 +193,57 @@ def vocab_topk(df: DataFrame, text_col: str = "text", k: int = 50) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     return tok.orderBy(F.col("n").desc(), F.col("token").asc()).limit(k)
+
+
+def tfidf_topk_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document (keyword extraction /
+    relevance weighting): ``score = tf * ln(n_docs / df_term)`` with
+    ``tf`` the in-document term count and ``df_term`` the number of
+    documents containing the term.
+
+    Shape at scale: explode → two hash aggregates, both with map-side
+    partial combine (per-(doc, term) counts, then per-term document
+    frequencies over the already-aggregated pairs — the exchange never
+    carries one row per occurrence); a shuffle equi-join on term
+    (vocab-scale, one row per term on the build side); and a per-doc
+    window for the top-k (parallel over docs, no global sort). The
+    corpus size is ONE scalar aggregate, not a crossJoin of an
+    unaggregated count.
+
+    Scores are rounded to 6 decimals and ties rank by term ascending,
+    so the result is a deterministic, engine-portable set.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    n_docs = df.select(id_col).distinct().count()
+    pairs = (
+        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dfreq = pairs.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df_term")
+    )
+    scored = pairs.join(dfreq, "term").withColumn(
+        "score",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df_term")), 6
+        ),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "score", "rank")
+    )
 
 
 _PUNCT = ".,!?;:"

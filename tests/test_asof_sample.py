@@ -438,3 +438,39 @@ def test_sessionize_rejects_non_timestamp(spark):
     df2 = spark.createDataFrame([(1, 1700000000)], "user_id long, ts long")
     with pytest.raises(TypeError, match="sessionize ts_col"):
         sessionize(df2, "user_id", "ts")
+
+
+def test_split_dataset_partitions_all_rows(spark):
+    from pyspark_skyline_spark.operators import sample as SA
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    out = SA.split_dataset(df, ["k"], {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 2000
+    assert set(counts) == {"train", "val", "test"}
+    # rough proportions (hash is uniform; 2000 rows => generous bands)
+    assert 1400 < counts["train"] < 1800
+    assert 100 < counts["val"] < 320
+    assert 100 < counts["test"] < 320
+
+
+def test_split_dataset_consistent_across_tables(spark):
+    # a table keyed on the same columns splits the same way: derived
+    # rows (chunks of a doc) follow their parent -- the anti-leak property
+    from pyspark_skyline_spark.operators import sample as SA
+
+    base = spark.range(0, 500).withColumnRenamed("id", "k")
+    derived = base.withColumn("payload", F.col("k") * 2)
+    a = {(r["k"], r["split"]) for r in SA.split_dataset(base, ["k"]).collect()}
+    b = {(r["k"], r["split"]) for r in SA.split_dataset(derived, ["k"]).select("k", "split").collect()}
+    assert a == b
+
+
+def test_split_dataset_validates_fractions(spark):
+    from pyspark_skyline_spark.operators import sample as SA
+
+    df = spark.range(5).withColumnRenamed("id", "k")
+    with pytest.raises(ValueError, match="sum to 1"):
+        SA.split_dataset(df, ["k"], {"train": 0.5, "test": 0.1})
+    with pytest.raises(ValueError, match="non-empty"):
+        SA.split_thresholds({})

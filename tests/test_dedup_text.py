@@ -311,3 +311,40 @@ def test_simhash_pairs_validates_params(spark):
         D.simhash_pairs(df, "doc_id", "text", max_hamming=4, bands=4)
     with _pt.raises(ValueError, match="divide"):
         D.simhash_pairs(df, "doc_id", "text", max_hamming=6, bands=7)
+
+
+def test_tfidf_topk_hand_computed(spark):
+    import math
+
+    from pyspark_skyline_spark.operators import text as T
+
+    rows = [
+        (1, "apple banana apple"),
+        (2, "banana cherry"),
+        (3, "cherry cherry durian"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.term): (r.tf, r.score, r.rank)
+        for r in T.tfidf_topk_terms(df, "doc_id", "text", k=2).collect()
+    }
+    ln = math.log
+    # doc 1: apple tf=2 df=1, banana tf=1 df=2
+    assert got[(1, "apple")] == (2, round(2 * ln(3 / 1), 6), 1)
+    assert got[(1, "banana")] == (1, round(1 * ln(3 / 2), 6), 2)
+    # doc 3: durian tf=1 df=1 (ln 3 ~ 1.10) beats cherry tf=2 df=2
+    # (2 ln 1.5 ~ 0.81)
+    assert got[(3, "durian")] == (1, round(ln(3.0), 6), 1)
+    assert got[(3, "cherry")] == (2, round(2 * ln(3 / 2), 6), 2)
+    assert len(got) == 6  # two per doc
+
+
+def test_tfidf_ties_rank_by_term(spark):
+    from pyspark_skyline_spark.operators import text as T
+
+    df = spark.createDataFrame([(1, "zeta alpha")], "doc_id long, text string")
+    got = [
+        (r.term, r.rank)
+        for r in T.tfidf_topk_terms(df, k=5).orderBy("rank").collect()
+    ]
+    assert got == [("alpha", 1), ("zeta", 2)]
