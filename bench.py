@@ -89,6 +89,9 @@ def sweep() -> None:
             dt1 = round(_t.perf_counter() - t0, 2)
             dt = dt1 if dt is None or dt1 < dt else dt
         df.unpersist()
+        # drop accumulated shuffle/broadcast state between shapes: the
+        # 12-shape sweep otherwise inflates late points with GC noise
+        spark.sparkContext._jvm.System.gc()
         key = f"d{d}_n{n}" + ("_anticorr" if dist == "anticorr" else "")
         results[key] = {"sec": dt, "skyline_size": cnt}
         print(f"# d={d} N={n} {dist}: {dt}s, frontier {cnt}", file=sys.stderr)

@@ -450,12 +450,25 @@ def _broadcast_final_filter(
     runs — but across every core/executor instead of inside the tree
     merge's final single ``applyInPandas`` group (68k-point frontiers:
     minutes single-threaded, seconds parallel)."""
+    import numpy as np
+
     K, sK = _collect_minspace(cand, dim_cols, senses)
-    if len(K) > prune_k:
-        cand = _filter_against(
-            cand, K[:prune_k], sK[:prune_k], dim_cols, senses
-        ).localCheckpoint(eager=False)
-        K, sK = _collect_minspace(cand, dim_cols, senses)
+    if len(K) > 2 * prune_k:
+        # The prune pass costs ~prune_k/n of the full filter and shrinks
+        # the quadratic verify by (1-kill)^2, so it pays whenever
+        # kill*(2-kill) clears that ratio (with margin for the re-collect
+        # and checkpoint). The driver already holds every candidate's
+        # dims, so the kill-rate is estimated on a strided sample across
+        # the sum range — O(sample * prune_k * d), deterministic,
+        # milliseconds.
+        tail = np.arange(prune_k, len(K), max(1, (len(K) - prune_k) // 2048))
+        S = np.ascontiguousarray(K[tail])
+        kill = _dominated_by(S, K[:prune_k], sK[tail], sK[:prune_k]).mean()
+        if kill * (2.0 - kill) > 3.0 * prune_k / len(K):
+            cand = _filter_against(
+                cand, K[:prune_k], sK[:prune_k], dim_cols, senses
+            ).localCheckpoint(eager=False)
+            K, sK = _collect_minspace(cand, dim_cols, senses)
     return _filter_against(cand, K, sK, dim_cols, senses)
 
 
