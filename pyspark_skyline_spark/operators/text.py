@@ -23,6 +23,7 @@ __all__ = [
     "quality_flags",
     "chunk_documents",
     "vocab_topk",
+    "ngram_counts",
     "tfidf_topk_terms",
     "LANG_MARKERS",
 ]
@@ -193,6 +194,34 @@ def vocab_topk(df: DataFrame, text_col: str = "text", k: int = 50) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     return tok.orderBy(F.col("n").desc(), F.col("token").asc()).limit(k)
+
+
+def ngram_counts(
+    df: DataFrame, text_col: str = "text", n: int = 2, k: int = 50
+) -> DataFrame:
+    """Corpus word n-gram frequency table (top-``k``): the LM-statistics
+    companion of ``vocab_topk`` (n=1 is the unigram case).
+
+    Documents shorter than ``n`` tokens contribute nothing. Same shape
+    at scale as ``vocab_topk``: n-grams are built row-locally with
+    ``zip_with`` (one evaluation per row, no per-element re-split),
+    then explode → map-side-combined hash aggregate → global top-k via
+    ``TakeOrderedAndProject`` (per-partition heaps, never a full sort);
+    count-desc then n-gram-asc makes the cut deterministic.
+    """
+    from pyspark_skyline_spark.operators.dedup import ordered_shingles
+
+    if n <= 0 or k <= 0:
+        raise ValueError("n and k must be positive")
+    col = F.col(text_col)
+    grams = (
+        df.filter(F.size(tokens(col)) >= n)
+        .select(F.explode(ordered_shingles(col, n)).alias("ngram"))
+        .filter(F.col("ngram") != "")
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return grams.orderBy(F.col("n").desc(), F.col("ngram").asc()).limit(k)
 
 
 def tfidf_topk_terms(

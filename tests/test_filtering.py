@@ -221,3 +221,59 @@ def test_repetition_stats_skips_quadratic_hof_past_word_cap(spark):
     assert got[1].keep is False
     # doc 2 is under the cap and computes normally
     assert got[2].top_word_frac == pytest.approx(2 / 3)
+
+
+def test_filtering_ops_compose_with_streaming(spark, tmp_path):
+    """pii_scrub / repetition_stats / split_dataset are stateless
+    per-row transforms, so they run unchanged on a streaming DataFrame
+    (availableNow file source -> memory sink) and agree with the batch
+    result. decontaminate aggregates per-doc hit counts (a streaming
+    agg would need a watermark), so a streaming curation pipeline runs
+    it inside foreachBatch — exercised on each micro-batch here."""
+    import os
+
+    from pyspark_skyline_spark.operators import filtering as FL
+    from pyspark_skyline_spark.operators.sample import split_dataset
+
+    rows = [
+        (1, "contact bob@example.com or call 555.123.4567 now"),
+        (2, "plain text " * 30),
+        (3, "the quick brown fox jumps over the lazy dog"),
+    ]
+    src = os.path.join(str(tmp_path), "src")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+    evalset = spark.createDataFrame(
+        [(100, "quick brown fox jumps over")], "eval_id long, text string"
+    )
+
+    def stateless(df):
+        return split_dataset(FL.pii_scrub(FL.repetition_stats(df)), ["doc_id"]).select(
+            "doc_id", "text", "text_scrubbed", "n_email", "keep", "split"
+        )
+
+    def full(df):
+        return FL.decontaminate(
+            stateless(df), evalset, "doc_id", shingle_k=5, mode="flag"
+        ).select(
+            "doc_id", "text_scrubbed", "n_email", "keep", "split", "contaminated"
+        )
+
+    batch = {tuple(r) for r in full(spark.read.parquet(src)).collect()}
+
+    sink: set = set()
+
+    def sink_batch(bdf, _bid):
+        sink.update(tuple(r) for r in full(bdf).collect())
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = (
+        stream.writeStream.foreachBatch(sink_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sink == batch
+    assert any(r[5] for r in sink)  # the planted quote is flagged
+    assert all(r[4] in ("train", "val", "test") for r in sink)
+    assert any("<EMAIL>" in r[1] for r in sink)  # PII redacted in-stream
+    assert any("<PHONE>" in r[1] for r in sink)
