@@ -521,6 +521,19 @@ def _q_vocab_topk(spark, sf_dir):
     return T.vocab_topk(docs, "text", k=_VOCAB_K)
 
 
+_BM25_TERMS = ["spark", "join", "window"]
+
+
+def _q_bm25_documents(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return T.bm25_scores(docs, _BM25_TERMS, "doc_id", "text", k=10)
+
+
+def _q_hash_embed_documents(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return T.hash_embed(docs, "doc_id", "text", dim=16, hash_mode="md5")
+
+
 def _q_ngram_counts_documents(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return T.ngram_counts(docs, "text", n=2, k=40)
@@ -1375,6 +1388,51 @@ FROM (SELECT o_orderkey,
              ('0x' || substr(md5(o_orderkey::VARCHAR || '#{_SAMPLE_SEED}'), 1, 15))::BIGINT AS h
       FROM orders)
 """)(SA.split_thresholds({"train": 0.8, "val": 0.1, "test": 0.1})),
+    # N and avgdl are exact in both engines (integer-valued sums below
+    # 2^53), so only ln/division carry float noise — absorbed by round(6)
+    "bm25_documents": rf"""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+  FROM documents),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(len(toks))::DOUBLE AS avgdl FROM base),
+hits AS (
+  SELECT doc_id, len(toks) AS dl, t AS term, count(*)::DOUBLE AS tf
+  FROM base, unnest(toks) AS u(t)
+  WHERE t IN ({', '.join(repr(t) for t in _BM25_TERMS)})
+  GROUP BY doc_id, len(toks), t),
+dfreq AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df_term FROM hits GROUP BY term)
+SELECT doc_id,
+       round(sum(
+         ln(1 + (stats.n - df_term + 0.5) / (df_term + 0.5))
+         * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / stats.avgdl))
+       ), 6) AS score
+FROM hits JOIN dfreq USING (term), stats
+GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
+    # md5 hash/sign mirror hash64_expr(mode='md5'); dense vectors built
+    # from an ids x buckets grid so zero buckets (and token-less docs)
+    # appear explicitly
+    "hash_embed_documents": r"""
+WITH tok AS (
+  SELECT doc_id, t FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+    FROM documents)
+  WHERE t <> ''),
+h AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(t), 1, 15))::BIGINT % 16 AS b,
+         CASE WHEN ('0x' || substr(md5(t || '#1'), 1, 15))::BIGINT % 2 = 0
+              THEN 1.0 ELSE -1.0 END AS s
+  FROM tok),
+sums AS (SELECT doc_id, b, sum(s) AS v FROM h GROUP BY doc_id, b),
+ids AS (SELECT DISTINCT doc_id FROM documents),
+grid AS (SELECT ids.doc_id, r.i FROM ids, range(0, 16) AS r(i)),
+vals AS (
+  SELECT grid.doc_id, grid.i, coalesce(sums.v, 0.0) AS v
+  FROM grid LEFT JOIN sums ON sums.doc_id = grid.doc_id AND sums.b = grid.i)
+SELECT doc_id, list(v ORDER BY i) AS embedding FROM vals GROUP BY doc_id
+""",
     # docs shorter than n tokens contribute nothing (same filter both
     # sides); \s+ separators collapse runs identically in both engines
     "ngram_counts_documents": r"""
@@ -1522,6 +1580,8 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_topk_documents": _q_tfidf_topk_documents,
     "ngram_counts_documents": _q_ngram_counts_documents,
     "multi_join_revenue": _q_multi_join_revenue,
+    "bm25_documents": _q_bm25_documents,
+    "hash_embed_documents": _q_hash_embed_documents,
 }
 
 

@@ -25,6 +25,8 @@ __all__ = [
     "vocab_topk",
     "ngram_counts",
     "tfidf_topk_terms",
+    "bm25_scores",
+    "hash_embed",
     "LANG_MARKERS",
 ]
 
@@ -273,6 +275,135 @@ def tfidf_topk_terms(
         .filter(F.col("rank") <= k)
         .select(id_col, "term", "tf", "score", "rank")
     )
+
+
+def hash_embed(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 64,
+    hash_mode: str = "md5",
+    out: str = "embedding",
+) -> DataFrame:
+    """Feature-hashing document embeddings (the "hashing trick"):
+    ``embedding[i] = Σ_{tokens t: h(t) mod dim == i} sign(t)`` with a
+    second hash bit supplying the sign — the classic vocabulary-free
+    bag-of-words vector. Output is an ``array<double>`` column that
+    composes directly with the similarity family (``cosine_topk``,
+    ``cosine_near_dup_pairs``).
+
+    Shape at scale: explode → one map-side-combined (id, bucket)
+    aggregate → one per-doc ``map_from_entries`` reassembly; the dense
+    vector is built row-locally from a ``sequence`` transform, missing
+    buckets coalesce to 0. Documents with no tokens keep an all-zero
+    vector (ids are preserved via a left join of the distinct-id set).
+    ``hash_mode="md5"`` is engine-portable (SQL oracles reproduce the
+    exact vectors); ``"xxhash64"`` is the faster JVM-native production
+    mode.
+    """
+    from pyspark_skyline_spark.operators.dedup import hash64_expr
+
+    if dim <= 0:
+        raise ValueError("dim must be positive")
+    col = F.col(text_col)
+    tok = (
+        df.select(F.col(id_col), F.explode(tokens(col)).alias("__t"))
+        .filter(F.col("__t") != "")
+    )
+    bucket = F.pmod(hash64_expr(F.col("__t"), None, hash_mode), F.lit(dim)).cast("long")
+    sign = (
+        F.when(
+            F.pmod(hash64_expr(F.col("__t"), F.lit(1), hash_mode), F.lit(2)) == 0,
+            F.lit(1.0),
+        )
+        .otherwise(F.lit(-1.0))
+    )
+    sums = (
+        tok.select(F.col(id_col), bucket.alias("__b"), sign.alias("__s"))
+        .groupBy(id_col, "__b")
+        .agg(F.sum("__s").alias("__v"))
+    )
+    maps = sums.groupBy(id_col).agg(
+        F.map_from_entries(F.collect_list(F.struct("__b", "__v"))).alias("__m")
+    )
+    # map lookup is BY KEY (the 0-based bucket id); missing buckets -> 0
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(F.col("__m")[i.cast("long")], F.lit(0.0)),
+    )
+    ids = df.select(id_col).distinct()
+    return (
+        ids.join(maps, id_col, "left")
+        .select(F.col(id_col), vec.alias(out))
+    )
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 10,
+) -> DataFrame:
+    """Top-``k`` documents by Okapi BM25 for a bag of query terms:
+    ``score(d) = Σ_t idf(t) · tf(t,d)·(k1+1) / (tf(t,d) + k1·(1 - b +
+    b·|d|/avgdl))`` with the standard smoothed
+    ``idf = ln(1 + (N - df + 0.5)/(df + 0.5))``.
+
+    Shape at scale: the exploded token stream is filtered to the query
+    terms BEFORE any shuffle (the per-(doc, term) aggregate only ever
+    carries query-term hits, not the corpus vocabulary); doc lengths
+    ride a scan-local projection; N/avgdl are one scalar aggregate; the
+    per-term df table is query-sized and broadcast. Final ranking is a
+    global top-k (``TakeOrderedAndProject``), never a full sort. Scores
+    are rounded to 6 decimals and ties rank by ``id_col`` ascending so
+    results are deterministic and engine-portable.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    if k <= 0:
+        raise ValueError("k must be positive")
+    terms = sorted({t.lower() for t in query_terms})
+    col = F.col(text_col)
+    base = df.select(F.col(id_col), F.size(tokens(col)).alias("__dl"), col.alias(text_col))
+    row = base.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("__dl").alias("avgdl")
+    ).collect()[0]
+    n_docs, avgdl = int(row["n"]), float(row["avgdl"] or 0.0)
+    if n_docs == 0 or avgdl == 0.0:
+        raise ValueError("corpus is empty")
+    hits = (
+        base.select(F.col(id_col), F.col("__dl"), F.explode(tokens(col)).alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy(id_col, "__dl", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    dfreq = (
+        hits.groupBy("term")
+        .agg(F.countDistinct(id_col).cast("double").alias("df_term"))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df_term") + F.lit(0.5))
+        / (F.col("df_term") + F.lit(0.5))
+    )
+    contrib = idf * (
+        F.col("tf")
+        * F.lit(k1 + 1.0)
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("__dl") / F.lit(avgdl))
+        )
+    )
+    scored = (
+        hits.join(F.broadcast(dfreq), "term")
+        .groupBy(id_col)
+        .agg(F.round(F.sum(contrib), 6).alias("score"))
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
 
 
 _PUNCT = ".,!?;:"

@@ -348,3 +348,70 @@ def test_tfidf_ties_rank_by_term(spark):
         for r in T.tfidf_topk_terms(df, k=5).orderBy("rank").collect()
     ]
     assert got == [("alpha", 1), ("zeta", 2)]
+
+
+def test_bm25_hand_computed(spark):
+    import math
+
+    from pyspark_skyline_spark.operators import text as T
+
+    rows = [
+        (1, "apple banana apple"),     # dl=3
+        (2, "banana cherry"),          # dl=2
+        (3, "cherry cherry durian"),   # dl=3
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.score for r in T.bm25_scores(df, ["apple", "cherry"], k=3).collect()}
+    n, avgdl, k1, b = 3, 8 / 3, 1.2, 0.75
+
+    def bm25(tf, dfreq, dl):
+        idf = math.log(1 + (n - dfreq + 0.5) / (dfreq + 0.5))
+        return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    assert got[1] == pytest.approx(round(bm25(2, 1, 3), 6), abs=1e-9)
+    assert got[3] == pytest.approx(round(bm25(2, 2, 3), 6), abs=1e-9)
+    assert got[2] == pytest.approx(round(bm25(1, 2, 2), 6), abs=1e-9)
+    # doc with both hits would sum; here ordering: apple-rich doc first
+    order = [r.doc_id for r in T.bm25_scores(df, ["apple", "cherry"], k=3).orderBy(
+        F.col("score").desc(), "doc_id").collect()]
+    assert order[0] == 1
+
+
+def test_bm25_validates(spark):
+    from pyspark_skyline_spark.operators import text as T
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="non-empty"):
+        T.bm25_scores(df, [])
+
+
+def test_hash_embed_matches_python(spark):
+    import hashlib
+
+    from pyspark_skyline_spark.operators import text as T
+
+    rows = [(1, "apple banana apple"), (2, ""), (3, "cherry")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    dim = 8
+    got = {r.doc_id: list(r.embedding) for r in T.hash_embed(df, dim=dim).collect()}
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    want = {1: [0.0] * dim, 2: [0.0] * dim, 3: [0.0] * dim}
+    for doc, text in rows:
+        for t in text.lower().split():
+            sgn = 1.0 if h60(f"{t}#1") % 2 == 0 else -1.0
+            want[doc][h60(t) % dim] += sgn
+    assert got == want
+
+
+def test_hash_embed_composes_with_cosine_topk(spark, sf_dir):
+    from pyspark_skyline_spark.operators import similarity as S
+    from pyspark_skyline_spark.operators import text as T
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(60)
+    emb = T.hash_embed(docs, dim=32, hash_mode="xxhash64")
+    top = S.cosine_topk(emb, "doc_id", "embedding", probe_id=0, k=5).collect()
+    assert len(top) == 5
+    assert all(r.doc_id != 0 for r in top)

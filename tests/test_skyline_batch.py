@@ -372,3 +372,38 @@ def test_broadcast_merge_handles_timestamp_dims(spark, sf_dir):
         for r in skyline(df, dims, merge_strategy="broadcast").select("value", "ts").collect()
     }
     assert tree == bcast
+
+
+def test_broadcast_merge_property_vs_antijoin(spark):
+    # property differential: the broadcast-merged kernel path must agree
+    # with the declarative NOT EXISTS anti-join on random mixed-sense
+    # frames (duplicates likely at this value range)
+    from hypothesis import given, settings, strategies as st
+
+    from pyspark_skyline_spark.operators.skyline import skyline_antijoin
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.integers(0, 8), st.integers(0, 8), st.integers(0, 8)
+            ),
+            min_size=1,
+            max_size=40,
+        ),
+        senses=st.tuples(
+            st.sampled_from(["min", "max"]),
+            st.sampled_from(["min", "max"]),
+            st.sampled_from(["min", "max"]),
+        ),
+    )
+    def check(rows, senses):
+        df = spark.createDataFrame(rows, "a long, b long, c long")
+        dims = list(zip(["a", "b", "c"], senses))
+        got = sorted(
+            map(tuple, skyline(df, dims, merge_strategy="broadcast").collect())
+        )
+        want = sorted(map(tuple, skyline_antijoin(df, dims).collect()))
+        assert got == want
+
+    check()
