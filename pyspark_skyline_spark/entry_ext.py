@@ -521,6 +521,13 @@ def _q_vocab_topk(spark, sf_dir):
     return T.vocab_topk(docs, "text", k=_VOCAB_K)
 
 
+def _q_column_quantiles_orders(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    return P.column_quantiles(
+        orders, ["o_totalprice"], probs=(0.25, 0.5, 0.75), mode="exact"
+    )
+
+
 _BM25_TERMS = ["spark", "join", "window"]
 
 
@@ -1388,6 +1395,16 @@ FROM (SELECT o_orderkey,
              ('0x' || substr(md5(o_orderkey::VARCHAR || '#{_SAMPLE_SEED}'), 1, 15))::BIGINT AS h
       FROM orders)
 """)(SA.split_thresholds({"train": 0.8, "val": 0.1, "test": 0.1})),
+    # Spark's exact `percentile` and DuckDB's quantile_cont share the
+    # same interpolated definition; round(6) absorbs ulp noise
+    "column_quantiles_orders": """
+SELECT 'o_totalprice' AS column, 0.25 AS p,
+       round(quantile_cont(o_totalprice, 0.25), 6) AS value FROM orders
+UNION ALL
+SELECT 'o_totalprice', 0.5, round(quantile_cont(o_totalprice, 0.5), 6) FROM orders
+UNION ALL
+SELECT 'o_totalprice', 0.75, round(quantile_cont(o_totalprice, 0.75), 6) FROM orders
+""",
     # N and avgdl are exact in both engines (integer-valued sums below
     # 2^53), so only ln/division carry float noise — absorbed by round(6)
     "bm25_documents": rf"""
@@ -1582,6 +1599,7 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multi_join_revenue": _q_multi_join_revenue,
     "bm25_documents": _q_bm25_documents,
     "hash_embed_documents": _q_hash_embed_documents,
+    "column_quantiles_orders": _q_column_quantiles_orders,
 }
 
 

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import NumericType
 
-__all__ = ["column_profile"]
+__all__ = ["column_profile", "column_quantiles"]
 
 
 def column_profile(
@@ -81,4 +81,56 @@ def column_profile(
         out,
         "column string, n_rows long, n_nulls long, approx_distinct long, "
         "min double, max double, mean double",
+    )
+
+
+def column_quantiles(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75),
+    mode: str = "approx",
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Per-column quantiles of the numeric columns in ONE aggregate job
+    (the distribution companion of ``column_profile`` — pick shuffle
+    partition counts, salt thresholds, and filter cut-offs from data).
+
+    Returns long-format ``(column, p, value)`` — values as doubles,
+    rounded to 6 decimals.
+
+    ``mode="approx"`` (default) uses ``percentile_approx`` (GK sketch,
+    ``accuracy`` trade-off) — mergeable map-side partials, the only
+    affordable form at 100 TB. ``mode="exact"`` uses the exact
+    interpolated ``percentile`` (DuckDB's ``quantile_cont`` definition)
+    — a per-column value buffer in the aggregate, fine for profiling
+    samples and bit-reproducible against SQL oracles.
+    """
+    if mode not in ("approx", "exact"):
+        raise ValueError(f"mode must be approx|exact, got {mode!r}")
+    if not probs or not all(0.0 <= p <= 1.0 for p in probs):
+        raise ValueError(f"probs must be within [0, 1], got {probs}")
+    numeric = [
+        f.name for f in df.schema.fields if isinstance(f.dataType, NumericType)
+    ]
+    cols = [c for c in (cols or numeric)]
+    bad = [c for c in cols if c not in numeric]
+    if bad:
+        raise ValueError(f"columns {bad} are not numeric (numeric: {numeric})")
+    arr = "array(" + ", ".join(repr(float(p)) for p in probs) + ")"
+    fn = "percentile" if mode == "exact" else "percentile_approx"
+    extra = "" if mode == "exact" else f", {int(accuracy)}"
+    aggs = [
+        F.expr(f"{fn}(`{c}`{'' if mode == 'exact' else ''}, {arr}{extra})").alias(
+            f"__q_{c}"
+        )
+        for c in cols
+    ]
+    row = df.agg(*aggs).collect()[0]
+    out = [
+        (c, float(p), round(float(v), 6) if v is not None else None)
+        for c in cols
+        for p, v in zip(probs, row[f"__q_{c}"] or [None] * len(probs))
+    ]
+    return df.sparkSession.createDataFrame(
+        out, "column string, p double, value double"
     )

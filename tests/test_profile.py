@@ -30,3 +30,33 @@ def test_column_profile_subset_and_validation(spark, sf_dir):
     assert abs(rows["o_orderkey"].approx_distinct - n) <= 0.1 * n
     with pytest.raises(ValueError, match="not in DataFrame"):
         column_profile(orders, ["nope"])
+
+
+def test_column_quantiles_exact_hand_computed(spark):
+    from pyspark_skyline_spark.operators.profile import column_quantiles
+
+    df = spark.createDataFrame([(float(i),) for i in range(1, 6)], "x double")
+    got = {
+        (r.column, r.p): r.value
+        for r in column_quantiles(df, mode="exact").collect()
+    }
+    # exact interpolated quantiles of 1..5
+    assert got[("x", 0.25)] == 2.0
+    assert got[("x", 0.5)] == 3.0
+    assert got[("x", 0.75)] == 4.0
+
+
+def test_column_quantiles_approx_close_and_validation(spark):
+    import pytest as _pt
+
+    from pyspark_skyline_spark.operators.profile import column_quantiles
+
+    df = spark.range(0, 10001).selectExpr("cast(id as double) as x")
+    got = {
+        r.p: r.value for r in column_quantiles(df, probs=(0.5,), mode="approx").collect()
+    }
+    assert abs(got[0.5] - 5000.0) < 50
+    with _pt.raises(ValueError, match="not numeric"):
+        column_quantiles(df.selectExpr("cast(x as string) as s"), ["s"])
+    with _pt.raises(ValueError, match="mode"):
+        column_quantiles(df, mode="sketchy")
