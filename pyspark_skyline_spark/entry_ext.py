@@ -521,6 +521,36 @@ def _q_vocab_topk(spark, sf_dir):
     return T.vocab_topk(docs, "text", k=_VOCAB_K)
 
 
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _q_rollup_orders(spark, sf_dir):
+    """GROUP BY ROLLUP (status, priority): subtotal rows carry NULLs for
+    the aggregated-out levels in BOTH engines — native Catalyst rollup,
+    map-side partial agg per grouping set."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+def _q_pivot_events(spark, sf_dir):
+    """Pivot (crosstab): per-user event counts, one column per event
+    type. Pivot values are pinned so the schema is static — at scale an
+    unpinned pivot needs an extra distinct-values job."""
+    ev = load_table(spark, sf_dir, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}") for t in _EVENT_TYPES],
+    )
+
+
 def _q_column_quantiles_orders(spark, sf_dir):
     orders = load_table(spark, sf_dir, "orders")
     return P.column_quantiles(
@@ -1395,6 +1425,17 @@ FROM (SELECT o_orderkey,
              ('0x' || substr(md5(o_orderkey::VARCHAR || '#{_SAMPLE_SEED}'), 1, 15))::BIGINT AS h
       FROM orders)
 """)(SA.split_thresholds({"train": 0.8, "val": 0.1, "test": 0.1})),
+    "rollup_orders": """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS sum_price
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""",
+    "pivot_events": f"""
+SELECT user_id,
+       {', '.join(f"CAST(count(*) FILTER (event_type = '{t}') AS BIGINT) AS n_{t}" for t in _EVENT_TYPES)}
+FROM events GROUP BY user_id
+""",
     # Spark's exact `percentile` and DuckDB's quantile_cont share the
     # same interpolated definition; round(6) absorbs ulp noise
     "column_quantiles_orders": """
@@ -1600,6 +1641,8 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_documents": _q_bm25_documents,
     "hash_embed_documents": _q_hash_embed_documents,
     "column_quantiles_orders": _q_column_quantiles_orders,
+    "rollup_orders": _q_rollup_orders,
+    "pivot_events": _q_pivot_events,
 }
 
 
