@@ -160,3 +160,15 @@ def test_range_join_is_hash_join_not_nested_loop(spark, sf_dir):
     plan = formatted_plan(_QUERIES["range_join_error_click_events"](spark, sf_dir))
     assert "NestedLoop" not in plan, plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
+
+
+def test_multi_join_revenue_plan_broadcasts_dimension_chain(spark, sf_dir):
+    # the supplier->nation->region chain must broadcast (no SortMergeJoin,
+    # no shuffle of the fact table for the join) and stay fully JVM-side
+    from pyspark_skyline_spark.entry_ext import ext_extra_queries
+
+    df = ext_extra_queries()["multi_join_revenue"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
