@@ -521,6 +521,49 @@ def _q_vocab_topk(spark, sf_dir):
     return T.vocab_topk(docs, "text", k=_VOCAB_K)
 
 
+def _q_stream_join_events(spark, sf_dir):
+    """Watermarked stream-stream interval join through the REAL engine:
+    errors joined to same-user clicks within the preceding 30 minutes.
+    Inner joins emit every match of the replayed data (watermarks only
+    bound state), so the batch SQL interval join is an exact oracle."""
+    import os
+    import uuid
+
+    from pyspark_skyline_spark.streaming.joins import stream_interval_join
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = f"{sf_dir}/events.parquet"
+    static = spark.read.parquet(path)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", os.path.basename(path))
+        .parquet(os.path.dirname(path))
+    )
+    errors = stream.filter(F.col("event_type") == "error")
+    clicks = stream.filter(F.col("event_type") == "click")
+    joined = stream_interval_join(
+        errors, clicks, "ts", "ts", by=["user_id"],
+        max_delay="30 minutes", watermark="1 hour",
+    ).select(
+        F.col("event_id").alias("err_id"),
+        F.col("r_event_id").alias("click_id"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("r_ts").cast("timestamp"))
+        ).alias("gap_us"),
+    )
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -1425,6 +1468,15 @@ FROM (SELECT o_orderkey,
              ('0x' || substr(md5(o_orderkey::VARCHAR || '#{_SAMPLE_SEED}'), 1, 15))::BIGINT AS h
       FROM orders)
 """)(SA.split_thresholds({"train": 0.8, "val": 0.1, "test": 0.1})),
+    "stream_join_error_click_events": """
+SELECT e.event_id AS err_id, c.event_id AS click_id,
+       epoch_us(e.ts) - epoch_us(c.ts) AS gap_us
+FROM events e JOIN events c
+  ON c.user_id = e.user_id
+ AND c.ts <= e.ts
+ AND c.ts >= e.ts - INTERVAL 30 MINUTE
+WHERE e.event_type = 'error' AND c.event_type = 'click'
+""",
     "rollup_orders": """
 SELECT o_orderstatus, o_orderpriority,
        CAST(count(*) AS BIGINT) AS n_orders,
@@ -1643,6 +1695,7 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "column_quantiles_orders": _q_column_quantiles_orders,
     "rollup_orders": _q_rollup_orders,
     "pivot_events": _q_pivot_events,
+    "stream_join_error_click_events": _q_stream_join_events,
 }
 
 

@@ -1,0 +1,64 @@
+"""Watermarked stream-stream interval join (SURVEY.md §2.3 streaming
+breadth; the reference has no joins at all — its only dataflow is a
+single keyed aggregate, src/jobs/stream_job.py).
+
+``stream_interval_join`` joins two event streams on equality keys plus
+a bounded time window (right event in ``[left_ts - max_delay,
+left_ts]`` — "the most recent right-side context for each left event",
+e.g. clicks preceding an error). Both sides carry watermarks and the
+join predicate carries the time bound, which is exactly the shape
+Structured Streaming needs to EVICT state: each side buffers only rows
+inside ``watermark + max_delay`` of the stream frontier, so state is
+bounded by rate × horizon, never by stream length.
+
+Inner joins emit each match as soon as both rows have arrived
+(watermarks only bound state and drop late rows), so an availableNow
+replay emits exactly the batch join of the same data — the property
+the oracle tests rely on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from pyspark_skyline_spark.streaming.watermark import _with_event_time
+
+__all__ = ["stream_interval_join"]
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    by: list[str] | None = None,
+    max_delay: str = "10 minutes",
+    watermark: str = "30 minutes",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Join each left row to right rows with the same ``by`` keys whose
+    event time falls in ``[left_ts - max_delay, left_ts]``.
+
+    Right-side columns are renamed with ``right_prefix`` (both streams
+    often share a schema — e.g. one event table split by type). Works
+    on batch DataFrames too (watermarks are a no-op there), so the same
+    call is unit-testable and oracle-checkable in batch.
+    """
+    by = list(by or ())
+    for c in [left_ts, *by]:
+        if c not in left.columns:
+            raise ValueError(f"column {c!r} not in left columns {left.columns}")
+    for c in [right_ts, *by]:
+        if c not in right.columns:
+            raise ValueError(f"column {c!r} not in right columns {right.columns}")
+    l = _with_event_time(left, left_ts).withWatermark(left_ts, watermark)
+    r = _with_event_time(right, right_ts).withWatermark(right_ts, watermark)
+    renames = {c: f"{right_prefix}{c}" for c in r.columns}
+    r = r.select(*[F.col(c).alias(renames[c]) for c in r.columns])
+    r_ts = renames[right_ts]
+    cond = (F.col(r_ts) <= F.col(left_ts)) & (
+        F.col(r_ts) >= F.col(left_ts) - F.expr(f"INTERVAL {max_delay}")
+    )
+    for c in by:
+        cond = cond & (F.col(c) == F.col(renames[c]))
+    return l.join(r, cond, "inner")
