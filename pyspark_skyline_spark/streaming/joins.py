@@ -35,6 +35,7 @@ def stream_interval_join(
     max_delay: str = "10 minutes",
     watermark: str = "30 minutes",
     right_prefix: str = "r_",
+    how: str = "inner",
 ) -> DataFrame:
     """Join each left row to right rows with the same ``by`` keys whose
     event time falls in ``[left_ts - max_delay, left_ts]``.
@@ -43,7 +44,17 @@ def stream_interval_join(
     often share a schema — e.g. one event table split by type). Works
     on batch DataFrames too (watermarks are a no-op there), so the same
     call is unit-testable and oracle-checkable in batch.
+
+    ``how="left_outer"`` keeps unmatched left rows with NULL right
+    columns. Outer results are watermark-gated by the engine: a left
+    row's NULL-match row only emits once the watermark proves no
+    matching right row can still arrive (watermark past ``left_ts +
+    max_delay``) — rows newer than the final watermark stay buffered,
+    so a bounded replay emits the batch left join of the
+    watermark-closed prefix only.
     """
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"how must be inner|left_outer, got {how!r}")
     by = list(by or ())
     for c in [left_ts, *by]:
         if c not in left.columns:
@@ -61,4 +72,4 @@ def stream_interval_join(
     )
     for c in by:
         cond = cond & (F.col(c) == F.col(renames[c]))
-    return l.join(r, cond, "inner")
+    return l.join(r, cond, how)
