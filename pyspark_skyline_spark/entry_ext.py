@@ -14,6 +14,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from pyspark_skyline_spark.operators import dedup as D
+from pyspark_skyline_spark.operators import diagnostics as DG
 from pyspark_skyline_spark.operators import filtering as FL
 from pyspark_skyline_spark.operators import multimodal as M
 from pyspark_skyline_spark.operators import profile as P
@@ -519,6 +520,27 @@ def _q_stratified_sample_events(spark, sf_dir):
 def _q_vocab_topk(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return T.vocab_topk(docs, "text", k=_VOCAB_K)
+
+
+def _q_contamination_report_documents(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    probe = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("eval_id"), "text"
+    )
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    return FL.contamination_report(
+        train, probe, "doc_id", "eval_id", shingle_k=8, hash_mode="md5"
+    )
+
+
+def _q_heavy_hitters_events(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return DG.heavy_hitters(ev, ["user_id", "event_type"], k=20)
+
+
+def _q_skew_stats_events(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return DG.skew_stats(ev, ["user_id"])
 
 
 def _q_stream_join_events(spark, sf_dir):
@@ -1468,6 +1490,35 @@ FROM (SELECT o_orderkey,
              ('0x' || substr(md5(o_orderkey::VARCHAR || '#{_SAMPLE_SEED}'), 1, 15))::BIGINT AS h
       FROM orders)
 """)(SA.split_thresholds({"train": 0.8, "val": 0.1, "test": 0.1})),
+    "contamination_report_documents": (lambda sh8, h: f"""
+WITH sh AS (
+  SELECT doc_id, {sh8} AS s FROM documents),
+probe AS (
+  SELECT DISTINCT doc_id AS eval_id, {h} AS h
+  FROM sh, unnest(s) AS u(g) WHERE doc_id % 50 = 0),
+grams AS (
+  SELECT doc_id, {h} AS h
+  FROM sh, unnest(s) AS u(g) WHERE doc_id % 50 <> 0),
+pairs AS (
+  SELECT DISTINCT probe.eval_id, grams.doc_id
+  FROM grams JOIN probe USING (h))
+SELECT eval_id, CAST(count(*) AS BIGINT) AS n_leaking_docs
+FROM pairs GROUP BY eval_id
+""")(_shingles_sql_k(8), _HASH60.format(x="g")),
+    "heavy_hitters_events": """
+SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY user_id, event_type
+ORDER BY n DESC, user_id ASC, event_type ASC LIMIT 20
+""",
+    "skew_stats_events": """
+WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id)
+SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(max(n) AS BIGINT) AS max_key_rows,
+       round(avg(n), 6) AS avg_key_rows,
+       round(max(n) / avg(n), 6) AS skew_ratio
+FROM c
+""",
     "stream_join_error_click_events": """
 SELECT e.event_id AS err_id, c.event_id AS click_id,
        epoch_us(e.ts) - epoch_us(c.ts) AS gap_us
@@ -1696,6 +1747,9 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_orders": _q_rollup_orders,
     "pivot_events": _q_pivot_events,
     "stream_join_error_click_events": _q_stream_join_events,
+    "contamination_report_documents": _q_contamination_report_documents,
+    "heavy_hitters_events": _q_heavy_hitters_events,
+    "skew_stats_events": _q_skew_stats_events,
 }
 
 

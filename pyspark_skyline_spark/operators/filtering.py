@@ -31,7 +31,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 from pyspark_skyline_spark.operators.dedup import hash64_expr, shingles
 from pyspark_skyline_spark.operators.text import tokens
 
-__all__ = ["repetition_stats", "pii_scrub", "decontaminate"]
+__all__ = ["repetition_stats", "pii_scrub", "decontaminate", "contamination_report"]
 
 
 def _frac(num: Column, den: Column) -> Column:
@@ -223,3 +223,48 @@ def decontaminate(
     return flagged.withColumn(
         "n_contaminated_grams", F.coalesce(F.col("n_contaminated_grams"), F.lit(0)).cast("long")
     ).withColumn("contaminated", F.col("n_contaminated_grams") >= min_hits)
+
+
+def contamination_report(
+    df: DataFrame,
+    probe_df: DataFrame,
+    id_col: str,
+    probe_id_col: str,
+    text_col: str = "text",
+    probe_text_col: str | None = None,
+    shingle_k: int = 8,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """The reverse view of ``decontaminate``: per EVAL row, how many
+    corpus documents share at least one word ``shingle_k``-gram with it
+    — "which benchmark items leak into the training set, and how
+    badly". Returns ``(probe_id, n_leaking_docs)`` for probe rows with
+    at least one leak.
+
+    Physical plan mirrors ``decontaminate``: the probe shingle set
+    (eval-sized, tiny) is broadcast; the corpus explodes to distinct
+    (doc, gram-hash) pairs — the only shuffle, sized by matching grams
+    after the broadcast join, never by corpus text.
+    """
+    ptc = probe_text_col or text_col
+    probe_grams = (
+        probe_df.select(
+            F.col(probe_id_col).alias("__pid"),
+            F.explode(shingles(F.col(ptc), shingle_k)).alias("__g"),
+        )
+        .select("__pid", hash64_expr(F.col("__g"), None, hash_mode).alias("__h"))
+        .distinct()
+    )
+    corpus_grams = df.select(
+        F.col(id_col).alias("__doc"),
+        F.explode(shingles(F.col(text_col), shingle_k)).alias("__g"),
+    ).select("__doc", hash64_expr(F.col("__g"), None, hash_mode).alias("__h"))
+    # distinct (doc, hash) so one doc repeating a gram counts once
+    return (
+        corpus_grams.join(F.broadcast(probe_grams), "__h", "inner")
+        .select("__pid", "__doc")
+        .distinct()
+        .groupBy("__pid")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_leaking_docs"))
+        .select(F.col("__pid").alias(probe_id_col), "n_leaking_docs")
+    )

@@ -277,3 +277,26 @@ def test_filtering_ops_compose_with_streaming(spark, tmp_path):
     assert all(r[4] in ("train", "val", "test") for r in sink)
     assert any("<EMAIL>" in r[1] for r in sink)  # PII redacted in-stream
     assert any("<PHONE>" in r[1] for r in sink)
+
+
+def test_contamination_report_counts_leaking_docs(spark):
+    quote = "the quick brown fox jumps over the lazy dog tonight"
+    train = spark.createDataFrame(
+        [
+            (1, f"intro text then {quote} and trailing words"),
+            (2, f"another doc also quoting {quote} right here"),
+            (3, "completely unrelated content about spark partitions"),
+        ],
+        "doc_id long, text string",
+    )
+    probe = spark.createDataFrame(
+        [(100, quote), (200, "no overlap with anything at all here now")],
+        "eval_id long, text string",
+    )
+    got = {
+        r.eval_id: r.n_leaking_docs
+        for r in FL.contamination_report(
+            train, probe, "doc_id", "eval_id", shingle_k=8
+        ).collect()
+    }
+    assert got == {100: 2}  # probes without leaks are absent
