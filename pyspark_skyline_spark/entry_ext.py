@@ -522,6 +522,44 @@ def _q_vocab_topk(spark, sf_dir):
     return T.vocab_topk(docs, "text", k=_VOCAB_K)
 
 
+def _q_stream_vocab_documents(spark, sf_dir):
+    """COMPLETE output mode through the real engine (append and update
+    are covered by the other stream rows): a streaming token-count
+    aggregation re-emits the full result each trigger, so after an
+    availableNow replay the memory sink holds exactly the batch
+    vocabulary — the batch vocab_topk SQL is an exact oracle."""
+    import os
+    import uuid
+
+    path = f"{sf_dir}/documents.parquet"
+    static = spark.read.parquet(path)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", os.path.basename(path))
+        .parquet(os.path.dirname(path))
+    )
+    counts = (
+        stream.select(F.explode(T.tokens(F.col("text"))).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    name = f"svocab_{uuid.uuid4().hex[:8]}"
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(_VOCAB_K)
+    )
+
+
 def _q_contamination_report_documents(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     probe = docs.filter(F.col("doc_id") % 50 == 0).select(
@@ -1490,6 +1528,13 @@ FROM (SELECT o_orderkey,
              ('0x' || substr(md5(o_orderkey::VARCHAR || '#{_SAMPLE_SEED}'), 1, 15))::BIGINT AS h
       FROM orders)
 """)(SA.split_thresholds({"train": 0.8, "val": 0.1, "test": 0.1})),
+    "stream_vocab_documents": rf"""
+SELECT token, CAST(count(*) AS BIGINT) AS n FROM (
+  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+  FROM documents)
+WHERE token <> ''
+GROUP BY token ORDER BY n DESC, token LIMIT {_VOCAB_K}
+""",
     "contamination_report_documents": (lambda sh8, h: f"""
 WITH sh AS (
   SELECT doc_id, {sh8} AS s FROM documents),
@@ -1747,6 +1792,7 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_orders": _q_rollup_orders,
     "pivot_events": _q_pivot_events,
     "stream_join_error_click_events": _q_stream_join_events,
+    "stream_vocab_documents": _q_stream_vocab_documents,
     "contamination_report_documents": _q_contamination_report_documents,
     "heavy_hitters_events": _q_heavy_hitters_events,
     "skew_stats_events": _q_skew_stats_events,
