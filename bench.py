@@ -61,7 +61,17 @@ def sweep() -> None:
     results = {}
     # d=10 only at N=1e5 (the reference report's own d=10 coverage, p.3;
     # at 1e6 the frontier is most of the dataset — intrinsic, SURVEY §7.3)
-    shapes = [(n, d, "uniform") for n, ds in ((100_000, (2, 3, 5, 7, 10)), (1_000_000, (2, 3, 5, 7))) for d in ds]
+    shapes = [
+        (n, d, "uniform")
+        for n, ds in (
+            (100_000, (2, 3, 5, 7, 10)),
+            (1_000_000, (2, 3, 5, 7)),
+            # the reference's LARGEST published scale (report p.4):
+            # ~50 s (d=2/3), ~250 s (d=5), 47 min MR-ANGLE (d=7)
+            (10_000_000, (2, 3, 5, 7)),
+        )
+        for d in ds
+    ]
     # adversarial points the reference never dared: anticorrelated dims
     # (worst-case frontier growth) and d=10 at 1e6. d=10 anticorr stays
     # at 1e5 — at 1e6 the frontier IS most of the dataset (degenerate

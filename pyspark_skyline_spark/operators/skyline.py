@@ -535,7 +535,16 @@ def skyline(
     if algo not in ("MR_DIM", "MR_DIM_Q", "MR_GRID", "MR_ANGLE"):
         raise ValueError(f"algo must be one of {ALGORITHMS}, got {algo!r}")
 
-    df = df.filter(F.lit(True) & F.expr(" AND ".join(f"`{c}` IS NOT NULL" for c, _ in dims)))
+    # NULL dims are excluded (SQL NOT EXISTS oracle semantics); NaN dims
+    # too — IEEE comparisons make NaN rows incomparable (the kernel
+    # would keep every one of them), and engines disagree on NaN
+    # ordering, so the only portable semantics is "no value, no row"
+    guards = []
+    for c, _ in dims:
+        guards.append(f"`{c}` IS NOT NULL")
+        if df.schema[c].dataType.typeName() in ("double", "float"):
+            guards.append(f"NOT isnan(`{c}`)")
+    df = df.filter(F.lit(True) & F.expr(" AND ".join(guards)))
 
     if bounds is None:
         bounds = _compute_bounds(df, dims)

@@ -407,3 +407,16 @@ def test_broadcast_merge_property_vs_antijoin(spark):
         assert got == want
 
     check()
+
+
+def test_skyline_excludes_nan_dims(spark):
+    # NaN rows are incomparable under IEEE comparisons (the kernel would
+    # keep all of them) and engines disagree on NaN ordering — so NaN
+    # dims are excluded exactly like NULLs
+    rows = [(1.0, 2.0), (float("nan"), 0.5), (2.0, 1.0), (0.5, float("nan"))]
+    df = spark.createDataFrame(rows, "x double, y double")
+    got = {
+        (r.x, r.y)
+        for r in skyline(df, [("x", "min"), ("y", "min")]).collect()
+    }
+    assert got == {(1.0, 2.0), (2.0, 1.0)}
