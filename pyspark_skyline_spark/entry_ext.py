@@ -522,6 +522,17 @@ def _q_vocab_topk(spark, sf_dir):
     return T.vocab_topk(docs, "text", k=_VOCAB_K)
 
 
+def _q_dedup_incremental_documents(spark, sf_dir):
+    """Daily-ingest pattern: docs with doc_id % 4 == 0 form yesterday's
+    accepted-corpus fingerprint ledger; the rest arrive as today's batch
+    and must drop ledger matches plus in-batch duplicates."""
+    docs = load_table(spark, sf_dir, "documents")
+    known = docs.filter(F.col("doc_id") % 4 == 0)
+    ledger = T.fingerprint(known).select("fp")
+    new = docs.filter(F.col("doc_id") % 4 != 0)
+    return D.dedup_incremental(new, ledger, "doc_id").select("doc_id", "fp")
+
+
 def _q_stream_vocab_documents(spark, sf_dir):
     """COMPLETE output mode through the real engine (append and update
     are covered by the other stream rows): a streaming token-count
@@ -1528,6 +1539,18 @@ FROM (SELECT o_orderkey,
              ('0x' || substr(md5(o_orderkey::VARCHAR || '#{_SAMPLE_SEED}'), 1, 15))::BIGINT AS h
       FROM orders)
 """)(SA.split_thresholds({"train": 0.8, "val": 0.1, "test": 0.1})),
+    "dedup_incremental_documents": r"""
+WITH fp AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+  FROM documents),
+ledger AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 4 = 0),
+fresh AS (
+  SELECT f.doc_id, f.fp FROM fp f
+  WHERE f.doc_id % 4 <> 0 AND f.fp NOT IN (SELECT fp FROM ledger))
+SELECT doc_id, fp FROM fresh
+QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+""",
     "stream_vocab_documents": rf"""
 SELECT token, CAST(count(*) AS BIGINT) AS n FROM (
   SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
@@ -1792,6 +1815,7 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_orders": _q_rollup_orders,
     "pivot_events": _q_pivot_events,
     "stream_join_error_click_events": _q_stream_join_events,
+    "dedup_incremental_documents": _q_dedup_incremental_documents,
     "stream_vocab_documents": _q_stream_vocab_documents,
     "contamination_report_documents": _q_contamination_report_documents,
     "heavy_hitters_events": _q_heavy_hitters_events,

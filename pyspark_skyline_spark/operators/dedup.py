@@ -33,6 +33,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "near_dup_clusters",
     "dedup_corpus",
+    "dedup_incremental",
     "spread_for_compute",
 ]
 
@@ -696,3 +697,39 @@ def dedup_corpus(
         F.col("node").alias(id_col)
     )
     return survivors.join(losers, id_col, "anti")
+
+
+def dedup_incremental(
+    new_df: DataFrame,
+    known_df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    known_fp_col: str = "fp",
+    fp_col: str = "fp",
+) -> DataFrame:
+    """Incremental ingest dedup: drop rows of ``new_df`` whose document
+    fingerprint (md5 of normalized text — ``text.fingerprint``) already
+    exists in the corpus ledger ``known_df[known_fp_col]``, then
+    exact-dedup within the new batch itself (min ``id_col`` survives).
+    The daily-batch pattern: yesterday's ledger is the fingerprint
+    column of the accepted corpus, today's survivors append to it.
+
+    Shape at scale: the ledger side carries ONLY fingerprints (32-byte
+    strings, not text), and the membership test is a hash anti-join on
+    ``fp`` — both sides shuffle by fingerprint, no broadcast assumption
+    (a 100 TB corpus ledger is large), no text movement. The within-
+    batch pass is one window over the (much smaller) new batch. For
+    NEAR-duplicate incremental checks compose ``filtering.decontaminate``
+    (shingle-overlap vs the known corpus) upstream of this exact pass.
+
+    Returns the surviving ``new_df`` rows plus their ``fp_col``.
+    """
+    from pyspark_skyline_spark.operators.text import fingerprint
+
+    stamped = fingerprint(new_df, text_col, out=fp_col)
+    fresh = stamped.join(
+        known_df.select(F.col(known_fp_col).alias(fp_col)).distinct(),
+        fp_col,
+        "left_anti",
+    )
+    return dedup_exact(fresh, [fp_col], order_col=id_col)

@@ -415,3 +415,24 @@ def test_hash_embed_composes_with_cosine_topk(spark, sf_dir):
     top = S.cosine_topk(emb, "doc_id", "embedding", probe_id=0, k=5).collect()
     assert len(top) == 5
     assert all(r.doc_id != 0 for r in top)
+
+
+def test_dedup_incremental_drops_known_and_batch_dups(spark):
+    known = spark.createDataFrame(
+        [(1, "seen before text"), (2, "also known already")],
+        "doc_id long, text string",
+    )
+    ledger = T.fingerprint(known).select("fp")
+    new = spark.createDataFrame(
+        [
+            (10, "Seen   BEFORE text"),     # normalizes to a known fp -> dropped
+            (11, "brand new document one"),
+            (12, "brand  NEW document one"), # in-batch dup of 11 -> dropped
+            (13, "another fresh document"),
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        r.doc_id for r in D.dedup_incremental(new, ledger, "doc_id").collect()
+    )
+    assert got == [11, 13]
