@@ -1731,7 +1731,36 @@ WHERE rank <= 3
     "two_stage_skyline_orders": skyline_oracle_sql(
         "orders", [("o_totalprice", "max"), ("o_orderdate", "min")]
     ),
+    # independent JSON engines: Spark get_json_object vs DuckDB's JSON
+    # extension; min/max grade the row-level extraction, the group-by
+    # grades the typed cast
+    "json_extract_events": """
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+       round(sum(value), 6) AS sum_value
+FROM events
+GROUP BY 1
+""",
 }
+
+def _q_json_extract_events(spark, sf_dir):
+    """Typed JSON field extraction (operators/jsonx.py) feeding an
+    ordinary aggregate: props ->> '$.k' as BIGINT, grouped by k % 10.
+    Pure Catalyst (get_json_object + try_cast) — no Python, one scan of
+    (props, value) only."""
+    from pyspark_skyline_spark.operators.jsonx import json_extract
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ex = json_extract(df, "props", [("k", "$.k", "bigint")])
+    return ex.groupBy((F.col("k") % 10).alias("k_mod")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("k").cast("long").alias("min_k"),
+        F.max("k").cast("long").alias("max_k"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # NOTE: the driver grades at most 50 entries (round 1 registered 52
@@ -1820,6 +1849,7 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "contamination_report_documents": _q_contamination_report_documents,
     "heavy_hitters_events": _q_heavy_hitters_events,
     "skew_stats_events": _q_skew_stats_events,
+    "json_extract_events": _q_json_extract_events,
 }
 
 
