@@ -1743,7 +1743,52 @@ SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
 FROM events
 GROUP BY 1
 """,
+    # stream-static inner join emits every match of the replay, so the
+    # plain batch join is exact
+    "stream_enrich_events": """
+SELECT e.event_id, e.user_id, c.c_name, round(c.c_acctbal, 2) AS acctbal
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+""",
 }
+
+def _q_stream_enrich_events(spark, sf_dir):
+    """Stream-static enrichment join through the REAL engine: streaming
+    events looked up against the static customer dimension (broadcast,
+    stateless per micro-batch). Inner stream-static joins emit every
+    match of the replayed data, so the batch SQL join is an exact
+    oracle."""
+    import os
+    import uuid
+
+    from pyspark_skyline_spark.streaming.joins import stream_static_join
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = f"{sf_dir}/events.parquet"
+    static_ev = spark.read.parquet(path)
+    stream = (
+        spark.readStream.schema(static_ev.schema)
+        .option("pathGlobFilter", os.path.basename(path))
+        .parquet(os.path.dirname(path))
+    )
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .withColumnRenamed("c_custkey", "user_id")
+        .select("user_id", "c_name", "c_acctbal")
+    )
+    joined = stream_static_join(stream, dim, ["user_id"], how="inner").select(
+        "event_id", "user_id", "c_name", F.round("c_acctbal", 2).alias("acctbal")
+    )
+    name = f"enr_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
 
 def _q_json_extract_events(spark, sf_dir):
     """Typed JSON field extraction (operators/jsonx.py) feeding an
@@ -1850,6 +1895,7 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "heavy_hitters_events": _q_heavy_hitters_events,
     "skew_stats_events": _q_skew_stats_events,
     "json_extract_events": _q_json_extract_events,
+    "stream_enrich_events": _q_stream_enrich_events,
 }
 
 

@@ -23,7 +23,45 @@ from pyspark.sql import DataFrame, functions as F
 
 from pyspark_skyline_spark.streaming.watermark import _with_event_time
 
-__all__ = ["stream_interval_join"]
+__all__ = ["stream_interval_join", "stream_static_join"]
+
+
+def stream_static_join(
+    stream: DataFrame,
+    static: DataFrame,
+    keys: list[str],
+    how: str = "inner",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Enrich a streaming fact with a static dimension table (the
+    classic lookup/enrichment shape: events + user profile, lineitem +
+    part attributes).
+
+    Stream-static joins are STATELESS in Structured Streaming — each
+    micro-batch joins against the current static snapshot, no state
+    store, no watermark required — which makes this the cheapest join
+    in the engine. ``broadcast_dim=True`` (default) broadcasts the
+    dimension so each micro-batch is a map-side BroadcastHashJoin: zero
+    shuffle of the stream, the plan you want when the dimension fits an
+    executor. Set it False for dimensions too large to broadcast (the
+    engine then shuffles each micro-batch — usually the wrong trade;
+    consider pre-bucketing instead).
+
+    ``how``: inner or left_outer with the stream on the left — the
+    shapes Structured Streaming supports statelessly. Works unchanged
+    on batch DataFrames (broadcast hint is identical), so batch==stream
+    equivalence is directly testable.
+    """
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"how must be inner|left_outer, got {how!r}")
+    if not keys:
+        raise ValueError("keys must be non-empty")
+    missing_s = [k for k in keys if k not in stream.columns]
+    missing_d = [k for k in keys if k not in static.columns]
+    if missing_s or missing_d:
+        raise ValueError(f"join keys missing: stream={missing_s} static={missing_d}")
+    dim = F.broadcast(static) if broadcast_dim else static
+    return stream.join(dim, keys, how)
 
 
 def stream_interval_join(
