@@ -1749,7 +1749,56 @@ GROUP BY 1
 SELECT e.event_id, e.user_id, c.c_name, round(c.c_acctbal, 2) AS acctbal
 FROM events e JOIN customer c ON e.user_id = c.c_custkey
 """,
+    # update/passthrough split expressed relationally; both engines do
+    # the same double multiply + round, so values match bit-for-bit
+    "upsert_orders": """
+SELECT o_orderkey, 'U' AS o_orderstatus,
+       round(o_totalprice + 1000.0, 2) AS totalprice
+FROM orders WHERE o_orderkey % 10 = 0
+UNION ALL
+SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS totalprice
+FROM orders WHERE o_orderkey % 10 <> 0
+""",
+    "cube_orders": """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS sum_price
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
 }
+
+def _q_upsert_orders(spark, sf_dir):
+    """Keyed merge/upsert (operators/upsert.py): a derived update batch
+    (every 10th order, price +10%, status 'U') applied to the orders
+    snapshot — update/passthrough semantics graded row-for-row. The
+    snapshot side is a broadcast anti-join, never shuffled."""
+    from pyspark_skyline_spark.operators.upsert import merge_upsert
+
+    orders = load_table(spark, sf_dir, "orders")
+    # +1000.0 is exact in doubles at this magnitude (no rounding step,
+    # so no HALF_UP-vs-half-even divergence between engines)
+    updates = (
+        orders.where(F.col("o_orderkey") % 10 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1000.0)
+        .withColumn("o_orderstatus", F.lit("U"))
+    )
+    merged = merge_upsert(orders, updates, ["o_orderkey"])
+    return merged.select(
+        "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("totalprice")
+    )
+
+
+def _q_cube_orders(spark, sf_dir):
+    """GROUP BY CUBE over (status, priority): all four grouping sets in
+    one pass, subtotal rows carrying NULL markers — native Catalyst
+    cube, map-side partials per grouping set (completes the
+    rollup/cube/grouping-sets family; rollup_orders grades ROLLUP)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
 
 def _q_stream_enrich_events(spark, sf_dir):
     """Stream-static enrichment join through the REAL engine: streaming
@@ -1896,6 +1945,8 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "skew_stats_events": _q_skew_stats_events,
     "json_extract_events": _q_json_extract_events,
     "stream_enrich_events": _q_stream_enrich_events,
+    "upsert_orders": _q_upsert_orders,
+    "cube_orders": _q_cube_orders,
 }
 
 

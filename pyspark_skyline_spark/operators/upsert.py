@@ -1,0 +1,99 @@
+"""Keyed merge / upsert (north-star extension; the reference's only
+mutation model is append-only Kafka topics).
+
+``merge_upsert`` is the batch building block of every incremental
+pipeline: apply a (small) batch of updated rows to a (huge) current
+snapshot by key — the relational core of ``MERGE INTO`` /
+Delta-style upserts, as a pure DataFrame composition:
+
+- dedup the UPDATE side to one row per key (latest by ``order_col``,
+  deterministic tie-break) — a window over the update batch only,
+  never over the snapshot;
+- anti-join the snapshot against the update keys — with a typical
+  update batch this broadcasts a key list and the 100 TB side is
+  touched by a map-side broadcast anti-join, zero shuffle;
+- union the surviving snapshot rows with the deduped updates.
+
+The snapshot is never window-sorted and never shuffled when the update
+side is broadcastable — the property that makes this viable at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+__all__ = ["merge_upsert"]
+
+
+def merge_upsert(
+    current: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    order_col: str | None = None,
+    delete_col: str | None = None,
+) -> DataFrame:
+    """Return ``current`` with ``updates`` applied by ``keys``:
+    updated keys take the update row, new keys are inserted, untouched
+    keys pass through.
+
+    Both sides must share a schema (same columns, any order). If the
+    update batch can contain several rows per key, ``order_col`` picks
+    the winner (highest value; remaining ties broken deterministically
+    by the remaining columns) — without ``order_col`` duplicate update
+    keys are rejected loudly rather than resolved arbitrarily.
+
+    ``delete_col`` names an optional boolean column on ``updates``
+    (NOT part of the shared schema): rows where it is true tombstone
+    their key — the key disappears from the result.
+    """
+    if not keys:
+        raise ValueError("keys must be non-empty")
+    up_cols = [c for c in updates.columns if c != delete_col]
+    if set(current.columns) != set(up_cols):
+        raise ValueError(
+            f"schemas differ: current={sorted(current.columns)} "
+            f"updates={sorted(up_cols)} (delete_col excluded)"
+        )
+    missing = [k for k in keys if k not in current.columns]
+    if missing:
+        raise ValueError(f"keys {missing} not in columns {current.columns}")
+    if order_col is not None and order_col not in up_cols:
+        raise ValueError(f"order_col {order_col!r} not in update columns")
+    if delete_col is not None and delete_col not in updates.columns:
+        raise ValueError(f"delete_col {delete_col!r} not in update columns")
+
+    # one winner per update key (window over the update batch only)
+    if order_col is not None:
+        tiebreak = [c for c in up_cols if c not in keys and c != order_col]
+        w = Window.partitionBy(*keys).orderBy(
+            F.col(order_col).desc(), *[F.col(c).desc_nulls_last() for c in tiebreak]
+        )
+        deduped = (
+            updates.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    else:
+        dup = (
+            updates.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"duplicate update keys (e.g. {tuple(dup[0][:-1])}); pass "
+                "order_col= to pick a winner"
+            )
+        deduped = updates
+
+    # the huge side is only ever anti-joined against the update KEYS —
+    # broadcast when the batch is small, so the snapshot never shuffles
+    upd_keys = F.broadcast(deduped.select(*keys).dropDuplicates())
+    untouched = current.join(upd_keys, keys, "left_anti")
+    if delete_col is not None:
+        deduped = deduped.where(
+            ~F.coalesce(F.col(delete_col), F.lit(False))
+        ).drop(delete_col)
+    return untouched.unionByName(deduped.select(*current.columns))

@@ -1,0 +1,87 @@
+"""Keyed merge/upsert (operators/upsert.py): update/insert/passthrough
+semantics, latest-wins ordering, tombstones, duplicate-key rejection,
+and the broadcast-anti-join plan on the snapshot side."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_skyline_spark.operators.upsert import merge_upsert
+
+CUR = [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)]
+COLS = ["k", "name", "v"]
+
+
+@pytest.fixture(scope="module")
+def cur(spark):
+    return spark.createDataFrame(CUR, COLS)
+
+
+def test_update_insert_passthrough(spark, cur):
+    upd = spark.createDataFrame([(2, "B", 21.0), (9, "i", 90.0)], COLS)
+    out = {tuple(r) for r in merge_upsert(cur, upd, ["k"]).collect()}
+    assert out == {(1, "a", 10.0), (2, "B", 21.0), (3, "c", 30.0), (9, "i", 90.0)}
+
+
+def test_latest_wins_with_order_col(spark, cur):
+    upd = spark.createDataFrame(
+        [(2, "old", 1.0), (2, "new", 2.0), (2, "mid", 1.5)], COLS
+    )
+    out = {tuple(r) for r in merge_upsert(cur, upd, ["k"], order_col="v").collect()}
+    assert (2, "new", 2.0) in out and len(out) == 3
+
+
+def test_duplicate_update_keys_rejected_without_order(spark, cur):
+    upd = spark.createDataFrame([(2, "x", 1.0), (2, "y", 2.0)], COLS)
+    with pytest.raises(ValueError, match="duplicate update keys"):
+        merge_upsert(cur, upd, ["k"])
+
+
+def test_tombstone_deletes_key(spark, cur):
+    upd = spark.createDataFrame(
+        [(2, "B", 21.0, False), (3, None, 0.0, True), (9, "i", 90.0, None)],
+        COLS + ["deleted"],
+    )
+    out = {tuple(r) for r in merge_upsert(cur, upd, ["k"], delete_col="deleted").collect()}
+    # key 3 tombstoned; NULL delete flag means keep
+    assert out == {(1, "a", 10.0), (2, "B", 21.0), (9, "i", 90.0)}
+
+
+def test_latest_delete_wins_over_earlier_update(spark, cur):
+    upd = spark.createDataFrame(
+        [(2, "resurrect", 1.0, False), (2, "kill", 2.0, True)], COLS + ["deleted"]
+    )
+    out = {
+        tuple(r)
+        for r in merge_upsert(
+            cur, upd, ["k"], order_col="v", delete_col="deleted"
+        ).collect()
+    }
+    assert out == {(1, "a", 10.0), (3, "c", 30.0)}  # key 2 gone
+
+
+def test_schema_mismatch_rejected(spark, cur):
+    upd = spark.createDataFrame([(1, "a")], ["k", "name"])
+    with pytest.raises(ValueError, match="schemas differ"):
+        merge_upsert(cur, upd, ["k"])
+
+
+def test_multi_key_and_column_order_insensitive(spark):
+    cur = spark.createDataFrame([(1, "x", 1.0), (1, "y", 2.0)], ["k1", "k2", "v"])
+    upd = spark.createDataFrame([(3.0, 1, "y")], ["v", "k1", "k2"])
+    out = {tuple(r) for r in merge_upsert(cur, upd, ["k1", "k2"]).collect()}
+    assert out == {(1, "x", 1.0), (1, "y", 3.0)}
+
+
+def test_snapshot_side_broadcast_anti_join(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    upd = orders.where(F.col("o_orderkey") % 100 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 1000.0
+    )
+    out = merge_upsert(orders, upd, ["o_orderkey"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert out.count() == orders.count()
+    bumped = out.join(upd.select("o_orderkey"), ["o_orderkey"]).agg(
+        F.min("o_totalprice")
+    ).first()[0]
+    assert bumped >= 1000.0
