@@ -19,9 +19,21 @@ candidate-skyline state table instead:
 
 State is bounded by the frontier size. ``localCheckpoint`` breaks
 lineage so plan depth stays O(1) in the number of batches.
+
+Restart/recovery: pass ``state_dir`` (plus ``checkpointLocation`` on
+the query) to make the frontier DURABLE. Each update writes the new
+frontier to a fresh versioned directory and then atomically publishes
+it via a marker file; a new process reloads the last published
+frontier and the engine's checkpoint skips already-committed source
+files. The frontier update is IDEMPOTENT under batch replay (skyline
+of a union already containing the batch is unchanged — the same
+monotonicity argument again), so the at-least-once replay a
+foreachBatch restart can produce still yields the exactly-once result.
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -29,16 +41,63 @@ from pyspark_skyline_spark.operators.skyline import skyline
 
 __all__ = ["SkylineStreamState", "run_skyline_stream"]
 
+_MARKER = "_LATEST"
+
 
 class SkylineStreamState:
     """Driver-held running-skyline state; one instance per streaming
-    query. ``update(batch)`` returns the new running skyline."""
+    query. ``update(batch)`` returns the new running skyline.
 
-    def __init__(self, dims, algo: str = "auto", **skyline_kwargs):
+    With ``state_dir`` the frontier also persists across processes:
+    versioned parquet directories plus a marker file naming the last
+    fully-written version (write-new-then-publish, never overwrite in
+    place — a crash mid-write leaves the previous version live)."""
+
+    def __init__(
+        self,
+        dims,
+        algo: str = "auto",
+        state_dir: str | None = None,
+        spark: SparkSession | None = None,
+        **skyline_kwargs,
+    ):
         self.dims = dims
         self.algo = algo
         self.kwargs = skyline_kwargs
+        self.state_dir = state_dir
         self.current: DataFrame | None = None
+        self._version = 0
+        if state_dir:
+            os.makedirs(state_dir, exist_ok=True)
+            marker = os.path.join(state_dir, _MARKER)
+            if os.path.exists(marker):
+                if spark is None:
+                    raise ValueError("spark= is required to recover from state_dir")
+                with open(marker) as fh:
+                    self._version = int(fh.read().strip())
+                self.current = spark.read.parquet(
+                    os.path.join(state_dir, f"frontier_v{self._version}")
+                ).localCheckpoint(eager=True)
+
+    def _publish(self, df: DataFrame) -> None:
+        """Persist the frontier: write a NEW versioned directory, then
+        publish it with an atomic marker rename. Readers (including a
+        recovering process) only ever see fully-written versions."""
+        import shutil
+        import tempfile
+
+        nxt = self._version + 1
+        path = os.path.join(self.state_dir, f"frontier_v{nxt}")
+        df.write.mode("overwrite").parquet(path)
+        fd, tmp = tempfile.mkstemp(dir=self.state_dir)
+        with os.fdopen(fd, "w") as fh:
+            fh.write(str(nxt))
+        os.replace(tmp, os.path.join(self.state_dir, _MARKER))
+        # prune all but the published version (best-effort)
+        old = os.path.join(self.state_dir, f"frontier_v{self._version}")
+        if self._version and os.path.isdir(old):
+            shutil.rmtree(old, ignore_errors=True)
+        self._version = nxt
 
     def update(self, batch_df: DataFrame) -> DataFrame:
         reduced = skyline(batch_df, self.dims, algo=self.algo, **self.kwargs)
@@ -47,6 +106,8 @@ class SkylineStreamState:
             reduced = skyline(reduced, self.dims, algo=self.algo, **self.kwargs)
         # materialize & cut lineage: state must not grow a plan per batch
         self.current = reduced.localCheckpoint(eager=True)
+        if self.state_dir:
+            self._publish(self.current)
         return self.current
 
     def result(self) -> DataFrame:
@@ -62,6 +123,8 @@ def run_skyline_stream(
     query_name: str = "skyline_stream",
     trigger_available_now: bool = True,
     processing_time: str | None = None,
+    state_dir: str | None = None,
+    checkpoint_dir: str | None = None,
     **skyline_kwargs,
 ) -> tuple[SkylineStreamState, "object"]:
     """Start a foreachBatch skyline over a streaming DataFrame.
@@ -70,8 +133,20 @@ def run_skyline_stream(
     caller can ``query.awaitTermination()`` and then read
     ``state.result()`` — the complete skyline of everything ingested
     (prefix-consistent at every batch boundary).
+
+    Pass BOTH ``state_dir`` and ``checkpoint_dir`` for restartability:
+    the engine checkpoint skips already-committed source batches and
+    the persisted frontier is reloaded, so a new process continues
+    where the old one stopped; replayed in-flight batches are absorbed
+    by the idempotent frontier update.
     """
-    state = SkylineStreamState(dims, algo, **skyline_kwargs)
+    state = SkylineStreamState(
+        dims,
+        algo,
+        state_dir=state_dir,
+        spark=stream_df.sparkSession,
+        **skyline_kwargs,
+    )
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
@@ -79,6 +154,8 @@ def run_skyline_stream(
         state.update(batch_df)
 
     writer = stream_df.writeStream.foreachBatch(process).queryName(query_name)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
     if processing_time:
         writer = writer.trigger(processingTime=processing_time)
     elif trigger_available_now:
