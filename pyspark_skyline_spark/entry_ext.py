@@ -1765,6 +1765,13 @@ SELECT o_orderstatus, o_orderpriority,
        round(sum(o_totalprice), 2) AS sum_price
 FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """,
+    "grouping_sets_orders": """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS sum_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""",
 }
 
 def _q_upsert_orders(spark, sf_dir):
@@ -1797,6 +1804,24 @@ def _q_cube_orders(spark, sf_dir):
     return orders.cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).cast("long").alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+def _q_grouping_sets_orders(spark, sf_dir):
+    """Arbitrary GROUPING SETS through the SQL front door: per-status,
+    per-priority, and grand-total groups in ONE pass (rollup_orders and
+    cube_orders grade the fixed-shape variants; this grades the
+    free-form list, which neither rollup nor cube can express)."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders_gsets")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(sum(o_totalprice), 2) AS sum_price
+        FROM orders_gsets
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
     )
 
 
@@ -1947,6 +1972,7 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_enrich_events": _q_stream_enrich_events,
     "upsert_orders": _q_upsert_orders,
     "cube_orders": _q_cube_orders,
+    "grouping_sets_orders": _q_grouping_sets_orders,
 }
 
 
