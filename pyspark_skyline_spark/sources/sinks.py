@@ -18,9 +18,12 @@ What matters at 100 TB is FILE GEOMETRY, not the write call itself:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import math
+import os
 
-__all__ = ["write_table"]
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["write_table", "compact_table", "file_stats"]
 
 
 def write_table(
@@ -51,3 +54,57 @@ def write_table(
     if compression:
         w = w.option("compression", compression)
     w.save(path)
+
+
+def file_stats(path: str, suffix: str = ".parquet") -> dict:
+    """Data-file census of a table directory (recursive, commit
+    metadata excluded): ``{n_files, total_bytes, avg_bytes}`` — the
+    numbers that decide whether a table needs compaction."""
+    sizes = []
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(suffix) and not f.startswith(("_", ".")):
+                sizes.append(os.path.getsize(os.path.join(root, f)))
+    total = sum(sizes)
+    return {
+        "n_files": len(sizes),
+        "total_bytes": total,
+        "avg_bytes": total // len(sizes) if sizes else 0,
+    }
+
+
+def compact_table(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    target_mb: int = 256,
+    fmt: str = "parquet",
+    partition_by: list[str] | None = None,
+) -> dict:
+    """Rewrite a table directory with healthy file geometry: read all
+    data files, size the output file count as ``ceil(on-disk bytes /
+    target_mb)``, and rewrite coalesced.
+
+    The classic maintenance job for streaming sinks and frequent small
+    appends — thousands of KB-files become a handful of ``target_mb``
+    files, restoring scan parallelism economics and metadata-store
+    sanity. Always writes to a NEW directory (``out_path`` must differ
+    from ``in_path``): compact-then-swap, never delete-then-rewrite,
+    so readers are never exposed to a half-written table.
+
+    With ``partition_by`` the hive layout (and its pruning) is
+    preserved; sizing is global, per-directory file counts follow the
+    data distribution. Returns ``file_stats(out_path)``.
+    """
+    if os.path.abspath(in_path) == os.path.abspath(out_path):
+        raise ValueError("compact_table writes to a NEW directory; swap afterwards")
+    stats = file_stats(in_path)
+    if stats["n_files"] == 0:
+        raise ValueError(f"no data files under {in_path!r}")
+    n_out = max(1, math.ceil(stats["total_bytes"] / (target_mb * 1024 * 1024)))
+    df = spark.read.format(fmt).load(in_path)
+    if partition_by:
+        write_table(df, out_path, fmt=fmt, partition_by=partition_by)
+    else:
+        df.repartition(n_out).write.mode("overwrite").format(fmt).save(out_path)
+    return file_stats(out_path)

@@ -134,3 +134,48 @@ def test_write_table_partitioned_roundtrip(spark, tmp_path):
 
     plan = formatted_plan(back.filter(F.col("grp") == "1"))
     assert "PartitionFilters: [isnotnull(grp" in plan, plan
+
+
+def test_compact_table_fixes_small_files(spark, tmp_path):
+    """64 tiny files -> a handful of target-sized ones; rows identical;
+    in-place compaction refused."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+    from pyspark_skyline_spark.sources.sinks import compact_table, file_stats
+
+    df = spark.range(0, 20_000).withColumn("v", F.col("id") * 2)
+    small = str(tmp_path / "small")
+    df.repartition(64).write.parquet(small)
+    assert file_stats(small)["n_files"] == 64
+
+    out = str(tmp_path / "compacted")
+    stats = compact_table(spark, small, out, target_mb=256)
+    # 20k rows of (long, long) is far below one 256 MB target file
+    assert stats["n_files"] == 1
+    back = spark.read.parquet(out)
+    assert back.count() == 20_000
+    assert back.agg(F.sum("v")).first()[0] == df.agg(F.sum("v")).first()[0]
+
+    with _pytest.raises(ValueError):
+        compact_table(spark, small, small)
+    with _pytest.raises(ValueError):
+        compact_table(spark, str(tmp_path / "missing"), out)
+
+
+def test_compact_table_preserves_hive_partitioning(spark, tmp_path):
+    import glob
+
+    from pyspark.sql import functions as F
+    from pyspark_skyline_spark.sources.sinks import compact_table
+
+    df = spark.range(0, 3000).withColumn("grp", (F.col("id") % 3).cast("string"))
+    small = str(tmp_path / "p_small")
+    df.repartition(16).write.partitionBy("grp").parquet(small)
+    assert len(glob.glob(f"{small}/grp=0/*.parquet")) > 1
+
+    out = str(tmp_path / "p_compacted")
+    compact_table(spark, small, out, partition_by=["grp"])
+    for g in ("0", "1", "2"):
+        assert len(glob.glob(f"{out}/grp={g}/*.parquet")) == 1
+    assert spark.read.parquet(out).count() == 3000
