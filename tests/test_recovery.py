@@ -135,3 +135,43 @@ def test_engine_state_store_recovery_dedup_sink(spark, tmp_path):
     # the retained rows for 2 and 3 are the FIRST-seen ones
     vals = {r.x1: r.x2 for r in out.collect()}
     assert vals[2] == 2 and vals[3] == 3
+
+
+def test_epoch_sink_exactly_once_under_replay(spark, tmp_path):
+    """foreachBatch epoch sink: a replayed epoch is skipped; a crashed
+    partial write (no _SUCCESS) is overwritten; readers see each epoch
+    exactly once."""
+    from pyspark_skyline_spark.streaming.sinks import (
+        epoch_sink,
+        write_epoch_idempotent,
+    )
+
+    out = str(tmp_path / "epochs")
+    b0 = spark.createDataFrame([(1, 1), (2, 2)], SCHEMA)
+    assert write_epoch_idempotent(b0, 0, out) is True
+    # replay of a committed epoch: skipped even with different data
+    b0_replay = spark.createDataFrame([(9, 9)], SCHEMA)
+    assert write_epoch_idempotent(b0_replay, 0, out) is False
+    # crashed partial attempt: remove the commit marker -> rewrite wins
+    assert write_epoch_idempotent(spark.createDataFrame([(3, 3)], SCHEMA), 1, out)
+    os.remove(os.path.join(out, "epoch=1", "_SUCCESS"))
+    assert write_epoch_idempotent(spark.createDataFrame([(4, 4)], SCHEMA), 1, out)
+    rows = {(r.x1, r.x2) for r in spark.read.option("recursiveFileLookup", "false")
+            .parquet(out).collect()}
+    assert rows == {(1, 1), (2, 2), (4, 4)}
+
+    # end-to-end through a real stream: availableNow over two files
+    src = str(tmp_path / "esrc")
+    _write_batch(spark, src, "b0.parquet", [(1, 1)], when=time.time())
+    _write_batch(spark, src, "b1.parquet", [(2, 2)], when=time.time() + 3)
+    sink_dir = str(tmp_path / "esink")
+    q = (
+        _stream(spark, src)
+        .writeStream.foreachBatch(epoch_sink(sink_dir))
+        .option("checkpointLocation", str(tmp_path / "echk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {(r.x1, r.x2) for r in spark.read.parquet(sink_dir).collect()}
+    assert got == {(1, 1), (2, 2)}
