@@ -1772,6 +1772,24 @@ SELECT o_orderstatus, o_orderpriority,
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 """,
+    # dense hourly grid via generate-series + left join; empty buckets
+    # zero-filled in both engines
+    "resample_events": """
+WITH k AS (
+  SELECT event_type, (floor(epoch_us(ts) / 3600000000))::BIGINT AS hb, value
+  FROM events),
+a AS (
+  SELECT event_type, hb, CAST(count(*) AS BIGINT) AS n,
+         round(sum(value), 6) AS sum_value
+  FROM k GROUP BY 1, 2),
+bounds AS (SELECT event_type, min(hb) AS lo, max(hb) AS hi FROM k GROUP BY 1),
+grid AS (SELECT event_type, unnest(range(lo, hi + 1)) AS hb FROM bounds)
+SELECT g.event_type,
+       coalesce(a.n, 0) AS n,
+       coalesce(a.sum_value, 0.0) AS sum_value,
+       make_timestamp(g.hb * 3600000000) AS bucket_start
+FROM grid g LEFT JOIN a ON a.event_type = g.event_type AND a.hb = g.hb
+""",
 }
 
 def _q_upsert_orders(spark, sf_dir):
@@ -1804,6 +1822,28 @@ def _q_cube_orders(spark, sf_dir):
     return orders.cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).cast("long").alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+def _q_resample_events(spark, sf_dir):
+    """Regular-grid resample (operators/resample.py): hourly
+    count/sum(value) per event_type with EMPTY BUCKETS materialized and
+    zero-filled — the shape plain GROUP BY cannot produce. Grid rows =
+    span/step per group, generated not shuffled."""
+    from pyspark_skyline_spark.operators.resample import resample
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return resample(
+        ev,
+        "ts",
+        "1 hour",
+        by=["event_type"],
+        aggs={
+            "n": F.count(F.lit(1)).cast("long"),
+            "sum_value": F.round(F.sum("value"), 6),
+        },
+        fill="zero",
     )
 
 
@@ -1973,6 +2013,7 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "upsert_orders": _q_upsert_orders,
     "cube_orders": _q_cube_orders,
     "grouping_sets_orders": _q_grouping_sets_orders,
+    "resample_events": _q_resample_events,
 }
 
 
