@@ -1790,6 +1790,22 @@ SELECT g.event_type,
        make_timestamp(g.hb * 3600000000) AS bucket_start
 FROM grid g LEFT JOIN a ON a.event_type = g.event_type AND a.hb = g.hb
 """,
+    # Pearson is scale-invariant -> engine-portable modulo float noise
+    "correlations_lineitem": """
+SELECT * FROM (
+  SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+         round(corr(l_quantity, l_extendedprice), 6) AS corr FROM lineitem
+  UNION ALL SELECT 'l_quantity', 'l_discount',
+         round(corr(l_quantity, l_discount), 6) FROM lineitem
+  UNION ALL SELECT 'l_quantity', 'l_tax',
+         round(corr(l_quantity, l_tax), 6) FROM lineitem
+  UNION ALL SELECT 'l_extendedprice', 'l_discount',
+         round(corr(l_extendedprice, l_discount), 6) FROM lineitem
+  UNION ALL SELECT 'l_extendedprice', 'l_tax',
+         round(corr(l_extendedprice, l_tax), 6) FROM lineitem
+  UNION ALL SELECT 'l_discount', 'l_tax',
+         round(corr(l_discount, l_tax), 6) FROM lineitem)
+""",
 }
 
 def _q_upsert_orders(spark, sf_dir):
@@ -1822,6 +1838,17 @@ def _q_cube_orders(spark, sf_dir):
     return orders.cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).cast("long").alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+def _q_correlations_lineitem(spark, sf_dir):
+    """Pairwise Pearson correlations of lineitem's numeric columns in
+    one aggregate job (operators/profile.py::column_correlations)."""
+    from pyspark_skyline_spark.operators.profile import column_correlations
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return column_correlations(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
     )
 
 
@@ -2014,6 +2041,7 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cube_orders": _q_cube_orders,
     "grouping_sets_orders": _q_grouping_sets_orders,
     "resample_events": _q_resample_events,
+    "correlations_lineitem": _q_correlations_lineitem,
 }
 
 

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import NumericType
 
-__all__ = ["column_profile", "column_quantiles"]
+__all__ = ["column_profile", "column_quantiles", "column_correlations"]
 
 
 def column_profile(
@@ -133,4 +133,43 @@ def column_quantiles(
     ]
     return df.sparkSession.createDataFrame(
         out, "column string, p double, value double"
+    )
+
+
+def column_correlations(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Pairwise Pearson correlations of the numeric columns in ONE
+    aggregate job — all d*(d-1)/2 ``corr`` aggregates share a single
+    scan with map-side partials; only the tiny coefficient row reaches
+    the driver.
+
+    Returns long-format ``(col_a, col_b, corr)`` with ``col_a <
+    col_b`` (each unordered pair once); Pearson is scale-invariant so
+    the value is engine-portable modulo float noise (absorbed by
+    ``round_to``). The feature-selection / redundancy-detection
+    companion of ``column_profile``.
+    """
+    numeric = [
+        f.name for f in df.schema.fields if isinstance(f.dataType, NumericType)
+    ]
+    cols = list(cols or numeric)
+    bad = [c for c in cols if c not in numeric]
+    if bad:
+        raise ValueError(f"columns {bad} are not numeric (numeric: {numeric})")
+    if len(cols) < 2:
+        raise ValueError(f"need >= 2 numeric columns, got {cols}")
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    aggs = [
+        F.round(F.corr(F.col(f"`{a}`"), F.col(f"`{b}`")), round_to).alias(
+            f"__c_{i}"
+        )
+        for i, (a, b) in enumerate(pairs)
+    ]
+    row = df.agg(*aggs).collect()[0]
+    out = [(a, b, row[f"__c_{i}"]) for i, (a, b) in enumerate(pairs)]
+    return df.sparkSession.createDataFrame(
+        out, "col_a string, col_b string, corr double"
     )

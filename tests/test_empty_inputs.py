@@ -88,3 +88,40 @@ def test_joins_topk_empty(spark):
     assert asof_join(
         empty_ev, right, "ts", "ts", by=["user_id"], right_prefix="r_"
     ).count() == 0
+
+
+def test_new_relational_ops_empty(spark):
+    from pyspark_skyline_spark.operators.jsonx import json_extract
+    from pyspark_skyline_spark.operators.resample import resample
+    from pyspark_skyline_spark.operators.skewjoin import salted_join
+    from pyspark_skyline_spark.operators.upsert import merge_upsert
+
+    empty_kv = spark.createDataFrame([], "k long, v double")
+    dim = spark.createDataFrame([(1, "a")], "k long, name string")
+
+    assert salted_join(empty_kv, dim, ["k"]).count() == 0
+    assert salted_join(dim, spark.createDataFrame([], "k long, name string"),
+                       ["k"], how="left_outer").count() == 1
+
+    assert merge_upsert(empty_kv, empty_kv, ["k"]).count() == 0
+    one = spark.createDataFrame([(1, 2.0)], "k long, v double")
+    assert merge_upsert(one, empty_kv, ["k"]).count() == 1  # no-op batch
+    assert merge_upsert(empty_kv, one, ["k"]).count() == 1  # pure insert
+
+    empty_js = spark.createDataFrame([], "id long, props string")
+    assert json_extract(empty_js, "props", [("k", "$.k", "bigint")]).count() == 0
+
+    empty_ts = spark.createDataFrame([], "ts timestamp, v double")
+    assert resample(empty_ts, "ts", "1 hour").count() == 0
+    assert resample(empty_ts, "ts", "1 hour", fill="prev").count() == 0
+
+
+def test_new_layout_ops_empty(spark, tmp_path):
+    from pyspark_skyline_spark.sources.layout import write_zordered, zorder_key
+
+    empty = spark.createDataFrame([], "x double, y double")
+    # bounds aggregate sees no rows -> all-NULL bounds path
+    assert empty.select(zorder_key(empty, ["x", "y"], bits=8).alias("z")).count() == 0
+    out = str(tmp_path / "z_empty")
+    write_zordered(empty, out, ["x", "y"], bits=8, n_files=2)
+    assert spark.read.parquet(out).count() == 0

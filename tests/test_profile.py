@@ -1,6 +1,7 @@
 """column_profile: one-pass dataset profiling."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from pyspark_skyline_spark.operators.profile import column_profile
 
@@ -60,3 +61,23 @@ def test_column_quantiles_approx_close_and_validation(spark):
         column_quantiles(df.selectExpr("cast(x as string) as s"), ["s"])
     with _pt.raises(ValueError, match="mode"):
         column_quantiles(df, mode="sketchy")
+
+
+def test_column_correlations_hand_computed(spark):
+    import math
+
+    from pyspark_skyline_spark.operators.profile import column_correlations
+
+    # y = 2x exactly, z anti-correlated with x
+    rows = [(1.0, 2.0, 3.0), (2.0, 4.0, 2.0), (3.0, 6.0, 1.0), (4.0, 8.0, 0.0)]
+    df = spark.createDataFrame(rows, "x double, y double, z double")
+    out = {(r.col_a, r.col_b): r.corr for r in column_correlations(df).collect()}
+    assert out[("x", "y")] == 1.0
+    assert out[("x", "z")] == -1.0
+    assert out[("y", "z")] == -1.0
+    assert len(out) == 3
+
+    with pytest.raises(ValueError):
+        column_correlations(df, ["x"])
+    with pytest.raises(ValueError):
+        column_correlations(df.select(F.col("x").cast("string").alias("x"), "y"))
