@@ -882,7 +882,10 @@ _HASH60 = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
 def _minhash_oracle() -> str:
     r = _MH_HASHES // _MH_BANDS
     base_hash = _HASH60.format(x="s")
-    mix = 0x3779B97F4A7C15  # dedup._MIX_CONST
+    # per-seed RE-hash of the base hash (mirrors dedup._seed_mix md5
+    # mode): md5(h::VARCHAR || '#' || j) — an XOR mix cannot reorder
+    # values differing in their top bits and collapses the estimator
+    seed_mix = _HASH60.format(x="(h::VARCHAR || '#' || j::VARCHAR)")
     return f"""
 WITH base AS (
   SELECT doc_id, {_SHINGLES} AS sh FROM documents),
@@ -891,7 +894,7 @@ hashes AS (
 sigs AS (
   SELECT doc_id, sh,
          list_transform(range(0, {_MH_HASHES}),
-           j -> list_min(list_transform(hs, h -> xor(h, j * {mix})))) AS sig
+           j -> list_min(list_transform(hs, h -> {seed_mix}))) AS sig
   FROM hashes),
 band_lists AS (
   SELECT doc_id,

@@ -34,6 +34,7 @@ __all__ = [
     "near_dup_clusters",
     "dedup_corpus",
     "dedup_incremental",
+    "dedup_incremental_neardup",
     "spread_for_compute",
 ]
 
@@ -120,8 +121,18 @@ def hash64_expr(s: Column, salt: Column | None, mode: str = "xxhash64") -> Colum
     raise ValueError(f"hash mode {mode!r}")
 
 
-#: odd ~54-bit mixing constant: j * _MIX_CONST stays in int64 for j < 512
-_MIX_CONST = 0x3779B97F4A7C15
+def _seed_mix(h: Column, j: int, mode: str) -> Column:
+    """Per-seed variant of the base shingle hash: a FULL re-hash, not an
+    XOR. XOR with a constant below the top bits cannot reorder values
+    that differ in those bits, so with realistic shingle counts every
+    "seed" shares one argmin and the H-component signature collapses to
+    a single-hash MinHash (H-fold replicated) — candidate recall drops
+    from the banded S-curve 1-(1-J^r)^b to ~J. Re-hashing (hash of the
+    base hash + seed) makes the H orderings independent; still ONE
+    string hash per shingle, the per-seed mixes hash a LONG."""
+    if mode == "xxhash64":
+        return F.xxhash64(h, F.lit(j))
+    return hash64_expr(h.cast("string"), F.lit(j), mode)
 
 
 def minhash_signatures(
@@ -133,12 +144,13 @@ def minhash_signatures(
     hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """MinHash signatures, relational formulation: explode shingles, ONE
-    base hash per shingle, then ``num_hashes`` cheap seed-mixed variants
-    (XOR with j * odd-constant — a bijection per seed, so each min is a
-    valid permutation-approximation) aggregated with per-seed minima in
-    one hash-aggregate (map-side partial agg — the shape that scales).
-    One md5/xxhash per shingle instead of ``num_hashes`` of them; the
-    XOR mix is plain integer SQL, reproducible in any engine.
+    string hash per shingle, then ``num_hashes`` independent per-seed
+    RE-HASHES of that long (``_seed_mix`` — a full-order scramble, each
+    a valid permutation-approximation) aggregated with per-seed minima
+    in one hash-aggregate (map-side partial agg — the shape that
+    scales). The expensive string hash runs once per shingle; the seed
+    variants hash a LONG, and in md5 mode stay reproducible in any
+    engine.
 
     Returns (id_col, m0..m{H-1}).
     """
@@ -150,12 +162,33 @@ def minhash_signatures(
     mixed = hashed.select(
         id_col,
         *[
-            F.col("__h").bitwiseXOR(F.lit(j * _MIX_CONST)).alias(f"__h{j}")
+            _seed_mix(F.col("__h"), j, hash_mode).alias(f"__h{j}")
             for j in range(num_hashes)
         ],
     )
     return mixed.groupBy(id_col).agg(
         *[F.min(f"__h{j}").alias(f"m{j}") for j in range(num_hashes)]
+    )
+
+
+def _band_keys(num_hashes: int, bands: int) -> Column:
+    """LSH band keys over signature columns ``m0..m{H-1}``: one string
+    key per band (the joined row slice). Shared by the all-pairs and
+    incremental paths so a stored signature ledger bands identically."""
+    if num_hashes % bands:
+        raise ValueError("bands must divide num_hashes")
+    rows_per_band = num_hashes // bands
+    return F.array(
+        *[
+            F.concat_ws(
+                ",",
+                *[
+                    F.col(f"m{b * rows_per_band + i}").cast("string")
+                    for i in range(rows_per_band)
+                ],
+            )
+            for b in range(bands)
+        ]
     )
 
 
@@ -193,8 +226,6 @@ def minhash_lsh_pairs(
     """
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
-    rows_per_band = num_hashes // bands
-
     df = spread_for_compute(df)
     # shingle each document ONCE and materialize: the signature branch
     # and the verify branch both need the shingle sets, and without the
@@ -209,27 +240,16 @@ def minhash_lsh_pairs(
     mixed = hashed.select(
         "__id",
         *[
-            F.col("__h").bitwiseXOR(F.lit(j * _MIX_CONST)).alias(f"__h{j}")
+            _seed_mix(F.col("__h"), j, hash_mode).alias(f"__h{j}")
             for j in range(num_hashes)
         ],
     )
     sig_tbl = mixed.groupBy("__id").agg(
         *[F.min(f"__h{j}").alias(f"m{j}") for j in range(num_hashes)]
     )
-    band_keys = F.array(
-        *[
-            F.concat_ws(
-                ",",
-                *[
-                    F.col(f"m{b * rows_per_band + i}").cast("string")
-                    for i in range(rows_per_band)
-                ],
-            )
-            for b in range(bands)
-        ]
-    )
     exploded = sig_tbl.select(
-        F.col("__id"), F.posexplode(band_keys).alias("__band_idx", "__band_key")
+        F.col("__id"),
+        F.posexplode(_band_keys(num_hashes, bands)).alias("__band_idx", "__band_key"),
     )
     if max_bucket_size is not None:
         sizes = exploded.groupBy("__band_idx", "__band_key").agg(
@@ -733,3 +753,88 @@ def dedup_incremental(
         "left_anti",
     )
     return dedup_exact(fresh, [fp_col], order_col=id_col)
+
+
+def dedup_incremental_neardup(
+    new_df: DataFrame,
+    ledger_sigs: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    ledger_id_col: str = "ledger_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """NEAR-duplicate incremental ingest: drop rows of ``new_df`` whose
+    MinHash signature matches any ledger document at estimated Jaccard
+    >= ``threshold`` — the companion of :func:`dedup_incremental`
+    (exact fingerprints) for the continuously-grown corpus case.
+
+    ``ledger_sigs`` is ``(ledger_id_col, m0..m{H-1})`` as produced by
+    :func:`minhash_signatures` on previously accepted documents —
+    signatures only, never ledger TEXT, so the comparison is
+    text-free on the corpus side (32·H bits per ledger doc). Candidate
+    generation is the same LSH band equi-join as
+    :func:`minhash_lsh_pairs` (``_band_keys`` is shared, so a stored
+    ledger bands identically); the verify step is the SIGNATURE
+    Jaccard estimate — mean fraction of equal components, the unbiased
+    MinHash estimator — because the ledger has no shingle sets to
+    verify against exactly. Estimator sd is ~sqrt(J(1-J)/H)
+    (~0.06 at H=64); set ``threshold`` with that slack in mind.
+
+    Returns the surviving ``new_df`` rows with their signature columns
+    appended (rows too short to shingle survive with NULL signatures —
+    run :func:`dedup_incremental` upstream for those), ready to append
+    to the ledger. Intra-batch near-dups are NOT collapsed here;
+    compose :func:`minhash_lsh_pairs` + :func:`near_dup_clusters` over
+    the batch for that.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    sig_names = [f"m{j}" for j in range(num_hashes)]
+    missing = [c for c in (ledger_id_col, *sig_names) if c not in ledger_sigs.columns]
+    if missing:
+        raise ValueError(
+            f"ledger_sigs missing columns {missing[:4]}{'...' if len(missing) > 4 else ''} "
+            f"(expected {ledger_id_col} + m0..m{num_hashes - 1} from minhash_signatures)"
+        )
+
+    sigs_new = minhash_signatures(
+        new_df, id_col, text_col, num_hashes=num_hashes,
+        shingle_k=shingle_k, hash_mode=hash_mode,
+    )
+    bk = _band_keys(num_hashes, bands)
+    new_bands = sigs_new.select(
+        F.col(id_col).alias("__nid"), F.posexplode(bk).alias("__bi", "__bk")
+    )
+    led_bands = ledger_sigs.select(
+        F.col(ledger_id_col).alias("__lid"), F.posexplode(bk).alias("__bi", "__bk")
+    )
+    cand = (
+        new_bands.join(led_bands, ["__bi", "__bk"])
+        .select("__nid", "__lid")
+        .dropDuplicates()
+    )
+    a = sigs_new.select(
+        F.col(id_col).alias("__nid"), *[F.col(c).alias(f"__a_{c}") for c in sig_names]
+    )
+    b = ledger_sigs.select(
+        F.col(ledger_id_col).alias("__lid"),
+        *[F.col(c).alias(f"__b_{c}") for c in sig_names],
+    )
+    est = sum(
+        F.when(F.col(f"__a_{c}") == F.col(f"__b_{c}"), 1).otherwise(0)
+        for c in sig_names
+    ) / F.lit(float(num_hashes))
+    dup_ids = (
+        cand.join(a, "__nid")
+        .join(b, "__lid")
+        .withColumn("__est", est)
+        .filter(F.col("__est") >= threshold)
+        .select(F.col("__nid").alias(id_col))
+        .dropDuplicates()
+    )
+    survivors = new_df.join(dup_ids, id_col, "left_anti")
+    return survivors.join(sigs_new, id_col, "left")

@@ -436,3 +436,94 @@ def test_dedup_incremental_drops_known_and_batch_dups(spark):
         r.doc_id for r in D.dedup_incremental(new, ledger, "doc_id").collect()
     )
     assert got == [11, 13]
+
+
+def test_dedup_incremental_neardup(spark):
+    """Near-dup incremental ingest vs a signature ledger: a lightly
+    edited copy of a known doc is dropped, fresh docs survive with
+    signatures appended, short no-shingle docs survive with NULLs."""
+    base = (
+        "the quick brown fox jumps over the lazy dog and keeps running "
+        "through the quiet green field toward the distant hills today"
+    )
+    known = spark.createDataFrame(
+        [(100, base), (101, "an entirely different known document about spark joins "
+                            "and shuffle partitioning strategies at large scale")],
+        "ledger_id long, text string",
+    )
+    ledger = D.minhash_signatures(known, "ledger_id", "text", num_hashes=64)
+
+    near_copy = base.replace("lazy dog", "sleepy dog")  # high Jaccard vs 100
+    new = spark.createDataFrame(
+        [
+            (10, near_copy),
+            (11, "completely unrelated fresh text about duckdb oracles and "
+                 "parquet footers with statistics for pruning row groups"),
+            (12, "tiny"),  # shorter than shingle k -> one degenerate shingle
+        ],
+        "doc_id long, text string",
+    )
+    out = D.dedup_incremental_neardup(
+        new, ledger, "doc_id", threshold=0.5, num_hashes=64, bands=16
+    )
+    rows = {r.doc_id: r for r in out.collect()}
+    assert set(rows) == {11, 12}          # near-copy of 100 dropped
+    assert rows[11].m0 is not None        # signatures ready for the ledger
+    assert "text" in out.columns and out.count() == 2
+
+    # threshold=1.0 only drops exact-signature matches -> near-copy survives
+    out_strict = D.dedup_incremental_neardup(
+        new, ledger, "doc_id", threshold=1.0, num_hashes=64, bands=16
+    )
+    assert {r.doc_id for r in out_strict.collect()} == {10, 11, 12}
+
+    # ledger schema validation
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="ledger_sigs missing"):
+        D.dedup_incremental_neardup(new, known, "doc_id")
+    with _pytest.raises(ValueError, match="threshold"):
+        D.dedup_incremental_neardup(new, ledger, "doc_id", threshold=0.0)
+
+
+def test_dedup_incremental_neardup_signature_estimate(spark):
+    """The signature-estimate verify agrees with minhash_lsh_pairs'
+    banding: a doc identical to a ledger doc has estimate 1.0 and is
+    dropped even at threshold=1.0."""
+    text = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    known = spark.createDataFrame([(1, text)], "ledger_id long, text string")
+    ledger = D.minhash_signatures(known, "ledger_id", "text")
+    new = spark.createDataFrame([(2, text), (3, "other words entirely here")],
+                                "doc_id long, text string")
+    out = D.dedup_incremental_neardup(new, ledger, "doc_id", threshold=1.0)
+    assert {r.doc_id for r in out.collect()} == {3}
+
+
+def test_minhash_banding_recall_at_moderate_jaccard(spark):
+    """Regression for the seed-mix fix: pairs at Jaccard ~0.6-0.75 must
+    reach the verify stage. Under the old XOR mix all 64 components
+    shared one argmin, so candidate recall collapsed to ~J (a J=0.7
+    pair was MISSED ~30% of the time); with independent per-seed
+    re-hashes the banded S-curve gives P(candidate) ~ 1-(1-J^4)^16 >
+    0.99 at J=0.7."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(500)]
+    rows = []
+    planted = []
+    for i in range(20):
+        base = [rng.choice(vocab) for _ in range(40)]
+        edited = list(base)
+        # replace 4 of 40 tokens -> shingle Jaccard ~0.55-0.75
+        for pos in rng.sample(range(2, 38), 4):
+            edited[pos] = rng.choice(vocab)
+        rows.append((2 * i, " ".join(base)))
+        rows.append((2 * i + 1, " ".join(edited)))
+        planted.append((2 * i, 2 * i + 1))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = D.minhash_lsh_pairs(df, "doc_id", "text", threshold=0.4)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    hits = sum(1 for p in planted if p in got)
+    assert hits >= 18, f"recall {hits}/20 — banding is missing moderate-J pairs"
