@@ -204,12 +204,39 @@ def ann_recall(spark, sf_dir: str) -> dict:
             aug, "vec_id", "embedding", threshold=threshold, n_planes=4, n_tables=8
         ).collect()
     }
+    # MinHash-LSH planted-pair recall at PRODUCTION parameters
+    # (xxhash64 mode, 64 hashes x 16 bands): 20 pairs at shingle
+    # Jaccard ~0.55-0.75 — the moderate-similarity regime where a
+    # degenerate seed mix loses pairs (the round-3 estimator fix)
+    import random
+
+    from pyspark_skyline_spark.operators import dedup as DD
+
+    rrng = random.Random(7)
+    vocab = [f"w{i}" for i in range(500)]
+    mh_rows, mh_planted = [], []
+    for i in range(20):
+        base = [rrng.choice(vocab) for _ in range(40)]
+        edited = list(base)
+        for pos in rrng.sample(range(2, 38), 4):
+            edited[pos] = rrng.choice(vocab)
+        mh_rows.append((2 * i, " ".join(base)))
+        mh_rows.append((2 * i + 1, " ".join(edited)))
+        mh_planted.append((2 * i, 2 * i + 1))
+    mh_df = spark.createDataFrame(mh_rows, "doc_id long, text string")
+    mh_got = {
+        (r.id_a, r.id_b)
+        for r in DD.minhash_lsh_pairs(mh_df, "doc_id", "text", threshold=0.4).collect()
+    }
+    mh_recall = sum(1 for p in mh_planted if p in mh_got) / len(mh_planted)
+
     return {
         "lsh_topk@10": round(lsh_hits / (k * len(probes)), 3),
         "ivf_topk@10": round(ivf_hits / (k * len(probes)), 3),
         "near_dup_planted": round(len(got_pairs & planted) / len(planted), 3),
         "near_dup_all_pairs": round(len(got_pairs & truth) / len(truth), 3) if truth else 1.0,
         "near_dup_truth_pairs": len(truth),
+        "minhash_planted@J0.7": round(mh_recall, 3),
     }
 
 

@@ -34,6 +34,8 @@ def write_table(
     max_records_per_file: int | None = 1_000_000,
     mode: str = "overwrite",
     compression: str | None = None,
+    bloom_filter_cols: list[str] | None = None,
+    bloom_ndv: int = 1_000_000,
 ) -> None:
     """Write ``df`` as a partitioned table with bounded file sizes.
 
@@ -42,7 +44,16 @@ def write_table(
     partition value and the job writes ``tasks x values`` small files —
     the classic small-file explosion. ``maxRecordsPerFile`` then splits
     any oversized task output, bounding the other extreme.
+
+    ``bloom_filter_cols`` (parquet only) writes a bloom filter per
+    listed column, sized for ``bloom_ndv`` distinct values: point
+    lookups (``col = x``, ``col IN (...)``) on high-cardinality
+    columns then skip row groups min/max stats can't — min/max prunes
+    RANGES, blooms prune MEMBERSHIP. The complement of z-order layout
+    (`layout.py`), which serves range predicates.
     """
+    if bloom_filter_cols and fmt != "parquet":
+        raise ValueError("bloom_filter_cols requires fmt='parquet'")
     out = df
     if partition_by:
         out = out.repartition(*partition_by)
@@ -53,6 +64,11 @@ def write_table(
         w = w.option("maxRecordsPerFile", int(max_records_per_file))
     if compression:
         w = w.option("compression", compression)
+    for c in bloom_filter_cols or ():
+        if c not in df.columns:
+            raise ValueError(f"bloom filter column {c!r} not in DataFrame columns")
+        w = w.option(f"parquet.bloom.filter.enabled#{c}", "true")
+        w = w.option(f"parquet.bloom.filter.expected.ndv#{c}", str(int(bloom_ndv)))
     w.save(path)
 
 

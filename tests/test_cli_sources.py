@@ -179,3 +179,28 @@ def test_compact_table_preserves_hive_partitioning(spark, tmp_path):
     for g in ("0", "1", "2"):
         assert len(glob.glob(f"{out}/grp={g}/*.parquet")) == 1
     assert spark.read.parquet(out).count() == 3000
+
+
+def test_write_table_bloom_filters(spark, tmp_path):
+    """Bloom-enabled writes must carry the filter bytes (size delta is
+    the observable — pyarrow doesn't expose bloom offsets) and read
+    back identically; non-parquet formats reject the option."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+    from pyspark_skyline_spark.sources.sinks import file_stats, write_table
+
+    df = spark.range(0, 50_000).select(
+        F.xxhash64("id").alias("k"), F.col("id").alias("v")
+    )
+    plain = str(tmp_path / "plain")
+    bloomed = str(tmp_path / "bloomed")
+    write_table(df, plain)
+    write_table(df, bloomed, bloom_filter_cols=["k"], bloom_ndv=50_000)
+    assert file_stats(bloomed)["total_bytes"] > file_stats(plain)["total_bytes"]
+    assert spark.read.parquet(bloomed).count() == 50_000
+
+    with _pytest.raises(ValueError):
+        write_table(df, str(tmp_path / "x"), fmt="csv", bloom_filter_cols=["k"])
+    with _pytest.raises(ValueError):
+        write_table(df, str(tmp_path / "x"), bloom_filter_cols=["nope"])
