@@ -800,6 +800,12 @@ def dedup_incremental_neardup(
             f"ledger_sigs missing columns {missing[:4]}{'...' if len(missing) > 4 else ''} "
             f"(expected {ledger_id_col} + m0..m{num_hashes - 1} from minhash_signatures)"
         )
+    clash = [c for c in sig_names if c in new_df.columns]
+    if clash:
+        raise ValueError(
+            f"new_df already has signature columns {clash[:4]}; rename them "
+            "before ingest (survivors get m0.. appended)"
+        )
 
     sigs_new = minhash_signatures(
         new_df, id_col, text_col, num_hashes=num_hashes,

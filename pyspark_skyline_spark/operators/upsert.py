@@ -65,6 +65,10 @@ def merge_upsert(
     # one winner per update key (window over the update batch only)
     if order_col is not None:
         tiebreak = [c for c in up_cols if c not in keys and c != order_col]
+        if delete_col is not None:
+            # a delete and an update tying on order_col (and all data
+            # columns) must still resolve deterministically: delete wins
+            tiebreak = [delete_col, *tiebreak]
         w = Window.partitionBy(*keys).orderBy(
             F.col(order_col).desc(), *[F.col(c).desc_nulls_last() for c in tiebreak]
         )

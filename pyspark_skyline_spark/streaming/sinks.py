@@ -32,7 +32,12 @@ def write_epoch_idempotent(batch_df: DataFrame, epoch_id: int, path: str) -> boo
     """Write one micro-batch to ``path/epoch=<id>``; return False (and
     write nothing) if that epoch already committed — the replay case.
     Partial directories from a crashed attempt lack ``_SUCCESS`` and
-    are overwritten."""
+    are overwritten.
+
+    The marker check runs on the DRIVER with ``os.path`` — correct for
+    local/NFS paths (this environment); for object stores swap the
+    existence check for the corresponding filesystem client (the commit
+    protocol itself — write-then-``_SUCCESS`` — is identical)."""
     epoch_dir = os.path.join(path, f"epoch={int(epoch_id)}")
     if os.path.exists(os.path.join(epoch_dir, "_SUCCESS")):
         return False
