@@ -1958,7 +1958,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # asserts the total). Entries retired as redundant move to
     # _EXTRA_QUERIES below — still oracle-graded by pytest
     # (tests/test_entry.py), just not by the driver's capped gate.
-    "dedup_exact_events": _q_dedup_exact_events,
     "text_stats_documents": _q_text_stats,
     "lang_id_documents": _q_lang_id,
     "subword_count_documents": _q_subword_count,
@@ -1984,13 +1983,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topk_orders_per_customer": _q_topk_orders,
     "agg_lineitem_pricing": _q_agg_pricing,
     "multimodal_meta_documents": _q_multimodal_meta,
-    "multimodal_frame_sample": _q_multimodal_frames,
     "windowed_skyline_events": _q_windowed_skyline_events,
     "distinct_users_by_type": _q_distinct_users_by_type,
     "stream_skyline_orders": _q_stream_skyline_orders,
     "stream_window_stats_orders": _q_stream_window_stats_orders,
     "stream_session_stats_events": _q_stream_session_stats_events,
-    "stream_sliding_stats_events": _q_stream_sliding_stats_events,
     "skyline_orders_by_status": _q_skyline_by_status,
     "join_skyline_customer_nation": _q_join_skyline_customer_nation,
     "asof_error_click_events": _q_asof_error_click,
@@ -2005,6 +2002,15 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "column_profile_orders": _q_column_profile,
     "windowed_stream_skyline_events": _q_windowed_stream_skyline,
     "two_stage_skyline_orders": _q_two_stage_skyline,
+    # late round-3 rotation: grade this session's new operator families
+    # at the hard gate (JSON extraction, merge/upsert, dense-grid
+    # resample); the retired rows' categories stay driver-covered —
+    # exact dedup via dedup_corpus phase 1 + distinct_users_by_type,
+    # multimodal via multimodal_meta_documents, sliding windows via the
+    # session/tumbling/windowed-skyline stream rows
+    "json_extract_events": _q_json_extract_events,
+    "upsert_orders": _q_upsert_orders,
+    "resample_events": _q_resample_events,
 }
 
 #: Retired from the driver's 50-entry gate as redundant with rows that
@@ -2022,6 +2028,13 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "near_dup_clusters_documents": _q_near_dup_clusters,
     # the hash-threshold sampler core is graded via stratified_sample_events
     "hash_sample_orders": _q_hash_sample_orders,
+    # late round-3 rotation (swapped for json/upsert/resample driver
+    # rows): exact dedup graded inside dedup_corpus phase 1 +
+    # distinct_users_by_type; multimodal 1-to-N via multimodal_meta;
+    # sliding windows via the remaining stream agg rows
+    "dedup_exact_events": _q_dedup_exact_events,
+    "multimodal_frame_sample": _q_multimodal_frames,
+    "stream_sliding_stats_events": _q_stream_sliding_stats_events,
     # round-3 additions past the 50-cap: oracle-graded by pytest
     "split_dataset_orders": _q_split_dataset_orders,
     "tfidf_topk_documents": _q_tfidf_topk_documents,
@@ -2038,12 +2051,9 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "contamination_report_documents": _q_contamination_report_documents,
     "heavy_hitters_events": _q_heavy_hitters_events,
     "skew_stats_events": _q_skew_stats_events,
-    "json_extract_events": _q_json_extract_events,
     "stream_enrich_events": _q_stream_enrich_events,
-    "upsert_orders": _q_upsert_orders,
     "cube_orders": _q_cube_orders,
     "grouping_sets_orders": _q_grouping_sets_orders,
-    "resample_events": _q_resample_events,
     "correlations_lineitem": _q_correlations_lineitem,
 }
 
