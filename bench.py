@@ -116,7 +116,11 @@ def ann_recall(spark, sf_dir: str) -> dict:
     artifact so degradation is visible round-over-round).
 
     - lsh_topk@10 / ivf_topk@10: mean recall vs exact cosine top-10 over
-      several probes on the sf embeddings table.
+      several probes on the sf embeddings table. NOTE the sf embeddings
+      are near-uniform random: a probe's true neighbors spread almost
+      evenly over IVF cells, so ivf recall is bounded near the scanned
+      fraction (~nprobe/nlist) by the DATA, not the index — on real
+      clustered embeddings the same parameters score far higher.
     - near_dup_pairs: recall of LSH-bucketed near-dup pairs vs the exact
       all-pairs >= threshold set (ground truth via driver-side NumPy on
       the collected table — bench-only, bounded by the sf table size).

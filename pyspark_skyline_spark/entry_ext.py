@@ -1793,6 +1793,15 @@ SELECT g.event_type,
        make_timestamp(g.hb * 3600000000) AS bucket_start
 FROM grid g LEFT JOIN a ON a.event_type = g.event_type AND a.hb = g.hb
 """,
+    # identical IEEE ops both sides: md5 60-bit key hash vs
+    # floor(weight * 2^60) threshold
+    "weighted_sample_orders": """
+SELECT o_orderkey, round(o_totalprice, 2) AS totalprice
+FROM orders
+WHERE ('0x' || substr(md5(o_orderkey::VARCHAR || '#' || '42'), 1, 15))::BIGINT
+      < CAST(floor(least(greatest((o_orderkey % 100) / 100.0, 0.0), 1.0)
+                   * 1152921504606846976.0) AS BIGINT)
+""",
     # Pearson is scale-invariant -> engine-portable modulo float noise
     "correlations_lineitem": """
 SELECT * FROM (
@@ -1841,6 +1850,20 @@ def _q_cube_orders(spark, sf_dir):
     return orders.cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).cast("long").alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+def _q_weighted_sample_orders(spark, sf_dir):
+    """Deterministic importance sampling (operators/sample.py): per-row
+    keep probability (o_orderkey % 100)/100 via the shared key-hash
+    threshold — reproducible in any engine, integer-free of float
+    disagreement because both sides run the identical IEEE ops."""
+    from pyspark_skyline_spark.operators.sample import weighted_sample
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = (F.col("o_orderkey") % 100) / F.lit(100.0)
+    return weighted_sample(orders, ["o_orderkey"], w).select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("totalprice")
     )
 
 
@@ -2052,6 +2075,7 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "heavy_hitters_events": _q_heavy_hitters_events,
     "skew_stats_events": _q_skew_stats_events,
     "stream_enrich_events": _q_stream_enrich_events,
+    "weighted_sample_orders": _q_weighted_sample_orders,
     "cube_orders": _q_cube_orders,
     "grouping_sets_orders": _q_grouping_sets_orders,
     "correlations_lineitem": _q_correlations_lineitem,

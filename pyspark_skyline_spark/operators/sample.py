@@ -31,6 +31,7 @@ __all__ = [
     "sample_hash01_key",
     "hash_sample",
     "stratified_hash_sample",
+    "weighted_sample",
     "split_dataset",
     "split_thresholds",
     "pack_batches",
@@ -83,6 +84,33 @@ def stratified_hash_sample(
         else F.lit(int(default_fraction * _SCALE))
     )
     return df.filter(sample_hash01_key(key_cols, seed) < thr_expr)
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_cols: list[str],
+    weight_col,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic importance sampling: keep each row with probability
+    ``clamp(weight, 0, 1)`` — a PER-ROW keep probability (quality
+    score, language boost, source downweight) instead of
+    ``hash_sample``'s global fraction. The curriculum-mixing primitive:
+    ``weight_col`` can be any column expression, e.g. a quality score
+    from ``filtering.repetition_stats`` or a per-source multiplier.
+
+    Same key-hash foundation as the other samplers: keep iff
+    ``hash(key, seed) < weight * 2^60`` — reproducible across
+    partitionings/engines, stable under incremental growth (a row's
+    fate never changes when new data arrives), and co-sampled across
+    tables keyed on the same columns. The threshold is computed as a
+    LONG per row; weights outside [0, 1] clamp (≥1 keeps always,
+    ≤0 drops always). One scan, no shuffle.
+    """
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    clamped = F.least(F.greatest(w.cast("double"), F.lit(0.0)), F.lit(1.0))
+    thr = F.floor(clamped * F.lit(float(_SCALE))).cast("long")
+    return df.filter(sample_hash01_key(key_cols, seed) < thr)
 
 
 def split_dataset(

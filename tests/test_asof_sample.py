@@ -474,3 +474,34 @@ def test_split_dataset_validates_fractions(spark):
         SA.split_dataset(df, ["k"], {"train": 0.5, "test": 0.1})
     with pytest.raises(ValueError, match="non-empty"):
         SA.split_thresholds({})
+
+
+def test_weighted_sample_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from pyspark_skyline_spark.operators.sample import weighted_sample
+
+    df = spark.range(0, 5000).select(F.col("id").alias("k"))
+    # weight 1 keeps everything, 0 drops everything
+    assert weighted_sample(df, ["k"], F.lit(1.0)).count() == 5000
+    assert weighted_sample(df, ["k"], F.lit(0.0)).count() == 0
+    # clamping: out-of-range weights behave like 1 / 0
+    assert weighted_sample(df, ["k"], F.lit(7.5)).count() == 5000
+    assert weighted_sample(df, ["k"], F.lit(-3.0)).count() == 0
+    # keep rate tracks the weight (Bernoulli, 5000 trials)
+    n_half = weighted_sample(df, ["k"], F.lit(0.5)).count()
+    assert 2300 < n_half < 2700, n_half
+    # monotone in weight: the 0.2 sample is a strict subset of the 0.6 one
+    s_lo = {r.k for r in weighted_sample(df, ["k"], F.lit(0.2)).collect()}
+    s_hi = {r.k for r in weighted_sample(df, ["k"], F.lit(0.6)).collect()}
+    assert s_lo <= s_hi
+    # partitioning invariance: same rows regardless of layout
+    s_repart = {
+        r.k for r in weighted_sample(df.repartition(17), ["k"], F.lit(0.2)).collect()
+    }
+    assert s_repart == s_lo
+    # per-row weights: rows with weight 0 never appear
+    w = F.when(F.col("k") % 2 == 0, F.lit(1.0)).otherwise(F.lit(0.0))
+    evens = weighted_sample(df, ["k"], w)
+    assert evens.count() == 2500
+    assert evens.where(F.col("k") % 2 == 1).count() == 0
