@@ -1793,6 +1793,27 @@ SELECT g.event_type,
        make_timestamp(g.hb * 3600000000) AS bucket_start
 FROM grid g LEFT JOIN a ON a.event_type = g.event_type AND a.hb = g.hb
 """,
+    # same md5 hash order, bucket arithmetic, and batch-id formula
+    "pack_by_length_documents": """
+WITH h AS (
+  SELECT doc_id, n_chars,
+         ('0x' || substr(md5(doc_id::VARCHAR || '#' || '0'), 1, 15))::BIGINT AS hh
+  FROM documents),
+k AS (
+  SELECT doc_id,
+         CAST(floor(n_chars / 256.0) AS BIGINT) AS len_bucket,
+         hh % 4 AS shard, hh
+  FROM h),
+r AS (
+  SELECT doc_id, len_bucket, shard,
+         row_number() OVER (PARTITION BY len_bucket, shard
+                            ORDER BY hh, doc_id) - 1 AS rn
+  FROM k)
+SELECT doc_id, len_bucket,
+       CAST((len_bucket * 4 + shard) * 1048576 + rn // 8 AS BIGINT) AS batch_id,
+       CAST(rn % 8 AS BIGINT) AS batch_pos
+FROM r
+""",
     # identical IEEE ops both sides: md5 60-bit key hash vs
     # floor(weight * 2^60) threshold
     "weighted_sample_orders": """
@@ -1851,6 +1872,19 @@ def _q_cube_orders(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
     )
+
+
+def _q_pack_by_length_documents(spark, sf_dir):
+    """Length-bucketed batch packing (operators/sample.py): documents
+    batched by n_chars bucket with hash-deterministic order — the
+    padding-efficiency primitive, graded row-for-row in md5 mode."""
+    from pyspark_skyline_spark.operators.sample import pack_by_length
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_by_length(
+        docs.select("doc_id", "n_chars"), ["doc_id"], "n_chars",
+        batch_size=8, bucket_width=256, n_shards=4, hash_mode="md5",
+    ).select("doc_id", "len_bucket", "batch_id", "batch_pos")
 
 
 def _q_weighted_sample_orders(spark, sf_dir):
@@ -2076,6 +2110,7 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "skew_stats_events": _q_skew_stats_events,
     "stream_enrich_events": _q_stream_enrich_events,
     "weighted_sample_orders": _q_weighted_sample_orders,
+    "pack_by_length_documents": _q_pack_by_length_documents,
     "cube_orders": _q_cube_orders,
     "grouping_sets_orders": _q_grouping_sets_orders,
     "correlations_lineitem": _q_correlations_lineitem,

@@ -35,6 +35,7 @@ __all__ = [
     "split_dataset",
     "split_thresholds",
     "pack_batches",
+    "pack_by_length",
     "sessionize",
 ]
 
@@ -198,6 +199,64 @@ def pack_batches(
     w = Window.partitionBy("batch_id").orderBy(h.asc(), *[F.col(c) for c in key_cols])
     return with_batch.withColumn(
         "batch_pos", (F.row_number().over(w) - 1).cast("long")
+    )
+
+
+def pack_by_length(
+    df: DataFrame,
+    key_cols: list[str],
+    len_col: str,
+    batch_size: int,
+    bucket_width: int = 32,
+    n_shards: int = 64,
+    seed: int = 0,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Length-bucketed batch packing: group rows into fixed-size batches
+    of SIMILAR sequence length so per-batch padding waste (pad to the
+    batch max) collapses — the standard throughput lever for training
+    on variable-length sequences.
+
+    Adds ``len_bucket = floor(len / bucket_width)``, a globally unique
+    ``batch_id``, and ``batch_pos`` in ``[0, batch_size)``. Within a
+    bucket rows are hash-ordered (same determinism contract as
+    ``pack_batches``: reproducible across partitionings, engines with
+    ``hash_mode="md5"``, and incremental runs) and chopped into
+    consecutive ``batch_size`` groups.
+
+    Scale design: a popular length bucket can hold most of a corpus, so
+    ranking is windowed per (bucket, shard) with ``shard = pmod(hash,
+    n_shards)`` — ``n_shards`` independent window partitions per bucket
+    instead of one giant sort. Each shard packs its own batches, so at
+    most ``n_shards`` trailing partial batches exist per bucket (the
+    padding cost of a partial batch is the same as a full one of its
+    length — negligible against the bucketing win it buys).
+    """
+    if batch_size <= 0 or bucket_width <= 0 or n_shards <= 0:
+        raise ValueError("batch_size, bucket_width, n_shards must be positive")
+    if len_col not in df.columns:
+        raise ValueError(f"len_col {len_col!r} not in DataFrame columns")
+    key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in key_cols])
+    h = hash64_expr(key, F.lit(seed), hash_mode)
+    bucket = F.floor(F.col(len_col) / F.lit(bucket_width)).cast("long")
+    shard = F.pmod(h, F.lit(n_shards)).cast("long")
+    out = df.withColumn("len_bucket", bucket).withColumn("__shard", shard)
+    w = Window.partitionBy("len_bucket", "__shard").orderBy(
+        h.asc(), *[F.col(c) for c in key_cols]
+    )
+    rn = F.row_number().over(w) - 1
+    local_batch = F.floor(rn / F.lit(batch_size)).cast("long")
+    return (
+        out.withColumn(
+            "batch_id",
+            (
+                (F.col("len_bucket") * F.lit(n_shards) + F.col("__shard"))
+                * F.lit(1 << 20)
+                + local_batch
+            ).cast("long"),
+        )
+        .withColumn("batch_pos", (rn % F.lit(batch_size)).cast("long"))
+        .drop("__shard")
     )
 
 

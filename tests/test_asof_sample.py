@@ -505,3 +505,80 @@ def test_weighted_sample_semantics(spark):
     evens = weighted_sample(df, ["k"], w)
     assert evens.count() == 2500
     assert evens.where(F.col("k") % 2 == 1).count() == 0
+
+
+def test_pack_by_length_reduces_padding_waste(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from pyspark_skyline_spark.operators.sample import pack_batches, pack_by_length
+
+    rng = random.Random(3)
+    # bimodal lengths: chat snippets vs long documents
+    rows = [(i, rng.randint(10, 20) if i % 2 else rng.randint(400, 500))
+            for i in range(4000)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+
+    def padding_waste(batched):
+        stats = batched.groupBy("batch_id").agg(
+            F.max("n_tokens").alias("mx"),
+            F.sum("n_tokens").alias("sm"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        row = stats.agg(
+            F.sum(F.col("mx") * F.col("n")).alias("padded"),
+            F.sum("sm").alias("real"),
+        ).first()
+        return 1.0 - row.real / row.padded
+
+    naive = pack_batches(df, ["doc_id"], n_batches=500)
+    bucketed = pack_by_length(df, ["doc_id"], "n_tokens", batch_size=8,
+                              bucket_width=32, n_shards=4)
+    w_naive = padding_waste(naive)
+    w_bucketed = padding_waste(bucketed)
+    # mixing 15-token and 450-token rows wastes ~half the pad budget;
+    # bucketing must collapse that by a wide margin
+    assert w_naive > 0.3, w_naive
+    assert w_bucketed < w_naive / 3, (w_naive, w_bucketed)
+
+
+def test_pack_by_length_contract(spark):
+    from pyspark.sql import functions as F
+
+    from pyspark_skyline_spark.operators.sample import pack_by_length
+
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"), (F.pmod(F.xxhash64("id"), F.lit(300)) + 1).alias("n_tokens")
+    )
+    out = pack_by_length(df, ["doc_id"], "n_tokens", batch_size=8, bucket_width=32)
+    # every batch holds <= batch_size rows, positions are 0..n-1, and
+    # all rows of a batch share the length bucket
+    chk = out.groupBy("batch_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("len_bucket").alias("nb"),
+        F.max("batch_pos").alias("mp"),
+        F.min("batch_pos").alias("mn"),
+    )
+    bad = chk.where(
+        (F.col("n") > 8) | (F.col("nb") != 1)
+        | (F.col("mp") != F.col("n") - 1) | (F.col("mn") != 0)
+    ).count()
+    assert bad == 0
+    assert out.count() == 2000
+    # determinism under repartitioning
+    a = {(r.doc_id, r.batch_id, r.batch_pos) for r in out.collect()}
+    b = {
+        (r.doc_id, r.batch_id, r.batch_pos)
+        for r in pack_by_length(
+            df.repartition(13), ["doc_id"], "n_tokens", batch_size=8, bucket_width=32
+        ).collect()
+    }
+    assert a == b
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        pack_by_length(df, ["doc_id"], "n_tokens", batch_size=0)
+    with _pytest.raises(ValueError):
+        pack_by_length(df, ["doc_id"], "nope", batch_size=8)
