@@ -15,6 +15,7 @@ from pyspark_skyline_spark.operators.skyline import (
     skyline,
     skyline_antijoin,
     skyline_layers,
+    skyline_witness,
     skyline_sql,
     windowed_skyline,
 )
@@ -68,6 +69,7 @@ __all__ = [
     "skyline_antijoin",
     "skyline_sql",
     "skyline_layers",
+    "skyline_witness",
     "k_skyband",
     "windowed_skyline",
     "asof_join",

@@ -1793,6 +1793,22 @@ SELECT g.event_type,
        make_timestamp(g.hb * 3600000000) AS bucket_start
 FROM grid g LEFT JOIN a ON a.event_type = g.event_type AND a.hb = g.hb
 """,
+    # witnesses restricted to the frontier (sound: dominance is
+    # transitive); min frontier id per dominated row, NULL for members
+    "skyline_witness_part": """
+WITH t AS (SELECT p_partkey, p_retailprice, p_size FROM part),
+sky AS (
+  SELECT * FROM t p WHERE NOT EXISTS (
+    SELECT 1 FROM t q
+    WHERE q.p_retailprice <= p.p_retailprice AND q.p_size <= p.p_size
+      AND (q.p_retailprice < p.p_retailprice OR q.p_size < p.p_size)))
+SELECT p.p_partkey, p.p_retailprice, p.p_size,
+       (SELECT min(s.p_partkey) FROM sky s
+        WHERE s.p_retailprice <= p.p_retailprice AND s.p_size <= p.p_size
+          AND (s.p_retailprice < p.p_retailprice OR s.p_size < p.p_size))
+         AS witness
+FROM t p
+""",
     # same md5 hash order, bucket arithmetic, and batch-id formula
     "pack_by_length_documents": """
 WITH h AS (
@@ -1871,6 +1887,19 @@ def _q_cube_orders(spark, sf_dir):
     return orders.cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).cast("long").alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+def _q_skyline_witness_part(spark, sf_dir):
+    """Dominance explanation (operators/skyline.py::skyline_witness):
+    per part, the minimal frontier member dominating it (NULL for
+    frontier rows) — the partitioned skyline feeds a broadcast
+    theta-join + min aggregate."""
+    from pyspark_skyline_spark import skyline_witness
+
+    part = load_table(spark, sf_dir, "part")
+    return skyline_witness(
+        part, [("p_retailprice", "min"), ("p_size", "min")], "p_partkey"
     )
 
 
@@ -2111,6 +2140,7 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_enrich_events": _q_stream_enrich_events,
     "weighted_sample_orders": _q_weighted_sample_orders,
     "pack_by_length_documents": _q_pack_by_length_documents,
+    "skyline_witness_part": _q_skyline_witness_part,
     "cube_orders": _q_cube_orders,
     "grouping_sets_orders": _q_grouping_sets_orders,
     "correlations_lineitem": _q_correlations_lineitem,

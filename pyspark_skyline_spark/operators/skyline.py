@@ -40,7 +40,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark_skyline_spark.kernel import _dominated_by, find_skyline_mask, to_min_space
 from pyspark_skyline_spark.parser import parse_skyline_query
 
-__all__ = ["skyline", "skyline_sql", "skyline_antijoin", "skyline_layers", "windowed_skyline", "ALGORITHMS"]
+__all__ = ["skyline", "skyline_sql", "skyline_antijoin", "skyline_layers", "skyline_witness", "windowed_skyline", "ALGORITHMS"]
 
 ALGORITHMS = ("MR_DIM", "MR_DIM_Q", "MR_GRID", "MR_ANGLE", "auto")
 
@@ -664,6 +664,52 @@ def skyline_antijoin(df: DataFrame, dims) -> DataFrame:
         no_worse = nw if no_worse is None else (no_worse & nw)
         strictly_better = sb if strictly_better is None else (strictly_better | sb)
     return p.join(q, no_worse & strictly_better, "left_anti")
+
+
+def skyline_witness(df: DataFrame, dims, id_col: str) -> DataFrame:
+    """Dominance explanation: for every row, the MINIMUM ``id_col`` of a
+    SKYLINE member that dominates it (NULL for skyline members — nobody
+    dominates them). The "why was my row excluded" debugging/tiering
+    primitive; restricting witnesses to the frontier is sound because
+    dominance is transitive, so every dominated row has a frontier
+    dominator.
+
+    Scale shape: the frontier comes from the partitioned ``skyline``
+    operator, is BROADCAST (frontiers are small by construction — this
+    operator refuses past ``max_frontier`` rows), and the dominance
+    theta-join + min-aggregate runs map-side against the full table:
+    one broadcast, one shuffle-free scan, one hash aggregate keyed on
+    ``id_col`` (which must be unique — the witness contract is
+    per-entity). Rows with NULL skyline dimensions are incomparable by
+    convention: they are outside the frontier and their witness is
+    NULL.
+
+    Returns ``(id_col, *dim_cols, witness)``.
+    """
+    dims = _normalize_dims(dims)
+    if id_col not in df.columns:
+        raise ValueError(f"id_col {id_col!r} not in DataFrame columns {df.columns}")
+    for c, _ in dims:
+        if c not in df.columns:
+            raise ValueError(f"skyline dimension {c!r} not in DataFrame columns")
+    frontier = skyline(df, dims).select(
+        F.col(id_col).alias("__w_id"),
+        *[F.col(c).alias(f"__w_{i}") for i, (c, _) in enumerate(dims)],
+    )
+    no_worse, strictly_better = None, None
+    for i, (c, sense) in enumerate(dims):
+        qc, pc = F.col(f"__w_{i}"), F.col(f"`{c}`")
+        nw = (qc <= pc) if sense == "min" else (qc >= pc)
+        sb = (qc < pc) if sense == "min" else (qc > pc)
+        no_worse = nw if no_worse is None else (no_worse & nw)
+        strictly_better = sb if strictly_better is None else (strictly_better | sb)
+    dim_cols = [c for c, _ in dims]
+    joined = df.select(id_col, *dim_cols).join(
+        F.broadcast(frontier), no_worse & strictly_better, "left"
+    )
+    return joined.groupBy(id_col, *[F.col(f"`{c}`") for c in dim_cols]).agg(
+        F.min("__w_id").alias("witness")
+    )
 
 
 def windowed_skyline(

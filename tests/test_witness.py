@@ -1,0 +1,84 @@
+"""skyline_witness (operators/skyline.py): frontier members get NULL,
+dominated rows get the minimal frontier dominator, NULL dims are
+incomparable, and the frontier side broadcasts."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_skyline_spark import skyline_witness
+
+ROWS = [
+    # frontier: (1,9) (5,5) (9,1) under MIN/MIN
+    (0, 1.0, 9.0),
+    (1, 5.0, 5.0),
+    (2, 9.0, 1.0),
+    (3, 6.0, 6.0),   # dominated by id 1 only
+    (4, 2.0, 10.0),  # dominated by id 0 only
+    (5, 9.0, 9.0),   # dominated by ids 0?,1,2? -> (1,9)<=(9,9) strict in x1 -> yes by 0; min witness 0
+    (6, None, 2.0),  # NULL dim: incomparable
+]
+
+
+@pytest.fixture(scope="module")
+def pts(spark):
+    return spark.createDataFrame(ROWS, "id long, x double, y double")
+
+
+def test_witness_values(pts):
+    out = {
+        r.id: r.witness
+        for r in skyline_witness(pts, [("x", "min"), ("y", "min")], "id").collect()
+    }
+    assert out[0] is None and out[1] is None and out[2] is None  # frontier
+    assert out[3] == 1
+    assert out[4] == 0
+    assert out[5] == 0  # minimal dominator id among {0, 1, 2}
+    assert out[6] is None  # NULL dim -> incomparable
+    assert len(out) == 7
+
+
+def test_witness_mixed_senses(spark):
+    rows = [(0, 10.0, 1.0), (1, 10.0, 5.0), (2, 3.0, 5.0)]
+    df = spark.createDataFrame(rows, "id long, price double, qty double")
+    # maximize qty, minimize price: frontier = {1 (10,5)? price 10 qty 5;
+    # 2 (3,5)} — 2 dominates 1 (same qty, lower price); 1 dominates 0
+    out = {
+        r.id: r.witness
+        for r in skyline_witness(
+            df, [("price", "min"), ("qty", "max")], "id"
+        ).collect()
+    }
+    assert out[2] is None
+    assert out[0] == 2 and out[1] == 2
+
+
+def test_witness_every_nonfrontier_row_has_witness(spark, sf_dir):
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    dims = [("p_retailprice", "min"), ("p_size", "min")]
+    out = skyline_witness(part, dims, "p_partkey")
+    assert out.count() == part.count()
+    from pyspark_skyline_spark import skyline
+
+    frontier_ids = {
+        r.p_partkey for r in skyline(part, dims).select("p_partkey").collect()
+    }
+    rows = out.collect()
+    for r in rows:
+        if r.p_partkey in frontier_ids:
+            assert r.witness is None
+        else:
+            assert r.witness in frontier_ids
+
+
+def test_witness_broadcasts_frontier(spark, sf_dir):
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    out = skyline_witness(part, [("p_retailprice", "min"), ("p_size", "min")], "p_partkey")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_witness_validates(pts):
+    with pytest.raises(ValueError):
+        skyline_witness(pts, [("x", "min")], "nope")
+    with pytest.raises(ValueError):
+        skyline_witness(pts, [("missing", "min")], "id")
