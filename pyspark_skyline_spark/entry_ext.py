@@ -1102,6 +1102,31 @@ FROM documents
 
 _FOLD = "list_reduce(list_transform(range(1, 65), i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
 
+_BATCH_PROBE_IDS = (0, 7, 19)
+
+
+def _batch_topk_oracle() -> str:
+    dot_vp = _FOLD.format(a="e.v", b="p.pvec")
+    dot_vv = _FOLD.format(a="e.v", b="e.v")
+    dot_pp = _FOLD.format(a="p.pvec", b="p.pvec")
+    ids = ", ".join(str(i) for i in _BATCH_PROBE_IDS)
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+p AS (SELECT vec_id AS pid, v AS pvec FROM e WHERE vec_id IN ({ids})),
+scored AS (
+  SELECT p.pid, e.vec_id,
+         {dot_vp} / (sqrt({dot_vv}) * sqrt({dot_pp})) AS cos
+  FROM e, p WHERE e.vec_id <> p.pid)
+SELECT pid, rank, vec_id FROM (
+  SELECT pid, vec_id,
+         CAST(row_number() OVER (PARTITION BY pid ORDER BY cos DESC, vec_id)
+              AS BIGINT) AS rank
+  FROM scored)
+WHERE rank <= 5
+"""
+
+
+
 
 def _cosine_topk_oracle() -> str:
     dot_vp = _FOLD.format(a="v", b="pv")
@@ -1793,6 +1818,8 @@ SELECT g.event_type,
        make_timestamp(g.hb * 3600000000) AS bucket_start
 FROM grid g LEFT JOIN a ON a.event_type = g.event_type AND a.hb = g.hb
 """,
+    # fold impl -> bit-identical doubles; one corpus pass, 3 probes
+    "cosine_topk_batch_embeddings": _batch_topk_oracle(),
     # witnesses restricted to the frontier (sound: dominance is
     # transitive); min frontier id per dominated row, NULL for members
     "skyline_witness_part": """
@@ -1887,6 +1914,21 @@ def _q_cube_orders(spark, sf_dir):
     return orders.cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).cast("long").alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+def _q_cosine_topk_batch_embeddings(spark, sf_dir):
+    """Batch retrieval (operators/similarity.py::cosine_topk_batch):
+    exact top-5 for three probes in ONE corpus pass, fold impl so the
+    sequential-fold doubles match DuckDB bit-for-bit."""
+    from pyspark_skyline_spark.operators.similarity import cosine_topk_batch
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    probes = emb.where(F.col("vec_id").isin(list(_BATCH_PROBE_IDS))).select(
+        F.col("vec_id").alias("pid"), F.col("embedding").alias("pvec")
+    )
+    return cosine_topk_batch(
+        emb, probes, "vec_id", "embedding", "pid", "pvec", k=5, impl="fold"
     )
 
 
@@ -2141,6 +2183,7 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "weighted_sample_orders": _q_weighted_sample_orders,
     "pack_by_length_documents": _q_pack_by_length_documents,
     "skyline_witness_part": _q_skyline_witness_part,
+    "cosine_topk_batch_embeddings": _q_cosine_topk_batch_embeddings,
     "cube_orders": _q_cube_orders,
     "grouping_sets_orders": _q_grouping_sets_orders,
     "correlations_lineitem": _q_correlations_lineitem,

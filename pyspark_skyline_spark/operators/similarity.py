@@ -33,6 +33,7 @@ __all__ = [
     "l2_norm",
     "cosine",
     "cosine_topk",
+    "cosine_topk_batch",
     "cosine_topk_lsh",
     "cosine_topk_ivf",
     "ivf_assign",
@@ -116,6 +117,86 @@ def cosine_topk(
         rank_col="rank",
     )
     return ranked.select("rank", id_col).withColumn("rank", F.col("rank").cast("long"))
+
+
+def cosine_topk_batch(
+    df: DataFrame,
+    probes: DataFrame,
+    id_col: str,
+    vec_col: str,
+    probe_id_col: str,
+    probe_vec_col: str,
+    k: int = 10,
+    impl: str = "arrow",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for EVERY probe in one pass — the
+    production retrieval shape (a query batch against the corpus),
+    where per-probe calls would rescan the table per query.
+
+    The probe set broadcasts (queries are small; the corpus is not),
+    every (corpus row × probe) pair is scored, and
+    ``top_k_per_group(probe_id)`` keeps k per probe via per-partition
+    heaps — no global sort, one corpus scan total. A corpus row whose
+    id equals the probe id is excluded (self-match), matching
+    ``cosine_topk``.
+
+    impl="arrow": the probe MATRIX is captured in one pandas_udf and
+    each Arrow batch scores against all probes with a single GEMM.
+    impl="fold": native fold expressions after the broadcast cross
+    join — bit-reproducible against SQL oracles (slower; the oracle
+    path). Returns (probe_id_col, rank, id_col).
+    """
+    for c, d_ in ((id_col, df), (vec_col, df), (probe_id_col, probes), (probe_vec_col, probes)):
+        if c not in d_.columns:
+            raise ValueError(f"column {c!r} not found")
+    if impl == "fold":
+        p = probes.select(
+            F.col(probe_id_col).alias("__pid"), F.col(probe_vec_col).alias("__pvec")
+        )
+        scored = (
+            df.crossJoin(F.broadcast(p))
+            .filter(F.col(id_col) != F.col("__pid"))
+            .withColumn("__cos", cosine(F.col(vec_col), F.col("__pvec")))
+        )
+    elif impl == "arrow":
+        prows = probes.select(probe_id_col, probe_vec_col).collect()
+        if not prows:
+            raise ValueError("probes is empty")
+        pids = [r[0] for r in prows]
+        P = np.asarray([r[1] for r in prows], dtype=np.float64)
+        Punit = P / np.maximum(np.linalg.norm(P, axis=1, keepdims=True), 1e-12)
+
+        @F.pandas_udf("array<double>")
+        def score_all(s: pd.Series) -> pd.Series:
+            m = np.vstack(s.to_numpy()).astype(np.float64)
+            m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            cos = m @ Punit.T  # one GEMM: batch x probes
+            return pd.Series(list(cos))
+
+        pid_arr = F.array(*[F.lit(p) for p in pids])
+        scored = (
+            df.withColumn("__all", score_all(F.col(vec_col)))
+            .select(
+                id_col,
+                F.explode(F.arrays_zip(pid_arr.alias("__pid"), F.col("__all").alias("__cos"))).alias("__z"),
+            )
+            .select(id_col, F.col("__z.__pid").alias("__pid"), F.col("__z.__cos").alias("__cos"))
+            .filter(F.col(id_col) != F.col("__pid"))
+        )
+    else:
+        raise ValueError(f"impl must be fold|arrow, got {impl!r}")
+    ranked = top_k_per_group(
+        scored,
+        ["__pid"],
+        [F.col("__cos").desc(), F.col(id_col).asc()],
+        k,
+        rank_col="rank",
+    )
+    return ranked.select(
+        F.col("__pid").alias(probe_id_col),
+        F.col("rank").cast("long").alias("rank"),
+        id_col,
+    )
 
 
 def _hyperplanes(dim: int, n_planes: int, n_tables: int, seed: int = 42) -> np.ndarray:

@@ -135,3 +135,50 @@ def test_cosine_near_dup_bucket_cap(spark):
         for r in S.cosine_near_dup_pairs(df, "vec_id", "embedding", **kw).collect()
     }
     assert {(a, b) for a in range(40) for b in range(a + 1, 40)} <= uncapped
+
+
+def test_cosine_topk_batch_matches_per_probe(spark, sf_dir):
+    """Batch retrieval == per-probe exact top-k for every probe, in both
+    impls; one corpus scan instead of one per query."""
+    from pyspark.sql import functions as F
+
+    from pyspark_skyline_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_batch,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    probe_ids = [0, 7, 19]
+    probes = emb.where(F.col("vec_id").isin(probe_ids)).select(
+        F.col("vec_id").alias("pid"), F.col("embedding").alias("pvec")
+    )
+    for impl in ("arrow", "fold"):
+        got = cosine_topk_batch(
+            emb, probes, "vec_id", "embedding", "pid", "pvec", k=5, impl=impl
+        )
+        by_probe = {}
+        for r in got.collect():
+            by_probe.setdefault(r.pid, {})[r.rank] = r.vec_id
+        for pid in probe_ids:
+            want = {
+                r.rank: r.vec_id
+                for r in cosine_topk(emb, "vec_id", "embedding", pid, k=5).collect()
+            }
+            assert by_probe[pid] == want, (impl, pid)
+
+
+def test_cosine_topk_batch_validates(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from pyspark_skyline_spark.operators.similarity import cosine_topk_batch
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    empty = emb.where(F.lit(False)).select(
+        F.col("vec_id").alias("pid"), F.col("embedding").alias("pvec")
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        cosine_topk_batch(emb, empty, "vec_id", "embedding", "pid", "pvec")
+    with _pytest.raises(ValueError):
+        cosine_topk_batch(emb, empty, "vec_id", "embedding", "nope", "pvec")
