@@ -1105,6 +1105,17 @@ _FOLD = "list_reduce(list_transform(range(1, 65), i -> {a}[i] * {b}[i]), (x, y) 
 _BATCH_PROBE_IDS = (0, 7, 19)
 
 
+def _q_fuzzy_pairs_part(spark, sf_dir):
+    """Edit-distance record linkage (operators/fuzzy.py): part-name
+    pairs within levenshtein distance 2 via the positional q-gram
+    filter + exact verify. The strategy-independent all-pairs oracle
+    applies because the filter is exact (no gram-frequency cap)."""
+    from pyspark_skyline_spark.operators.fuzzy import fuzzy_pairs
+
+    part = load_table(spark, sf_dir, "part")
+    return fuzzy_pairs(part, "p_partkey", "p_name", max_dist=2)
+
+
 def _batch_topk_oracle() -> str:
     dot_vp = _FOLD.format(a="e.v", b="p.pvec")
     dot_vv = _FOLD.format(a="e.v", b="e.v")
@@ -1820,6 +1831,14 @@ FROM grid g LEFT JOIN a ON a.event_type = g.event_type AND a.hb = g.hb
 """,
     # fold impl -> bit-identical doubles; one corpus pass, 3 probes
     "cosine_topk_batch_embeddings": _batch_topk_oracle(),
+    # strategy-independent: plain all-pairs levenshtein threshold join
+    "fuzzy_pairs_part": """
+SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+WHERE a.p_name IS NOT NULL AND b.p_name IS NOT NULL
+  AND levenshtein(a.p_name, b.p_name) <= 2
+""",
     # witnesses restricted to the frontier (sound: dominance is
     # transitive); min frontier id per dominated row, NULL for members
     "skyline_witness_part": """
@@ -2184,6 +2203,7 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_by_length_documents": _q_pack_by_length_documents,
     "skyline_witness_part": _q_skyline_witness_part,
     "cosine_topk_batch_embeddings": _q_cosine_topk_batch_embeddings,
+    "fuzzy_pairs_part": _q_fuzzy_pairs_part,
     "cube_orders": _q_cube_orders,
     "grouping_sets_orders": _q_grouping_sets_orders,
     "correlations_lineitem": _q_correlations_lineitem,

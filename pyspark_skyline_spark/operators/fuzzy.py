@@ -1,0 +1,161 @@
+"""Fuzzy string matching / record linkage (north-star extension; no
+counterpart in the reference).
+
+``fuzzy_pairs`` finds all id pairs whose strings are within edit
+(Levenshtein) distance ``max_dist`` — the record-linkage primitive
+(near-identical names, titles, URLs) — without ever forming the
+all-pairs product:
+
+- LONG strings (length >= q·(d+1)) go through the POSITIONAL q-gram
+  filter (Gravano et al.): within edit distance d the strings admit a
+  one-to-one matching of at least ``max(len) - q + 1 - q·d`` q-gram
+  occurrences whose positions differ by <= d. Candidates come from an
+  equi-join on exploded positional q-grams (position-window predicate)
+  + a distinct-matched-position count threshold — a necessary
+  condition of the true bound, so no true pair is lost (distinct
+  grams alone would be UNSOUND: repetitive strings collapse their
+  gram multiset). Hash join + hash aggregate — the shapes that scale.
+- SHORT strings (where that bound is vacuous) are block-joined within
+  a ``|len_a - len_b| <= d`` length band (edit distance >= length
+  difference, so the band is sound). Short-string volume is typically
+  tiny; the band bounds the blowup.
+- every candidate is VERIFIED with Spark's native ``levenshtein``
+  before it is emitted — the filters only affect speed, never the
+  answer.
+
+Skew guard: ubiquitous q-grams ("the", "ing") create hot join keys;
+``max_gram_freq`` drops grams more frequent than the cap from candidate
+GENERATION only (the count threshold is computed against the surviving
+grams on BOTH sides identically, so correctness degrades to recall loss
+confined to pairs whose every shared gram is ubiquitous — and those
+still meet through the short-string band if short, as in dedup.py's
+bucket-cap trade, documented there).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["fuzzy_pairs"]
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    id_col: str,
+    str_col: str,
+    max_dist: int = 2,
+    q: int = 3,
+    max_gram_freq: int | None = None,
+) -> DataFrame:
+    """All pairs ``(id_a, id_b, dist)`` with ``id_a < id_b`` and
+    ``levenshtein(s_a, s_b) <= max_dist``. NULL strings never match.
+
+    With ``max_gram_freq=None`` (default) the result is EXACT — the
+    q-gram count bound and the length band are both necessary
+    conditions for the verified predicate.
+    """
+    if max_dist < 0:
+        raise ValueError("max_dist must be >= 0")
+    if q < 1:
+        raise ValueError("q must be >= 1")
+    for c in (id_col, str_col):
+        if c not in df.columns:
+            raise ValueError(f"column {c!r} not in DataFrame columns {df.columns}")
+
+    base = (
+        df.select(F.col(id_col).alias("__id"), F.col(str_col).alias("__s"))
+        .where(F.col("__s").isNotNull())
+        .withColumn("__len", F.length("__s"))
+    )
+    short_cut = q * (max_dist + 1)  # below this, the count bound is vacuous
+
+    # --- long branch: positional q-gram filter -------------------------
+    long_side = base.where(F.col("__len") >= short_cut)
+    grams = long_side.select(
+        "__id",
+        "__len",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, __len - {q} + 1), i -> substring(__s, i, {q}))"
+            )
+        ).alias("__p", "__g"),
+    )
+    if max_gram_freq is not None:
+        freq = grams.groupBy("__g").agg(F.count(F.lit(1)).alias("__gf"))
+        grams = (
+            grams.join(freq, "__g").where(F.col("__gf") <= max_gram_freq).drop("__gf")
+        )
+    a = grams.select(
+        F.col("__id").alias("id_a"), F.col("__len").alias("__la"),
+        F.col("__p").alias("__pa"), "__g",
+    )
+    b = grams.select(
+        F.col("__id").alias("id_b"), F.col("__len").alias("__lb"),
+        F.col("__p").alias("__pb"), "__g",
+    )
+    # a true pair admits a 1:1 matching of >= T gram occurrences with
+    # position shift <= d, so it has >= T distinct matched a-positions —
+    # the count below can only be larger, never smaller (sound filter)
+    long_cand = (
+        a.join(b, "__g")
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("__la") - F.col("__lb")) <= max_dist)
+            & (F.abs(F.col("__pa") - F.col("__pb")) <= max_dist)
+        )
+        .groupBy("id_a", "id_b", "__la", "__lb")
+        .agg(F.countDistinct("__pa").alias("__matched"))
+        .where(
+            F.col("__matched")
+            >= F.greatest(F.col("__la"), F.col("__lb")) - F.lit(q - 1 + q * max_dist)
+        )
+        .select("id_a", "id_b")
+    )
+
+    # --- short branch: length-band block join --------------------------
+    short_side = base.where(F.col("__len") < short_cut)
+    sa = short_side.select(
+        F.col("__id").alias("id_a"),
+        F.explode(
+            F.sequence(F.col("__len"), F.col("__len") + max_dist)
+        ).alias("__band"),
+    )
+    sb = short_side.select(F.col("__id").alias("id_b"), F.col("__len").alias("__band"))
+    short_cand = (
+        sa.join(sb, "__band").where(F.col("id_a") != F.col("id_b"))
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+        .dropDuplicates()
+    )
+    # long x short boundary pairs: lengths straddling the cut can still
+    # be within max_dist — catch them with the same band trick
+    la = long_side.where(F.col("__len") < short_cut + max_dist).select(
+        F.col("__id").alias("id_a"), F.col("__len").alias("__lla")
+    )
+    boundary = (
+        la.crossJoin(
+            F.broadcast(
+                short_side.select(F.col("__id").alias("id_b"), F.col("__len").alias("__llb"))
+            )
+        )
+        .where(F.abs(F.col("__lla") - F.col("__llb")) <= max_dist)
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+    )
+
+    cand = long_cand.unionByName(short_cand).unionByName(boundary).dropDuplicates()
+
+    # --- exact verify ---------------------------------------------------
+    s_a = base.select(F.col("__id").alias("id_a"), F.col("__s").alias("__sa"))
+    s_b = base.select(F.col("__id").alias("id_b"), F.col("__s").alias("__sb"))
+    return (
+        cand.join(s_a, "id_a")
+        .join(s_b, "id_b")
+        .withColumn("dist", F.levenshtein("__sa", "__sb").cast("long"))
+        .where(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", "dist")
+    )
