@@ -1105,6 +1105,22 @@ _FOLD = "list_reduce(list_transform(range(1, 65), i -> {a}[i] * {b}[i]), (x, y) 
 _BATCH_PROBE_IDS = (0, 7, 19)
 
 
+def _q_scd2_events(spark, sf_dir):
+    """SCD type-2 history (operators/upsert.py::scd2_history): each
+    user's event log becomes validity intervals — lead() per key, one
+    shuffle. (events' microsecond timestamps are tie-free; the operator
+    rejects tied versions loudly.)"""
+    from pyspark_skyline_spark.operators.upsert import scd2_history
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "event_id", "ts"
+    )
+    return scd2_history(ev, ["user_id"], "ts").select(
+        "user_id", "event_id", "valid_from", "valid_to", "is_current"
+    )
+
+
 def _q_fuzzy_pairs_part(spark, sf_dir):
     """Edit-distance record linkage (operators/fuzzy.py): part-name
     pairs within levenshtein distance 2 via the positional q-gram
@@ -1831,6 +1847,14 @@ FROM grid g LEFT JOIN a ON a.event_type = g.event_type AND a.hb = g.hb
 """,
     # fold impl -> bit-identical doubles; one corpus pass, 3 probes
     "cosine_topk_batch_embeddings": _batch_topk_oracle(),
+    "scd2_events": """
+SELECT user_id, event_id,
+       ts AS valid_from,
+       lead(ts) OVER w AS valid_to,
+       lead(ts) OVER w IS NULL AS is_current
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+""",
     # strategy-independent: plain all-pairs levenshtein threshold join
     "fuzzy_pairs_part": """
 SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
@@ -2204,6 +2228,7 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "skyline_witness_part": _q_skyline_witness_part,
     "cosine_topk_batch_embeddings": _q_cosine_topk_batch_embeddings,
     "fuzzy_pairs_part": _q_fuzzy_pairs_part,
+    "scd2_events": _q_scd2_events,
     "cube_orders": _q_cube_orders,
     "grouping_sets_orders": _q_grouping_sets_orders,
     "correlations_lineitem": _q_correlations_lineitem,

@@ -22,7 +22,58 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["merge_upsert"]
+__all__ = ["merge_upsert", "scd2_history"]
+
+
+def scd2_history(
+    updates: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    current_col: str = "is_current",
+) -> DataFrame:
+    """Build a slowly-changing-dimension (type 2) history from an
+    update log: every version of a key gets a validity interval
+    ``[valid_from, valid_to)`` — ``valid_to`` NULL (and
+    ``is_current`` true) for the newest version. The as-of-queryable
+    form every warehouse keeps for dimensions; the interval output
+    composes directly with ``range_join``/``asof_join`` for
+    point-in-time lookups.
+
+    One window per key ordered by ``ts_col`` (``lead`` for the closing
+    timestamp) — a single shuffle on the key, no global sort. Ties on
+    ``(keys, ts_col)`` are rejected loudly: two versions of one key at
+    the same instant have no well-defined order, and silently picking
+    one corrupts history.
+    """
+    if not keys:
+        raise ValueError("keys must be non-empty")
+    missing = [c for c in (*keys, ts_col) if c not in updates.columns]
+    if missing:
+        raise ValueError(f"columns {missing} not in DataFrame columns")
+    for c in (valid_from, valid_to, current_col):
+        if c in updates.columns:
+            raise ValueError(f"output column {c!r} already present")
+    dup = (
+        updates.groupBy(*keys, ts_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"duplicate (key, {ts_col}) version (e.g. {tuple(dup[0][:-1])}); "
+            "history order would be undefined"
+        )
+    w = Window.partitionBy(*keys).orderBy(F.col(ts_col).asc())
+    nxt = F.lead(F.col(ts_col)).over(w)
+    return (
+        updates.withColumn(valid_from, F.col(ts_col))
+        .withColumn(valid_to, nxt)
+        .withColumn(current_col, nxt.isNull())
+    )
 
 
 def merge_upsert(

@@ -85,3 +85,42 @@ def test_snapshot_side_broadcast_anti_join(spark, sf_dir):
         F.min("o_totalprice")
     ).first()[0]
     assert bumped >= 1000.0
+
+
+def test_scd2_history_intervals(spark):
+    import datetime
+
+    from pyspark_skyline_spark.operators.upsert import scd2_history
+
+    def ts(d):
+        return datetime.datetime(2024, 1, d)
+
+    rows = [
+        (1, "a", ts(1)), (1, "b", ts(5)), (1, "c", ts(9)),
+        (2, "x", ts(3)),
+    ]
+    df = spark.createDataFrame(rows, "k long, v string, ts timestamp")
+    out = {(r.k, r.v): (r.valid_from, r.valid_to, r.is_current)
+           for r in scd2_history(df, ["k"], "ts").collect()}
+    assert out[(1, "a")] == (ts(1), ts(5), False)
+    assert out[(1, "b")] == (ts(5), ts(9), False)
+    assert out[(1, "c")] == (ts(9), None, True)
+    assert out[(2, "x")] == (ts(3), None, True)
+    # exactly one current version per key
+    cur = [kv for kv, (_, _, c) in out.items() if c]
+    assert sorted(k for k, _ in cur) == [1, 2]
+
+
+def test_scd2_history_rejects_tied_versions(spark):
+    import datetime
+
+    from pyspark_skyline_spark.operators.upsert import scd2_history
+
+    t = datetime.datetime(2024, 1, 1)
+    df = spark.createDataFrame([(1, "a", t), (1, "b", t)], "k long, v string, ts timestamp")
+    with pytest.raises(ValueError, match="duplicate"):
+        scd2_history(df, ["k"], "ts")
+    with pytest.raises(ValueError, match="already present"):
+        scd2_history(
+            df.withColumnRenamed("v", "is_current"), ["k"], "ts"
+        )
