@@ -144,8 +144,11 @@ def merge_upsert(
         deduped = updates
 
     # the huge side is only ever anti-joined against the update KEYS —
-    # broadcast when the batch is small, so the snapshot never shuffles
-    upd_keys = F.broadcast(deduped.select(*keys).dropDuplicates())
+    # broadcast when the batch is small, so the snapshot never shuffles.
+    # No dropDuplicates here: keys are already unique after the
+    # latest-wins window (or the loud duplicate check), and the extra
+    # dedup would cost a second shuffle of the batch
+    upd_keys = F.broadcast(deduped.select(*keys))
     untouched = current.join(upd_keys, keys, "left_anti")
     if delete_col is not None:
         deduped = deduped.where(

@@ -14,7 +14,39 @@ __all__ = [
     "assert_pushed_filters",
     "assert_broadcast_join",
     "scan_read_schema",
+    "count_exchanges",
+    "assert_max_exchanges",
 ]
+
+
+def count_exchanges(df: DataFrame) -> int:
+    """Number of shuffle exchanges in the physical plan — the scale
+    cost model's first-order term (every exchange is a full
+    rewrite+network pass over its input at 100 TB). Broadcast
+    exchanges are excluded: they ship the SMALL side only and are the
+    cheap alternative the audit wants to encourage. AQE reuse
+    (ReusedExchange) is also excluded — a reused exchange is not a
+    second shuffle."""
+    import re
+
+    plan = formatted_plan(df)
+    # formatted plans print each node twice (tree + detail section);
+    # count only the "(N) Exchange" detail headers, one per node
+    n = 0
+    for ln in plan.splitlines():
+        if re.match(r"^\(\d+\) Exchange\b", ln.strip()):
+            n += 1
+    return n
+
+
+def assert_max_exchanges(df: DataFrame, budget: int) -> None:
+    """Fail when an operator's plan shuffles more than its documented
+    budget — the plan-shape regression test for 'is there a shuffle
+    here that becomes the bottleneck at scale'."""
+    n = count_exchanges(df)
+    assert n <= budget, (
+        f"plan has {n} shuffle exchanges, budget {budget}:\n{formatted_plan(df)}"
+    )
 
 
 def formatted_plan(df: DataFrame) -> str:
