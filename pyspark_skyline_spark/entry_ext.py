@@ -1105,6 +1105,19 @@ _FOLD = "list_reduce(list_transform(range(1, 65), i -> {a}[i] * {b}[i]), (x, y) 
 _BATCH_PROBE_IDS = (0, 7, 19)
 
 
+def _q_histogram_orders(spark, sf_dir):
+    """Equi-width histogram (operators/profile.py::histogram): 8
+    buckets over o_totalprice, empty buckets materialized — two
+    aggregate jobs total."""
+    from pyspark_skyline_spark.operators.profile import histogram
+
+    orders = load_table(spark, sf_dir, "orders")
+    h = histogram(orders, "o_totalprice", bins=8)
+    return h.select(
+        "bucket", F.round("lo", 6).alias("lo"), F.round("hi", 6).alias("hi"), "n"
+    )
+
+
 def _q_scd2_events(spark, sf_dir):
     """SCD type-2 history (operators/upsert.py::scd2_history): each
     user's event log becomes validity intervals — lead() per key, one
@@ -1847,6 +1860,23 @@ FROM grid g LEFT JOIN a ON a.event_type = g.event_type AND a.hb = g.hb
 """,
     # fold impl -> bit-identical doubles; one corpus pass, 3 probes
     "cosine_topk_batch_embeddings": _batch_topk_oracle(),
+    # same IEEE edge arithmetic (lo + i*span), max closed into the top
+    # bucket, empty buckets zero-filled
+    "histogram_orders": """
+WITH b AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders),
+k AS (
+  SELECT least(CAST(floor((o_totalprice - lo) / ((hi - lo) / 8)) AS BIGINT), 7)
+           AS bucket
+  FROM orders CROSS JOIN b),
+c AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n FROM k GROUP BY 1),
+grid AS (SELECT unnest(range(0, 8)) AS bucket)
+SELECT CAST(grid.bucket AS INT) AS bucket,
+       round(b.lo + grid.bucket * ((b.hi - b.lo) / 8), 6) AS lo,
+       round(CASE WHEN grid.bucket = 7 THEN b.hi
+                  ELSE b.lo + (grid.bucket + 1) * ((b.hi - b.lo) / 8) END, 6) AS hi,
+       coalesce(c.n, 0) AS n
+FROM grid CROSS JOIN b LEFT JOIN c ON c.bucket = grid.bucket
+""",
     "scd2_events": """
 SELECT user_id, event_id,
        ts AS valid_from,
@@ -2229,6 +2259,7 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cosine_topk_batch_embeddings": _q_cosine_topk_batch_embeddings,
     "fuzzy_pairs_part": _q_fuzzy_pairs_part,
     "scd2_events": _q_scd2_events,
+    "histogram_orders": _q_histogram_orders,
     "cube_orders": _q_cube_orders,
     "grouping_sets_orders": _q_grouping_sets_orders,
     "correlations_lineitem": _q_correlations_lineitem,

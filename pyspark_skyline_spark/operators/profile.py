@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import NumericType
 
-__all__ = ["column_profile", "column_quantiles", "column_correlations"]
+__all__ = ["column_profile", "column_quantiles", "column_correlations", "histogram"]
 
 
 def column_profile(
@@ -172,4 +172,84 @@ def column_correlations(
     out = [(a, b, row[f"__c_{i}"]) for i, (a, b) in enumerate(pairs)]
     return df.sparkSession.createDataFrame(
         out, "col_a string, col_b string, corr double"
+    )
+
+
+def histogram(
+    df: DataFrame,
+    col: str,
+    bins: int = 10,
+    mode: str = "width",
+    relative_error: float = 1e-4,
+) -> DataFrame:
+    """Distribution histogram of a numeric column in two aggregate jobs
+    (edges, then one map-side-combined count pass) — the profiling
+    primitive behind partition sizing and filter selectivity estimates.
+
+    ``mode="width"``: ``bins`` equi-width buckets over [min, max]; the
+    top edge is closed so max lands in the last bucket. ``mode="depth"``:
+    equi-population buckets with edges from ``percentile_approx``
+    (``relative_error`` accuracy) — the shape that stays readable on
+    skewed data. Returns ``(bucket, lo, hi, n)`` with every bucket
+    materialized (empty ones carry n=0), ordered by bucket.
+
+    NULLs are excluded (count them via ``column_profile``).
+    """
+    if mode not in ("width", "depth"):
+        raise ValueError(f"mode must be width|depth, got {mode!r}")
+    if bins < 1:
+        raise ValueError("bins must be >= 1")
+    numeric = {f.name for f in df.schema.fields if isinstance(f.dataType, NumericType)}
+    if col not in numeric:
+        raise ValueError(f"column {col!r} is not numeric (numeric: {sorted(numeric)})")
+    x = F.col(f"`{col}`").cast("double")
+    src = df.where(x.isNotNull())
+    if mode == "width":
+        lo, hi = src.agg(F.min(x), F.max(x)).first()
+        if lo is None:
+            edges = [0.0] * (bins + 1)
+        elif hi == lo:
+            edges = [float(lo)] * (bins + 1)
+        else:
+            span = (hi - lo) / bins
+            edges = [float(lo + i * span) for i in range(bins)] + [float(hi)]
+        if hi is None or hi == lo:
+            bucket = F.lit(0)
+        else:
+            bucket = F.least(
+                F.floor((x - F.lit(float(lo))) / F.lit((hi - lo) / bins)),
+                F.lit(bins - 1),
+            ).cast("int")
+    else:
+        probs = ", ".join(str(i / bins) for i in range(1, bins))
+        row = src.agg(
+            F.min(x).alias("__lo"),
+            F.max(x).alias("__hi"),
+            F.expr(
+                f"percentile_approx(CAST(`{col}` AS DOUBLE), array({probs}), "
+                f"{int(1 / relative_error)})"
+            ).alias("__cuts"),
+        ).first()
+        if row["__lo"] is None:
+            edges = [0.0] * (bins + 1)
+            bucket = F.lit(0)
+        else:
+            cuts = [float(c) for c in (row["__cuts"] or [])]
+            edges = [float(row["__lo"])] + cuts + [float(row["__hi"])]
+            bucket = F.lit(0)
+            for c in cuts:
+                bucket = bucket + F.when(x > F.lit(c), 1).otherwise(0)
+            bucket = bucket.cast("int")
+    counts = {
+        r["__b"]: r["__n"]
+        for r in src.groupBy(bucket.alias("__b"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .collect()
+    }
+    out = [
+        (i, edges[i], edges[i + 1], int(counts.get(i, 0)))
+        for i in range(bins)
+    ]
+    return df.sparkSession.createDataFrame(
+        out, "bucket int, lo double, hi double, n long"
     )

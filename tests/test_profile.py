@@ -81,3 +81,57 @@ def test_column_correlations_hand_computed(spark):
         column_correlations(df, ["x"])
     with pytest.raises(ValueError):
         column_correlations(df.select(F.col("x").cast("string").alias("x"), "y"))
+
+
+def test_histogram_width_hand_computed(spark):
+    from pyspark_skyline_spark.operators.profile import histogram
+
+    df = spark.createDataFrame([(float(v),) for v in range(0, 100)], "x double")
+    out = histogram(df, "x", bins=4).collect()
+    assert [(r.bucket, r.lo, r.hi, r.n) for r in out] == [
+        (0, 0.0, 24.75, 25),
+        (1, 24.75, 49.5, 25),
+        (2, 49.5, 74.25, 25),
+        (3, 74.25, 99.0, 25),  # max closed into the last bucket
+    ]
+
+
+def test_histogram_depth_balances_skew(spark):
+    from pyspark.sql import functions as F
+
+    from pyspark_skyline_spark.operators.profile import histogram
+
+    # heavy skew: 90% of mass near 0, a long tail to 1e6
+    df = spark.range(0, 10_000).select(
+        F.when(F.col("id") % 10 < 9, F.col("id") % 100)
+        .otherwise(F.col("id") * 100)
+        .cast("double")
+        .alias("x")
+    )
+    width = histogram(df, "x", bins=5).collect()
+    depth = histogram(df, "x", bins=5, mode="depth").collect()
+    # width mode: nearly everything in bucket 0
+    assert width[0].n > 0.85 * 10_000
+    # depth mode: every bucket carries a meaningful share
+    assert all(r.n > 500 for r in depth)
+    assert sum(r.n for r in depth) == 10_000
+
+
+def test_histogram_edge_cases(spark):
+    from pyspark_skyline_spark.operators.profile import histogram
+
+    const = spark.createDataFrame([(5.0,), (5.0,), (None,)], "x double")
+    out = histogram(const, "x", bins=3).collect()
+    assert sum(r.n for r in out) == 2  # NULL excluded
+    assert out[0].n == 2  # constant column collapses to bucket 0
+
+    empty = spark.createDataFrame([], "x double")
+    assert sum(r.n for r in histogram(empty, "x", bins=3).collect()) == 0
+
+    with pytest.raises(ValueError):
+        histogram(const, "x", bins=0)
+    with pytest.raises(ValueError):
+        histogram(const, "x", mode="log")
+    bad = spark.createDataFrame([("a",)], "s string")
+    with pytest.raises(ValueError):
+        histogram(bad, "s")
