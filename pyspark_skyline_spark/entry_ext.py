@@ -1105,6 +1105,35 @@ _FOLD = "list_reduce(list_transform(range(1, 65), i -> {a}[i] * {b}[i]), (x, y) 
 _BATCH_PROBE_IDS = (0, 7, 19)
 
 
+def _q_extract_domains_documents(spark, sf_dir):
+    """URL/domain extraction (operators/text.py::extract_domains) on
+    deterministically injected links (the corpus has none — same
+    injection technique as the pii_scrub oracle): every 3rd doc gets a
+    mixed-case www URL, every 5th a second host, so lowercasing,
+    www-stripping, dedup, and multi-URL extraction are all graded."""
+    from pyspark_skyline_spark.operators.text import extract_domains
+
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" visit https://WWW.Site"),
+                    (F.col("doc_id") % 7).cast("string"),
+                    F.lit(".example.com/page now"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0, F.lit(" see http://Mirror.example.org/x")
+            ).otherwise(F.lit("")),
+        ),
+    )
+    return extract_domains(aug, "doc_id")
+
+
 def _q_histogram_orders(spark, sf_dir):
     """Equi-width histogram (operators/profile.py::histogram): 8
     buckets over o_totalprice, empty buckets materialized — two
@@ -1860,6 +1889,14 @@ FROM grid g LEFT JOIN a ON a.event_type = g.event_type AND a.hb = g.hb
 """,
     # fold impl -> bit-identical doubles; one corpus pass, 3 probes
     "cosine_topk_batch_embeddings": _batch_topk_oracle(),
+    # the injected-link construction makes the expected set closed-form
+    "extract_domains_documents": """
+SELECT doc_id, 'site' || (doc_id % 7) || '.example.com' AS domain
+FROM documents WHERE doc_id % 3 = 0
+UNION ALL
+SELECT doc_id, 'mirror.example.org' AS domain
+FROM documents WHERE doc_id % 5 = 0
+""",
     # same IEEE edge arithmetic (lo + i*span), max closed into the top
     # bucket, empty buckets zero-filled
     "histogram_orders": """
@@ -2260,6 +2297,7 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuzzy_pairs_part": _q_fuzzy_pairs_part,
     "scd2_events": _q_scd2_events,
     "histogram_orders": _q_histogram_orders,
+    "extract_domains_documents": _q_extract_domains_documents,
     "cube_orders": _q_cube_orders,
     "grouping_sets_orders": _q_grouping_sets_orders,
     "correlations_lineitem": _q_correlations_lineitem,

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 __all__ = [
+    "extract_domains",
     "tokens",
     "token_count",
     "subword_count",
@@ -480,4 +481,32 @@ def chunk_documents(
         F.col("chunk_idx").cast("long").alias("chunk_idx"),
         F.array_join("__chunk", " ").alias("chunk_text"),
         F.size("__chunk").cast("long").alias("n_tokens"),
+    )
+
+
+def extract_domains(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """Distinct lowercased URL domains per document — the input to
+    source-level curation (domain blocklists, per-domain quotas,
+    domain-grouped dedup, and the leak-safe split key: a document and
+    every other page of its site share a domain).
+
+    One ``regexp_extract_all`` over the text (scan-speed, no Python),
+    ``www.`` prefix stripped, exploded to ``(id, domain)`` rows —
+    documents without URLs contribute nothing. ASCII host pattern,
+    engine-portable.
+    """
+    for c in (id_col, text_col):
+        if c not in df.columns:
+            raise ValueError(f"column {c!r} not in DataFrame columns {df.columns}")
+    doms = F.transform(
+        F.regexp_extract_all(F.col(text_col), F.lit(r"https?://([A-Za-z0-9.-]+)"), F.lit(1)),
+        lambda d: F.regexp_replace(F.lower(d), r"^www\.", ""),
+    )
+    return (
+        df.select(F.col(id_col), F.explode(F.array_distinct(doms)).alias("domain"))
+        .where(F.col("domain") != "")
     )

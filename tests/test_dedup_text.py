@@ -527,3 +527,26 @@ def test_minhash_banding_recall_at_moderate_jaccard(spark):
     got = {(r.id_a, r.id_b) for r in pairs.collect()}
     hits = sum(1 for p in planted if p in got)
     assert hits >= 18, f"recall {hits}/20 — banding is missing moderate-J pairs"
+
+
+def test_extract_domains(spark):
+    from pyspark_skyline_spark.operators.text import extract_domains
+
+    rows = [
+        (1, "see https://WWW.Example.COM/path?q=1 and http://sub.site.org/x ."),
+        (2, "plain text, no links"),
+        (3, "dup https://a.com/x https://A.com/y and https://b.net"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.doc_id, r.domain) for r in extract_domains(df, "doc_id").collect()}
+    assert got == {
+        (1, "example.com"),
+        (1, "sub.site.org"),
+        (3, "a.com"),   # lowercased + deduped
+        (3, "b.net"),
+    }
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        extract_domains(df, "nope")
