@@ -1963,7 +1963,7 @@ r AS (
                             ORDER BY hh, doc_id) - 1 AS rn
   FROM k)
 SELECT doc_id, len_bucket,
-       CAST((len_bucket * 4 + shard) * 1048576 + rn // 8 AS BIGINT) AS batch_id,
+       CAST((len_bucket * 4 + shard) * 1099511627776 + rn // 8 AS BIGINT) AS batch_id,
        CAST(rn % 8 AS BIGINT) AS batch_pos
 FROM r
 """,

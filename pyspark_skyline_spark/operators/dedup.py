@@ -785,11 +785,16 @@ def dedup_incremental_neardup(
     (~0.06 at H=64); set ``threshold`` with that slack in mind.
 
     Returns the surviving ``new_df`` rows with their signature columns
-    appended (rows too short to shingle survive with NULL signatures —
-    run :func:`dedup_incremental` upstream for those), ready to append
-    to the ledger. Intra-batch near-dups are NOT collapsed here;
-    compose :func:`minhash_lsh_pairs` + :func:`near_dup_clusters` over
-    the batch for that.
+    appended, ready to append to the ledger. Rows with NULL or
+    blank-only text have no shingle content and are excluded from
+    signature matching — they SURVIVE with NULL signature columns (run
+    :func:`dedup_incremental` upstream for exact handling of those).
+    Short-but-nonempty texts collapse to a single whole-string shingle
+    (``shingles`` semantics), so identical short strings do match each
+    other — which is the correct near-dup verdict for them. Intra-batch
+    near-dups are NOT collapsed here; compose
+    :func:`minhash_lsh_pairs` + :func:`near_dup_clusters` over the
+    batch for that.
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
@@ -807,10 +812,19 @@ def dedup_incremental_neardup(
             "before ingest (survivors get m0.. appended)"
         )
 
-    sigs_new = minhash_signatures(
-        new_df, id_col, text_col, num_hashes=num_hashes,
-        shingle_k=shingle_k, hash_mode=hash_mode,
+    # blank/NULL texts carry no shingle content — signature-matching
+    # them (their degenerate shingle is "") would silently drop every
+    # empty doc as a near-dup of any empty ledger doc; they survive
+    # with NULL signatures instead. localCheckpoint: the signature
+    # subtree feeds three consumers (banding, the estimator, the final
+    # survivor join) and is the compute-dense part.
+    substantive = new_df.where(
+        F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
     )
+    sigs_new = minhash_signatures(
+        substantive, id_col, text_col, num_hashes=num_hashes,
+        shingle_k=shingle_k, hash_mode=hash_mode,
+    ).localCheckpoint(eager=False)
     bk = _band_keys(num_hashes, bands)
     new_bands = sigs_new.select(
         F.col(id_col).alias("__nid"), F.posexplode(bk).alias("__bi", "__bk")

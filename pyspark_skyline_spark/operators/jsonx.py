@@ -123,7 +123,10 @@ def json_flatten(
         )
     tmp = "__json_parsed"
     res = df.withColumn(tmp, parsed)
+    # index with getItem (F.col(tmp)[name]) rather than a dotted path
+    # string: JSON keys legally contain dots ("user.id"), which a path
+    # string would mis-parse as nested struct access
     return res.select(
         *keep,
-        *[F.col(f"{tmp}.{f.name}").alias(prefix + f.name) for f in schema.fields],
+        *[F.col(tmp)[f.name].alias(prefix + f.name) for f in schema.fields],
     )

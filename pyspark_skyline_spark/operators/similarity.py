@@ -144,7 +144,11 @@ def cosine_topk_batch(
     each Arrow batch scores against all probes with a single GEMM.
     impl="fold": native fold expressions after the broadcast cross
     join — bit-reproducible against SQL oracles (slower; the oracle
-    path). Returns (probe_id_col, rank, id_col).
+    path). Same ranks on well-formed inputs; degenerate rows differ by
+    design: NULL corpus vectors are dropped (arrow) vs scored NULL
+    (fold) — neither ranks — and an all-zero vector scores 0 under
+    arrow's clamped norm but NaN under fold's exact division.
+    Returns (probe_id_col, rank, id_col).
     """
     for c, d_ in ((id_col, df), (vec_col, df), (probe_id_col, probes), (probe_vec_col, probes)):
         if c not in d_.columns:
@@ -162,7 +166,12 @@ def cosine_topk_batch(
         prows = probes.select(probe_id_col, probe_vec_col).collect()
         if not prows:
             raise ValueError("probes is empty")
+        if any(r[1] is None for r in prows):
+            raise ValueError("probe vectors must be non-null")
         pids = [r[0] for r in prows]
+        dims = {len(r[1]) for r in prows}
+        if len(dims) != 1:
+            raise ValueError(f"probe vectors have mixed dimensions {sorted(dims)}")
         P = np.asarray([r[1] for r in prows], dtype=np.float64)
         Punit = P / np.maximum(np.linalg.norm(P, axis=1, keepdims=True), 1e-12)
 
@@ -174,8 +183,12 @@ def cosine_topk_batch(
             return pd.Series(list(cos))
 
         pid_arr = F.array(*[F.lit(p) for p in pids])
+        # NULL corpus vectors never rank (the fold impl scores them
+        # NULL, which also never enters the top-k) — dropped here so
+        # the vstack GEMM sees a rectangular batch
         scored = (
-            df.withColumn("__all", score_all(F.col(vec_col)))
+            df.where(F.col(vec_col).isNotNull())
+            .withColumn("__all", score_all(F.col(vec_col)))
             .select(
                 id_col,
                 F.explode(F.arrays_zip(pid_arr.alias("__pid"), F.col("__all").alias("__cos"))).alias("__z"),

@@ -67,9 +67,14 @@ def salted_join(
     if _SALT in fact.columns or _SALT in dim.columns:
         raise ValueError(f"{_SALT} column already present")
 
-    # deterministic per-row salt from the full row content: identical
-    # rows share a salt (harmless — the join result is per-row), and
-    # task retries recompute the same value, unlike rand()
+    # deterministic per-row salt from the full row content: task
+    # retries recompute the same value, unlike rand() (nondeterministic
+    # expressions can double-count rows when a shuffle partition is
+    # recomputed). Known limitation: rows IDENTICAL in every column
+    # share a salt, so a hot key made of pure duplicate filler rows is
+    # not spread — add any distinguishing column (ingest offset,
+    # monotonic id materialized at ingest) to the fact schema to
+    # restore the spread; the join RESULT is correct either way.
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(n_salts)).cast(
         "int"
     )

@@ -666,7 +666,9 @@ def skyline_antijoin(df: DataFrame, dims) -> DataFrame:
     return p.join(q, no_worse & strictly_better, "left_anti")
 
 
-def skyline_witness(df: DataFrame, dims, id_col: str) -> DataFrame:
+def skyline_witness(
+    df: DataFrame, dims, id_col: str, max_frontier: int = 2_000_000
+) -> DataFrame:
     """Dominance explanation: for every row, the MINIMUM ``id_col`` of a
     SKYLINE member that dominates it (NULL for skyline members — nobody
     dominates them). The "why was my row excluded" debugging/tiering
@@ -695,7 +697,14 @@ def skyline_witness(df: DataFrame, dims, id_col: str) -> DataFrame:
     frontier = skyline(df, dims).select(
         F.col(id_col).alias("__w_id"),
         *[F.col(c).alias(f"__w_{i}") for i, (c, _) in enumerate(dims)],
-    )
+    ).localCheckpoint(eager=True)
+    n_frontier = frontier.count()
+    if n_frontier > max_frontier:
+        raise ValueError(
+            f"frontier has {n_frontier} rows > max_frontier={max_frontier}; "
+            "broadcasting it for the dominance join would not be safe "
+            "(anticorrelated data can put most of the table on the frontier)"
+        )
     no_worse, strictly_better = None, None
     for i, (c, sense) in enumerate(dims):
         qc, pc = F.col(f"__w_{i}"), F.col(f"`{c}`")

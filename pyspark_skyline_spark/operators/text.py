@@ -502,8 +502,12 @@ def extract_domains(
     for c in (id_col, text_col):
         if c not in df.columns:
             raise ValueError(f"column {c!r} not in DataFrame columns {df.columns}")
+    # host = dot-separated labels that cannot start/end with a dot (so a
+    # sentence-ending period is never captured); optional userinfo
+    # (user[:pass]@) is skipped rather than mistaken for the host
+    pattern = r"https?://(?:[A-Za-z0-9._%+-]+(?::[^@/\s]*)?@)?([A-Za-z0-9-]+(?:\.[A-Za-z0-9-]+)*)"
     doms = F.transform(
-        F.regexp_extract_all(F.col(text_col), F.lit(r"https?://([A-Za-z0-9.-]+)"), F.lit(1)),
+        F.regexp_extract_all(F.col(text_col), F.lit(pattern), F.lit(1)),
         lambda d: F.regexp_replace(F.lower(d), r"^www\.", ""),
     )
     return (

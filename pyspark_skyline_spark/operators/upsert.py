@@ -82,6 +82,7 @@ def merge_upsert(
     keys: list[str],
     order_col: str | None = None,
     delete_col: str | None = None,
+    broadcast_updates: bool = True,
 ) -> DataFrame:
     """Return ``current`` with ``updates`` applied by ``keys``:
     updated keys take the update row, new keys are inserted, untouched
@@ -96,6 +97,11 @@ def merge_upsert(
     ``delete_col`` names an optional boolean column on ``updates``
     (NOT part of the shared schema): rows where it is true tombstone
     their key — the key disappears from the result.
+
+    ``broadcast_updates=True`` (default) hints the update key list to
+    broadcast — right for the typical small batch, but Spark honors
+    the hint regardless of size, so pass False for backfill-scale
+    batches (the anti-join then plans an ordinary shuffle join).
     """
     if not keys:
         raise ValueError("keys must be non-empty")
@@ -148,7 +154,9 @@ def merge_upsert(
     # No dropDuplicates here: keys are already unique after the
     # latest-wins window (or the loud duplicate check), and the extra
     # dedup would cost a second shuffle of the batch
-    upd_keys = F.broadcast(deduped.select(*keys))
+    upd_keys = deduped.select(*keys)
+    if broadcast_updates:
+        upd_keys = F.broadcast(upd_keys)
     untouched = current.join(upd_keys, keys, "left_anti")
     if delete_col is not None:
         deduped = deduped.where(

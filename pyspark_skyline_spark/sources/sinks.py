@@ -114,7 +114,10 @@ def compact_table(
     """
     if os.path.abspath(in_path) == os.path.abspath(out_path):
         raise ValueError("compact_table writes to a NEW directory; swap afterwards")
-    stats = file_stats(in_path)
+    suffix = {"parquet": ".parquet", "orc": ".orc", "csv": ".csv", "json": ".json"}.get(
+        fmt, f".{fmt}"
+    )
+    stats = file_stats(in_path, suffix=suffix)
     if stats["n_files"] == 0:
         raise ValueError(f"no data files under {in_path!r}")
     n_out = max(1, math.ceil(stats["total_bytes"] / (target_mb * 1024 * 1024)))
@@ -123,4 +126,4 @@ def compact_table(
         write_table(df, out_path, fmt=fmt, partition_by=partition_by)
     else:
         df.repartition(n_out).write.mode("overwrite").format(fmt).save(out_path)
-    return file_stats(out_path)
+    return file_stats(out_path, suffix=suffix)

@@ -582,3 +582,18 @@ def test_pack_by_length_contract(spark):
         pack_by_length(df, ["doc_id"], "n_tokens", batch_size=0)
     with _pytest.raises(ValueError):
         pack_by_length(df, ["doc_id"], "nope", batch_size=8)
+
+
+def test_pack_by_length_guards_id_space(spark):
+    from pyspark.sql import functions as F
+
+    from pyspark_skyline_spark.operators.sample import pack_by_length
+
+    df = spark.range(0, 10).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 10_000_000).alias("n_tokens")
+    )
+    import pytest as _pytest
+
+    # max len 9e7 / width 1 x 64 shards blows the 23-bit prefix -> loud
+    with _pytest.raises(ValueError, match="prefix space"):
+        pack_by_length(df, ["doc_id"], "n_tokens", batch_size=8, bucket_width=1)

@@ -550,3 +550,32 @@ def test_extract_domains(spark):
 
     with _pytest.raises(ValueError):
         extract_domains(df, "nope")
+
+
+def test_dedup_incremental_neardup_blank_text_survives(spark):
+    """NULL/blank docs carry no shingle content: they must survive with
+    NULL signatures instead of matching every empty ledger doc."""
+    known = spark.createDataFrame([(1, "   ")], "ledger_id long, text string")
+    # ledger built on raw minhash_signatures (degenerate "" shingle)
+    ledger = D.minhash_signatures(known, "ledger_id", "text")
+    new = spark.createDataFrame(
+        [(10, None), (11, ""), (12, "  "), (13, "real content words here")],
+        "doc_id long, text string",
+    )
+    out = D.dedup_incremental_neardup(new, ledger, "doc_id", threshold=0.5)
+    rows = {r.doc_id: r.m0 for r in out.collect()}
+    assert set(rows) == {10, 11, 12, 13}
+    assert rows[10] is None and rows[11] is None and rows[12] is None
+    assert rows[13] is not None
+
+
+def test_extract_domains_trailing_dot_and_userinfo(spark):
+    from pyspark_skyline_spark.operators.text import extract_domains
+
+    rows = [
+        (1, "end of sentence https://example.com. Next."),
+        (2, "login http://alice:pw@evil.example.com/x now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.doc_id, r.domain) for r in extract_domains(df, "doc_id").collect()}
+    assert got == {(1, "example.com"), (2, "evil.example.com")}

@@ -113,3 +113,14 @@ def test_json_extract_stays_in_codegen(spark, sf_dir):
     scan_lines = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert scan_lines, plan
     assert all("user_id" not in ln and "event_type" not in ln for ln in scan_lines)
+
+
+def test_json_flatten_dotted_keys(spark):
+    """JSON keys legally contain dots; flattening must not parse them
+    as nested struct paths."""
+    df = spark.createDataFrame(
+        [(1, '{"user.id": 5, "plain": "x"}')], ["id", "props"]
+    )
+    out = json_flatten(df, "props")
+    row = out.first()
+    assert row["user.id"] == 5 and row["plain"] == "x"

@@ -182,3 +182,33 @@ def test_cosine_topk_batch_validates(spark, sf_dir):
         cosine_topk_batch(emb, empty, "vec_id", "embedding", "pid", "pvec")
     with _pytest.raises(ValueError):
         cosine_topk_batch(emb, empty, "vec_id", "embedding", "nope", "pvec")
+
+
+def test_cosine_topk_batch_null_corpus_vectors(spark, sf_dir):
+    from pyspark.sql import functions as F, types as T
+
+    from pyspark_skyline_spark.operators.similarity import cosine_topk_batch
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    null_row = spark.createDataFrame(
+        [(99_999, None)],
+        T.StructType([
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", emb.schema["embedding"].dataType),
+        ]),
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(null_row)
+    probes = emb.limit(2).select(
+        F.col("vec_id").alias("pid"), F.col("embedding").alias("pvec")
+    )
+    out = cosine_topk_batch(corpus, probes, "vec_id", "embedding", "pid", "pvec", k=3)
+    ids = {r.vec_id for r in out.collect()}
+    assert 99_999 not in ids and len(ids) > 0  # null row never ranks, job survives
+
+    import pytest as _pytest
+
+    bad_probe = null_row.select(
+        F.col("vec_id").alias("pid"), F.col("embedding").alias("pvec")
+    )
+    with _pytest.raises(ValueError, match="non-null"):
+        cosine_topk_batch(corpus, bad_probe, "vec_id", "embedding", "pid", "pvec")

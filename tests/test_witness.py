@@ -82,3 +82,8 @@ def test_witness_validates(pts):
         skyline_witness(pts, [("x", "min")], "nope")
     with pytest.raises(ValueError):
         skyline_witness(pts, [("missing", "min")], "id")
+
+
+def test_witness_frontier_cap(pts):
+    with pytest.raises(ValueError, match="max_frontier"):
+        skyline_witness(pts, [("x", "min"), ("y", "min")], "id", max_frontier=2)
