@@ -16,6 +16,7 @@ from pyspark_skyline_spark.operators.skyline import (
     skyline_antijoin,
     skyline_layers,
     skyline_witness,
+    representative_skyline,
     skyline_sql,
     windowed_skyline,
 )
@@ -70,6 +71,7 @@ __all__ = [
     "skyline_sql",
     "skyline_layers",
     "skyline_witness",
+    "representative_skyline",
     "k_skyband",
     "windowed_skyline",
     "asof_join",

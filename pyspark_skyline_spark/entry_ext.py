@@ -1105,6 +1105,19 @@ _FOLD = "list_reduce(list_transform(range(1, 65), i -> {a}[i] * {b}[i]), (x, y) 
 _BATCH_PROBE_IDS = (0, 7, 19)
 
 
+def _q_representative_skyline_part(spark, sf_dir):
+    """Distance-based representative skyline (greedy farthest-point —
+    inherently sequential, so no SQL oracle: rows-only check; the
+    subset/spread/determinism contract is pytest-graded in
+    tests/test_witness.py)."""
+    from pyspark_skyline_spark import representative_skyline
+
+    part = load_table(spark, sf_dir, "part")
+    return representative_skyline(
+        part, [("p_retailprice", "min"), ("p_size", "min")], 3, "p_partkey"
+    ).select("p_partkey", "p_retailprice", "p_size")
+
+
 def _q_extract_domains_documents(spark, sf_dir):
     """URL/domain extraction (operators/text.py::extract_domains) on
     deterministically injected links (the corpus has none — same
@@ -2298,6 +2311,9 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scd2_events": _q_scd2_events,
     "histogram_orders": _q_histogram_orders,
     "extract_domains_documents": _q_extract_domains_documents,
+    # no oracle (sequential greedy): rows-only at the gate, contract
+    # graded by pytest (tests/test_witness.py)
+    "representative_skyline_part": _q_representative_skyline_part,
     "cube_orders": _q_cube_orders,
     "grouping_sets_orders": _q_grouping_sets_orders,
     "correlations_lineitem": _q_correlations_lineitem,

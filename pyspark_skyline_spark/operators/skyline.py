@@ -40,7 +40,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark_skyline_spark.kernel import _dominated_by, find_skyline_mask, to_min_space
 from pyspark_skyline_spark.parser import parse_skyline_query
 
-__all__ = ["skyline", "skyline_sql", "skyline_antijoin", "skyline_layers", "skyline_witness", "windowed_skyline", "ALGORITHMS"]
+__all__ = ["skyline", "skyline_sql", "skyline_antijoin", "skyline_layers", "skyline_witness", "representative_skyline", "windowed_skyline", "ALGORITHMS"]
 
 ALGORITHMS = ("MR_DIM", "MR_DIM_Q", "MR_GRID", "MR_ANGLE", "auto")
 
@@ -719,6 +719,80 @@ def skyline_witness(
     return joined.groupBy(id_col, *[F.col(f"`{c}`") for c in dim_cols]).agg(
         F.min("__w_id").alias("witness")
     )
+
+
+def representative_skyline(
+    df: DataFrame,
+    dims,
+    k: int,
+    id_col: str,
+    max_frontier: int = 2_000_000,
+) -> DataFrame:
+    """Distance-based representative skyline (Tao et al., ICDE 2009
+    shape): ``k`` frontier points that SPREAD over the frontier —
+    the human-consumable answer when the full frontier is thousands of
+    points ("show me 10 representative trade-offs").
+
+    Greedy farthest-point selection in normalized min-space: the seed
+    is the point with the best overall sum (closest to the ideal
+    corner), then each step adds the frontier point maximizing its
+    minimum distance to the chosen set (deterministic ties by id).
+    Farthest-point greedy is the classic 2-approximation of the
+    max-min dispersion optimum.
+
+    Scale shape: the frontier comes from the partitioned ``skyline``
+    operator; only its (id, dims) matrix is collected — refused loudly
+    past ``max_frontier`` rows — and the O(k·F·d) greedy runs in NumPy
+    on the driver. Result rows keep the full input schema (semi-join
+    on ``id_col``, which must be unique).
+    """
+    import numpy as np
+
+    dims = _normalize_dims(dims)
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if id_col not in df.columns:
+        raise ValueError(f"id_col {id_col!r} not in DataFrame columns {df.columns}")
+    frontier = skyline(df, dims).localCheckpoint(eager=True)
+    rows = frontier.select(
+        id_col, *[_numeric_expr(frontier, c).alias(f"__d{i}") for i, (c, _) in enumerate(dims)]
+    ).limit(max_frontier + 1).collect()
+    if len(rows) > max_frontier:
+        raise ValueError(
+            f"frontier exceeds max_frontier={max_frontier}; representative "
+            "selection needs the frontier matrix on the driver"
+        )
+    if not rows:
+        return df.limit(0)
+    ids = [r[0] for r in rows]
+    X = np.asarray([[r[i + 1] for i in range(len(dims))] for r in rows], dtype=np.float64)
+    # normalize each dim to [0,1] in MIN space over the frontier
+    lo, hi = X.min(axis=0), X.max(axis=0)
+    span = np.where(hi > lo, hi - lo, 1.0)
+    M = (X - lo) / span
+    for i, (_, sense) in enumerate(dims):
+        if sense == "max":
+            M[:, i] = 1.0 - M[:, i]
+    chosen = []
+    # seed: best overall (min normalized sum), ties by smallest id
+    sums = M.sum(axis=1)
+    seed = min(range(len(ids)), key=lambda j: (sums[j], ids[j]))
+    chosen.append(seed)
+    mind = np.linalg.norm(M - M[seed], axis=1)
+    while len(chosen) < min(k, len(ids)):
+        nxt = None
+        for j in range(len(ids)):
+            if nxt is None or mind[j] > mind[nxt] or (
+                mind[j] == mind[nxt] and ids[j] < ids[nxt]
+            ):
+                nxt = j
+        chosen.append(nxt)
+        mind = np.minimum(mind, np.linalg.norm(M - M[nxt], axis=1))
+    picked = [ids[j] for j in chosen]
+    picked_df = df.sparkSession.createDataFrame(
+        [(p,) for p in picked], [id_col]
+    )
+    return df.join(F.broadcast(picked_df), id_col, "left_semi")
 
 
 def windowed_skyline(

@@ -87,3 +87,52 @@ def test_witness_validates(pts):
 def test_witness_frontier_cap(pts):
     with pytest.raises(ValueError, match="max_frontier"):
         skyline_witness(pts, [("x", "min"), ("y", "min")], "id", max_frontier=2)
+
+
+def test_representative_skyline_spreads(spark):
+    """Clustered frontier: k=3 must pick one point per cluster rather
+    than three from one cluster; seed is the best-overall point."""
+    from pyspark_skyline_spark import representative_skyline, skyline
+
+    # a staircase frontier with three tight clusters under MIN/MIN
+    rows = (
+        [(i, 1.0 + i * 0.01, 9.0 - i * 0.01) for i in range(3)]        # cluster A
+        + [(10 + i, 5.0 + i * 0.01, 5.0 - i * 0.01) for i in range(3)]  # cluster B
+        + [(20 + i, 9.0 + i * 0.01, 1.0 - i * 0.01) for i in range(3)]  # cluster C
+    )
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    dims = [("x", "min"), ("y", "min")]
+    # sanity: everything is on the frontier (staircase)
+    assert skyline(df, dims).count() == 9
+    rep = representative_skyline(df, dims, 3, "id")
+    picked = sorted(r.id for r in rep.collect())
+    assert len(picked) == 3
+    clusters = {pid // 10 for pid in picked}
+    assert clusters == {0, 1, 2}  # one per cluster
+
+
+def test_representative_skyline_contract(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from pyspark_skyline_spark import representative_skyline, skyline
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    dims = [("p_retailprice", "min"), ("p_size", "min")]
+    frontier_ids = {r.p_partkey for r in skyline(part, dims).collect()}
+    k = min(3, len(frontier_ids))
+    rep = representative_skyline(part, dims, k, "p_partkey")
+    ids = {r.p_partkey for r in rep.collect()}
+    assert len(ids) == k and ids <= frontier_ids
+    assert set(rep.columns) == set(part.columns)  # full rows come back
+    # k >= frontier returns the whole frontier; determinism
+    all_rep = representative_skyline(part, dims, 10_000, "p_partkey")
+    assert {r.p_partkey for r in all_rep.collect()} == frontier_ids
+    again = {r.p_partkey for r in representative_skyline(part, dims, k, "p_partkey").collect()}
+    assert again == ids
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        representative_skyline(part, dims, 0, "p_partkey")
+    with _pytest.raises(ValueError, match="max_frontier"):
+        representative_skyline(part, dims, 2, "p_partkey", max_frontier=1)
