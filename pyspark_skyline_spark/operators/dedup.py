@@ -818,8 +818,11 @@ def dedup_incremental_neardup(
     # with NULL signatures instead. localCheckpoint: the signature
     # subtree feeds three consumers (banding, the estimator, the final
     # survivor join) and is the compute-dense part.
+    # rlike(\S), not trim: Spark trim strips only ASCII spaces, so a
+    # tab/newline-only doc would slip through and still be dropped as a
+    # "near-dup" of any other whitespace-only ledger doc
     substantive = new_df.where(
-        F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+        F.col(text_col).isNotNull() & F.col(text_col).rlike(r"\S")
     )
     sigs_new = minhash_signatures(
         substantive, id_col, text_col, num_hashes=num_hashes,

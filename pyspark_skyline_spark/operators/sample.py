@@ -236,20 +236,6 @@ def pack_by_length(
         raise ValueError("batch_size, bucket_width, n_shards must be positive")
     if len_col not in df.columns:
         raise ValueError(f"len_col {len_col!r} not in DataFrame columns")
-    # batch_id packs (bucket, shard) above a 40-bit local counter:
-    # 2^40 batches per (bucket, shard) can never overflow (that would
-    # need ~10^13 rows in ONE shard of ONE bucket), and the guard below
-    # keeps the packed prefix inside the remaining 23 bits so ids are
-    # provably collision-free rather than silently wrapping
-    max_len = df.agg(F.max(F.col(len_col))).first()[0]
-    if max_len is not None:
-        max_prefix = (int(max_len) // bucket_width + 1) * n_shards
-        if max_prefix >= (1 << 23):
-            raise ValueError(
-                f"(max {len_col}={max_len}) / bucket_width={bucket_width} x "
-                f"n_shards={n_shards} exceeds the batch_id prefix space; "
-                "raise bucket_width or lower n_shards"
-            )
     key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in key_cols])
     h = hash64_expr(key, F.lit(seed), hash_mode)
     bucket = F.floor(F.col(len_col) / F.lit(bucket_width)).cast("long")
@@ -260,15 +246,27 @@ def pack_by_length(
     )
     rn = F.row_number().over(w) - 1
     local_batch = F.floor(rn / F.lit(batch_size)).cast("long")
+    # batch_id packs (bucket, shard) above a 40-bit local counter:
+    # 2^40 batches per (bucket, shard) can never overflow (that would
+    # need ~10^13 rows in ONE shard of ONE bucket), and the IN-PLAN
+    # range check keeps the packed prefix inside the remaining 23 bits —
+    # collision-free or a loud per-row failure, never a silent wrap,
+    # and no extra driver job (the builder stays lazy). The multiply
+    # sits INSIDE the when() branch so ANSI overflow can't fire first.
+    prefix = F.col("len_bucket") * F.lit(n_shards) + F.col("__shard")
+    batch_id = F.when(
+        prefix < F.lit(1 << 23), prefix * F.lit(1 << 40) + local_batch
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                f"pack_by_length batch_id prefix space exceeded: {len_col} too "
+                f"large for bucket_width={bucket_width} x n_shards={n_shards}; "
+                "raise bucket_width or lower n_shards"
+            )
+        ).cast("long")
+    )
     return (
-        out.withColumn(
-            "batch_id",
-            (
-                (F.col("len_bucket") * F.lit(n_shards) + F.col("__shard"))
-                * F.lit(1 << 40)
-                + local_batch
-            ).cast("long"),
-        )
+        out.withColumn("batch_id", batch_id.cast("long"))
         .withColumn("batch_pos", (rn % F.lit(batch_size)).cast("long"))
         .drop("__shard")
     )

@@ -694,10 +694,12 @@ def skyline_witness(
     for c, _ in dims:
         if c not in df.columns:
             raise ValueError(f"skyline dimension {c!r} not in DataFrame columns")
+    # lazy checkpoint: the guard count is the materializing job (same
+    # one-job pattern as the adaptive merge in skyline())
     frontier = skyline(df, dims).select(
         F.col(id_col).alias("__w_id"),
         *[F.col(c).alias(f"__w_{i}") for i, (c, _) in enumerate(dims)],
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     n_frontier = frontier.count()
     if n_frontier > max_frontier:
         raise ValueError(
@@ -753,7 +755,7 @@ def representative_skyline(
         raise ValueError("k must be >= 1")
     if id_col not in df.columns:
         raise ValueError(f"id_col {id_col!r} not in DataFrame columns {df.columns}")
-    frontier = skyline(df, dims).localCheckpoint(eager=True)
+    frontier = skyline(df, dims)
     rows = frontier.select(
         id_col, *[_numeric_expr(frontier, c).alias(f"__d{i}") for i, (c, _) in enumerate(dims)]
     ).limit(max_frontier + 1).collect()
@@ -774,19 +776,27 @@ def representative_skyline(
         if sense == "max":
             M[:, i] = 1.0 - M[:, i]
     chosen = []
+    in_chosen = set()
     # seed: best overall (min normalized sum), ties by smallest id
     sums = M.sum(axis=1)
     seed = min(range(len(ids)), key=lambda j: (sums[j], ids[j]))
     chosen.append(seed)
+    in_chosen.add(seed)
     mind = np.linalg.norm(M - M[seed], axis=1)
     while len(chosen) < min(k, len(ids)):
+        # skip already-chosen indices: when every remaining point is an
+        # exact duplicate (all distances 0) the contract still promises
+        # min(k, frontier) DISTINCT rows
         nxt = None
         for j in range(len(ids)):
+            if j in in_chosen:
+                continue
             if nxt is None or mind[j] > mind[nxt] or (
                 mind[j] == mind[nxt] and ids[j] < ids[nxt]
             ):
                 nxt = j
         chosen.append(nxt)
+        in_chosen.add(nxt)
         mind = np.minimum(mind, np.linalg.norm(M - M[nxt], axis=1))
     picked = [ids[j] for j in chosen]
     picked_df = df.sparkSession.createDataFrame(

@@ -53,33 +53,37 @@ def curate_corpus(
 
     def note(name: str, df_: DataFrame) -> DataFrame:
         if audit:
+            # lazy checkpoint, materialized by the count: each audited
+            # stage computes ONCE and later counts/consumers read the
+            # materialized blocks instead of re-running the whole prefix
+            df_ = df_.localCheckpoint(eager=False)
             counts[name] = df_.count()
         return df_
 
-    note("input", docs)
+    docs = note("input", docs)
 
     kept = repetition_stats(docs, text_col=text_col).where(F.col("keep"))
-    kept = kept.select(*docs.columns)
-    note("quality_filtered", kept)
+    kept = note("quality_filtered", kept.select(*docs.columns))
 
     scrubbed = pii_scrub(kept, text_col=text_col)
-    scrubbed = scrubbed.withColumn(text_col, F.col("text_scrubbed")).select(
-        *docs.columns
+    scrubbed = note(
+        "pii_scrubbed",
+        scrubbed.withColumn(text_col, F.col("text_scrubbed")).select(*docs.columns),
     )
-    note("pii_scrubbed", scrubbed)
 
     deduped = dedup_corpus(scrubbed, id_col, text_col)
-    deduped = deduped.select(*docs.columns)
-    note("deduped", deduped)
+    deduped = note("deduped", deduped.select(*docs.columns))
 
     if eval_df is not None:
-        deduped = decontaminate(deduped, eval_df, id_col, text_col=text_col)
-        note("decontaminated", deduped)
+        deduped = note(
+            "decontaminated",
+            decontaminate(deduped, eval_df, id_col, text_col=text_col),
+        )
 
     out = split_dataset(
         deduped.select(*docs.columns),
         [id_col],
         split_fractions or {"train": 0.9, "val": 0.05, "test": 0.05},
     )
-    note("split", out)
+    out = note("split", out)
     return out, counts

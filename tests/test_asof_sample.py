@@ -594,6 +594,8 @@ def test_pack_by_length_guards_id_space(spark):
     )
     import pytest as _pytest
 
-    # max len 9e7 / width 1 x 64 shards blows the 23-bit prefix -> loud
-    with _pytest.raises(ValueError, match="prefix space"):
-        pack_by_length(df, ["doc_id"], "n_tokens", batch_size=8, bucket_width=1)
+    # max len 9e7 / width 1 x 64 shards blows the 23-bit prefix -> the
+    # in-plan assert fails loudly at action time (the builder stays
+    # lazy — no extra driver job on the happy path)
+    with _pytest.raises(Exception, match="prefix space"):
+        pack_by_length(df, ["doc_id"], "n_tokens", batch_size=8, bucket_width=1).collect()
