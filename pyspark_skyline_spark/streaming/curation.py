@@ -1,0 +1,112 @@
+"""Streaming incremental curation: continuous near-duplicate ingest.
+
+The composition a continuously-fed corpus needs: each micro-batch is
+checked against the ACCUMULATED signature ledger of everything
+accepted so far (``dedup_incremental_neardup``), survivors land in the
+output, and their signatures extend the ledger for the next batch —
+all exactly-once under replay.
+
+Crash-safety is ordering + the epoch-idempotent sink protocol
+(``streaming/sinks.py``):
+
+1. the ledger is loaded from COMMITTED epochs only (``_SUCCESS``
+   marker), so a half-written ledger epoch is invisible;
+2. survivors write to ``out_dir/epoch=N`` first, signatures to
+   ``ledger_dir/epoch=N`` second. A crash between the two replays the
+   epoch: the output write is skipped (committed), the signatures are
+   recomputed against the SAME ledger state (their epoch never
+   committed) and written. Writing the ledger first would be wrong —
+   a replayed batch would match its own signatures and drop
+   everything.
+
+State is the ledger itself — 32·H bits per accepted document on disk,
+never in memory, never the text. Per-batch cost: one LSH band join of
+batch × ledger (both sides signature-only).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pyspark_skyline_spark.operators.dedup import dedup_incremental_neardup
+from pyspark_skyline_spark.streaming.sinks import write_epoch_idempotent
+
+__all__ = ["run_incremental_dedup_stream", "committed_ledger"]
+
+
+def _committed_epoch_dirs(path: str) -> list[str]:
+    if not os.path.isdir(path):
+        return []
+    out = []
+    for name in sorted(os.listdir(path)):
+        d = os.path.join(path, name)
+        if name.startswith("epoch=") and os.path.exists(os.path.join(d, "_SUCCESS")):
+            out.append(d)
+    return out
+
+
+def committed_ledger(
+    spark: SparkSession, ledger_dir: str, num_hashes: int = 64
+) -> DataFrame:
+    """The accumulated signature ledger: union of committed epochs
+    (half-written epochs are invisible). Empty ledger -> empty frame
+    with the minhash_signatures schema."""
+    dirs = _committed_epoch_dirs(ledger_dir)
+    if dirs:
+        return spark.read.parquet(*dirs)
+    sig_cols = ", ".join(f"m{j} long" for j in range(num_hashes))
+    return spark.createDataFrame([], f"ledger_id long, {sig_cols}")
+
+
+def run_incremental_dedup_stream(
+    stream_df: DataFrame,
+    out_dir: str,
+    ledger_dir: str,
+    id_col: str,
+    text_col: str = "text",
+    checkpoint_dir: str | None = None,
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    trigger_available_now: bool = True,
+    processing_time: str | None = None,
+):
+    """Start the continuous ingest-dedup topology over a streaming
+    document DataFrame. Survivor rows (original columns) land under
+    ``out_dir/epoch=N``; their signatures under ``ledger_dir/epoch=N``.
+    Returns the StreamingQuery.
+
+    Within-batch near-dups are not collapsed (compose
+    ``minhash_lsh_pairs`` + ``near_dup_clusters`` per batch upstream if
+    the feed itself carries duplicates); each batch IS checked against
+    every previously accepted document.
+    """
+    in_cols = stream_df.columns
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        ledger = committed_ledger(spark, ledger_dir, num_hashes)
+        survivors = dedup_incremental_neardup(
+            batch_df, ledger, id_col, text_col=text_col,
+            threshold=threshold, num_hashes=num_hashes, bands=bands,
+        ).localCheckpoint(eager=True)  # one computation feeds both writes
+        write_epoch_idempotent(survivors.select(*in_cols), epoch_id, out_dir)
+        sig_cols = [f"m{j}" for j in range(num_hashes)]
+        sigs = (
+            survivors.where(survivors["m0"].isNotNull())
+            .select(survivors[id_col].alias("ledger_id"), *sig_cols)
+        )
+        write_epoch_idempotent(sigs, epoch_id, ledger_dir)
+
+    writer = stream_df.writeStream.foreachBatch(process)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    elif trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,122 @@
+"""Streaming incremental near-dup ingest (streaming/curation.py):
+cross-batch dedup through the accumulated signature ledger, replay
+idempotency, and the crash-ordering contract."""
+
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from pyspark_skyline_spark.streaming.curation import (
+    committed_ledger,
+    run_incremental_dedup_stream,
+)
+
+SCHEMA = "doc_id long, text string"
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog and keeps running "
+    "through the quiet green field toward the distant hills today"
+)
+OTHER = (
+    "an entirely different document about spark joins and shuffle "
+    "partitioning strategies at large scale with broadcast hints"
+)
+
+
+def _write_batch(spark, src, name, rows, when=None):
+    os.makedirs(src, exist_ok=True)
+    path = os.path.join(src, name)
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode("overwrite").parquet(path)
+    t = when or time.time()
+    for root, _, files in os.walk(path):
+        for f in files:
+            os.utime(os.path.join(root, f), (t, t))
+    os.utime(path, (t, t))
+
+
+def _run(spark, src, out, ledger, chk):
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = run_incremental_dedup_stream(
+        stream, out, ledger, "doc_id", checkpoint_dir=chk, threshold=0.5
+    )
+    q.awaitTermination(180)
+
+
+def test_cross_batch_near_dup_dropped(spark, tmp_path):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ledger = str(tmp_path / "ledger")
+    chk = str(tmp_path / "chk")
+    _write_batch(spark, src, "b0.parquet", [(1, BASE), (2, OTHER)], when=time.time())
+    _run(spark, src, out, ledger, chk)
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 2}
+
+    # batch 1: a near-copy of doc 1, plus fresh content
+    near = BASE.replace("lazy dog", "sleepy dog")
+    fresh = ("completely unrelated new text about parquet footers with "
+             "statistics for pruning row groups during scans")
+    _write_batch(spark, src, "b1.parquet", [(10, near), (11, fresh)],
+                 when=time.time() + 5)
+    _run(spark, src, out, ledger, chk)
+    got = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert got == {1, 2, 11}  # near-copy 10 dropped via the LEDGER
+
+    # the ledger accumulated only survivors
+    led = committed_ledger(spark, ledger)
+    assert {r.ledger_id for r in led.collect()} == {1, 2, 11}
+
+
+def test_replay_is_idempotent(spark, tmp_path):
+    """A fresh checkpoint replays every batch against the existing
+    ledger/out dirs: committed epochs are skipped, nothing duplicates,
+    and nothing is wrongly dropped (the out-before-ledger ordering)."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ledger = str(tmp_path / "ledger")
+    _write_batch(spark, src, "b0.parquet", [(1, BASE)], when=time.time())
+    _write_batch(spark, src, "b1.parquet", [(2, OTHER)], when=time.time() + 5)
+    _run(spark, src, out, ledger, str(tmp_path / "chk1"))
+    before = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert before == [1, 2]
+
+    _run(spark, src, out, ledger, str(tmp_path / "chk2"))  # full replay
+    after = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert after == before
+    assert sorted(r.ledger_id for r in committed_ledger(spark, ledger).collect()) == [1, 2]
+
+
+def test_crash_between_out_and_ledger(spark, tmp_path):
+    """Simulated crash window: out epoch committed, ledger epoch not.
+    The replay must recompute the SAME survivors (ledger state without
+    the half-done epoch) and complete the ledger write."""
+    import shutil
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ledger = str(tmp_path / "ledger")
+    _write_batch(spark, src, "b0.parquet", [(1, BASE), (2, OTHER)], when=time.time())
+    _run(spark, src, out, ledger, str(tmp_path / "chk1"))
+    # "crash": drop the ledger epoch commit entirely
+    shutil.rmtree(os.path.join(ledger, "epoch=0"))
+    assert committed_ledger(spark, ledger).count() == 0
+
+    _run(spark, src, out, ledger, str(tmp_path / "chk2"))  # replay epoch
+    assert sorted(r.doc_id for r in spark.read.parquet(out).collect()) == [1, 2]
+    assert committed_ledger(spark, ledger).count() == 2  # ledger healed
+
+
+def test_blank_docs_pass_without_ledger_entries(spark, tmp_path):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ledger = str(tmp_path / "ledger")
+    _write_batch(spark, src, "b0.parquet", [(1, BASE), (2, None), (3, "  ")],
+                 when=time.time())
+    _run(spark, src, out, ledger, str(tmp_path / "chk"))
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 2, 3}
+    # only the substantive doc entered the ledger
+    assert {r.ledger_id for r in committed_ledger(spark, ledger).collect()} == {1}
