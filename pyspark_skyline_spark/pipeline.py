@@ -51,24 +51,31 @@ def curate_corpus(
     """
     counts: dict[str, int] = {}
 
-    def note(name: str, df_: DataFrame) -> DataFrame:
+    def note(name: str, df_: DataFrame, materialize: bool = False) -> DataFrame:
+        # materialize=True: lazy checkpoint so the stage computes ONCE
+        # and later counts/consumers read its blocks. Reserved for the
+        # stages feeding EXPENSIVE downstream work — localCheckpoint
+        # blocks are non-reliable (lost with their executor), so
+        # pinning every stage would trade recomputability for storage
+        # on stages that are cheap to re-scan anyway.
         if audit:
-            # lazy checkpoint, materialized by the count: each audited
-            # stage computes ONCE and later counts/consumers read the
-            # materialized blocks instead of re-running the whole prefix
-            df_ = df_.localCheckpoint(eager=False)
+            if materialize:
+                df_ = df_.localCheckpoint(eager=False)
             counts[name] = df_.count()
         return df_
 
-    docs = note("input", docs)
+    note("input", docs)
 
     kept = repetition_stats(docs, text_col=text_col).where(F.col("keep"))
     kept = note("quality_filtered", kept.select(*docs.columns))
 
     scrubbed = pii_scrub(kept, text_col=text_col)
+    # the scrub output feeds dedup_corpus (multi-pass) — the one stage
+    # worth materializing
     scrubbed = note(
         "pii_scrubbed",
         scrubbed.withColumn(text_col, F.col("text_scrubbed")).select(*docs.columns),
+        materialize=True,
     )
 
     deduped = dedup_corpus(scrubbed, id_col, text_col)

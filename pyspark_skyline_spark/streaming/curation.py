@@ -4,7 +4,8 @@ The composition a continuously-fed corpus needs: each micro-batch is
 checked against the ACCUMULATED signature ledger of everything
 accepted so far (``dedup_incremental_neardup``), survivors land in the
 output, and their signatures extend the ledger for the next batch —
-all exactly-once under replay.
+exactly-once under replay within one checkpoint lineage (epoch numbers
+identify batches only under the checkpoint that assigned them).
 
 Crash-safety is ordering + the epoch-idempotent sink protocol
 (``streaming/sinks.py``):
@@ -65,8 +66,8 @@ def run_incremental_dedup_stream(
     out_dir: str,
     ledger_dir: str,
     id_col: str,
+    checkpoint_dir: str,
     text_col: str = "text",
-    checkpoint_dir: str | None = None,
     threshold: float = 0.5,
     num_hashes: int = 64,
     bands: int = 16,
@@ -78,15 +79,34 @@ def run_incremental_dedup_stream(
     ``out_dir/epoch=N``; their signatures under ``ledger_dir/epoch=N``.
     Returns the StreamingQuery.
 
+    ``checkpoint_dir`` is REQUIRED (and must be kept across
+    invocations): the idempotent skip is keyed on the engine's epoch
+    number, which only identifies a batch under one checkpoint
+    lineage. A fresh checkpoint over new data would restart numbering
+    at 0 and silently skip batches whose epoch number collided with an
+    earlier run's committed epochs.
+
     Within-batch near-dups are not collapsed (compose
     ``minhash_lsh_pairs`` + ``near_dup_clusters`` per batch upstream if
     the feed itself carries duplicates); each batch IS checked against
     every previously accepted document.
     """
+    if not checkpoint_dir:
+        raise ValueError("checkpoint_dir is required (epoch identity depends on it)")
     in_cols = stream_df.columns
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
+            return
+        # fully-committed epoch replay (crash after both writes, before
+        # the engine checkpoint): skip the whole recomputation — the
+        # ledger now contains this batch's own signatures, so the
+        # survivors recomputed here would be garbage anyway
+        done = all(
+            os.path.exists(os.path.join(d, f"epoch={int(epoch_id)}", "_SUCCESS"))
+            for d in (out_dir, ledger_dir)
+        )
+        if done:
             return
         spark = batch_df.sparkSession
         ledger = committed_ledger(spark, ledger_dir, num_hashes)

@@ -44,7 +44,10 @@ def _run(spark, src, out, ledger, chk):
     q = run_incremental_dedup_stream(
         stream, out, ledger, "doc_id", checkpoint_dir=chk, threshold=0.5
     )
-    q.awaitTermination(180)
+    finished = q.awaitTermination(300)
+    if not finished:
+        q.stop()
+    assert finished, "availableNow curation query did not finish in time"
 
 
 def test_cross_batch_near_dup_dropped(spark, tmp_path):
