@@ -25,13 +25,19 @@ from pyspark_skyline_spark.operators.skyband import k_skyband
 from pyspark_skyline_spark.operators.sample import (
     hash_sample,
     pack_batches,
+    pack_by_length,
     sessionize,
+    split_dataset,
     stratified_hash_sample,
+    weighted_sample,
 )
 from pyspark_skyline_spark.operators.dedup import (
     dedup_corpus,
     dedup_exact,
+    dedup_incremental,
+    dedup_incremental_neardup,
     minhash_lsh_pairs,
+    minhash_signatures,
     near_dup_clusters,
     ngram_jaccard_pairs,
     simhash,
@@ -42,16 +48,31 @@ from pyspark_skyline_spark.operators.filtering import (
     pii_scrub,
     repetition_stats,
 )
-from pyspark_skyline_spark.operators.profile import column_profile
+from pyspark_skyline_spark.operators.fuzzy import fuzzy_pairs
+from pyspark_skyline_spark.operators.jsonx import (
+    infer_json_schema,
+    json_extract,
+    json_flatten,
+)
+from pyspark_skyline_spark.operators.profile import (
+    column_correlations,
+    column_profile,
+    column_quantiles,
+    histogram,
+)
 from pyspark_skyline_spark.operators.rangejoin import range_join
+from pyspark_skyline_spark.operators.resample import resample
 from pyspark_skyline_spark.operators.similarity import (
     cosine_near_dup_pairs,
     cosine_topk,
+    cosine_topk_batch,
     cosine_topk_ivf,
     cosine_topk_lsh,
 )
+from pyspark_skyline_spark.operators.skewjoin import salted_join
 from pyspark_skyline_spark.operators.text import (
     chunk_documents,
+    extract_domains,
     fingerprint,
     lang_id,
     quality_flags,
@@ -61,6 +82,8 @@ from pyspark_skyline_spark.operators.text import (
     winnow_fingerprints,
 )
 from pyspark_skyline_spark.operators.topk import top_k_per_group
+from pyspark_skyline_spark.operators.upsert import merge_upsert, scd2_history
+from pyspark_skyline_spark.pipeline import curate_corpus
 
 __all__ = [
     "find_skyline_mask",
@@ -104,4 +127,25 @@ __all__ = [
     "token_count",
     "winnow_fingerprints",
     "top_k_per_group",
+    # round-3 session additions
+    "fuzzy_pairs",
+    "json_extract",
+    "json_flatten",
+    "infer_json_schema",
+    "merge_upsert",
+    "scd2_history",
+    "resample",
+    "salted_join",
+    "weighted_sample",
+    "pack_by_length",
+    "split_dataset",
+    "histogram",
+    "column_quantiles",
+    "column_correlations",
+    "cosine_topk_batch",
+    "extract_domains",
+    "dedup_incremental",
+    "dedup_incremental_neardup",
+    "minhash_signatures",
+    "curate_corpus",
 ]
