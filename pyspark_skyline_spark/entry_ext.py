@@ -1105,6 +1105,16 @@ _FOLD = "list_reduce(list_transform(range(1, 65), i -> {a}[i] * {b}[i]), (x, y) 
 _BATCH_PROBE_IDS = (0, 7, 19)
 
 
+def _q_char_entropy_documents(spark, sf_dir):
+    """Character-distribution entropy per document (operators/text.py::
+    char_entropy) — the gibberish/boilerplate quality signal; work
+    bounded by the max_chars slice."""
+    from pyspark_skyline_spark.operators.text import char_entropy
+
+    docs = load_table(spark, sf_dir, "documents")
+    return char_entropy(docs, "doc_id", max_chars=500)
+
+
 def _q_representative_skyline_part(spark, sf_dir):
     """Distance-based representative skyline (greedy farthest-point —
     inherently sequential, so no SQL oracle: rows-only check; the
@@ -1902,6 +1912,21 @@ FROM grid g LEFT JOIN a ON a.event_type = g.event_type AND a.hb = g.hb
 """,
     # fold impl -> bit-identical doubles; one corpus pass, 3 probes
     "cosine_topk_batch_embeddings": _batch_topk_oracle(),
+    # same slice cap, lowercase, and log2 arithmetic; round(6) absorbs
+    # summation-order float noise
+    "char_entropy_documents": """
+WITH ch AS (
+  SELECT doc_id,
+         unnest(string_split(substr(lower(text), 1, 500), '')) AS c
+  FROM documents),
+cnt AS (SELECT doc_id, c, count(*)::DOUBLE AS n FROM ch WHERE c <> ''
+        GROUP BY 1, 2),
+tot AS (SELECT doc_id, sum(n) AS t FROM cnt GROUP BY 1),
+ent AS (
+  SELECT cnt.doc_id, round(-sum((n / t) * log2(n / t)), 6) AS entropy
+  FROM cnt JOIN tot USING (doc_id) GROUP BY cnt.doc_id)
+SELECT d.doc_id, ent.entropy FROM documents d LEFT JOIN ent USING (doc_id)
+""",
     # the injected-link construction makes the expected set closed-form
     "extract_domains_documents": """
 SELECT doc_id, 'site' || (doc_id % 7) || '.example.com' AS domain
@@ -2314,6 +2339,7 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # no oracle (sequential greedy): rows-only at the gate, contract
     # graded by pytest (tests/test_witness.py)
     "representative_skyline_part": _q_representative_skyline_part,
+    "char_entropy_documents": _q_char_entropy_documents,
     "cube_orders": _q_cube_orders,
     "grouping_sets_orders": _q_grouping_sets_orders,
     "correlations_lineitem": _q_correlations_lineitem,

@@ -14,6 +14,7 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 
 __all__ = [
     "extract_domains",
+    "char_entropy",
     "tokens",
     "token_count",
     "subword_count",
@@ -514,3 +515,47 @@ def extract_domains(
         df.select(F.col(id_col), F.explode(F.array_distinct(doms)).alias("domain"))
         .where(F.col("domain") != "")
     )
+
+
+def char_entropy(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    max_chars: int = 2000,
+) -> DataFrame:
+    """Per-document character-distribution entropy (bits/char) — the
+    gibberish/boilerplate signal quality pipelines threshold on: near 0
+    for single-character spam, ~2-3 for repeated boilerplate, ~4+ for
+    natural prose, higher for random noise.
+
+    Cost is bounded by ``max_chars``: entropy is estimated on the first
+    ``max_chars`` characters (the estimate stabilizes within a few
+    hundred), so the explode is ≤ ``max_chars`` rows per document
+    regardless of document size — never O(total corpus characters).
+    Two map-side-combined aggregates; lowercased; empty/NULL texts get
+    NULL entropy.
+    """
+    for c in (id_col, text_col):
+        if c not in df.columns:
+            raise ValueError(f"column {c!r} not in DataFrame columns {df.columns}")
+    if max_chars < 1:
+        raise ValueError("max_chars must be >= 1")
+    chars = df.select(
+        F.col(id_col),
+        F.explode(
+            F.slice(F.split(F.lower(F.col(text_col)), ""), 1, max_chars)
+        ).alias("__c"),
+    ).where(F.col("__c") != "")
+    cnt = chars.groupBy(id_col, "__c").agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    tot = cnt.groupBy(id_col).agg(F.sum("__n").alias("__t"))
+    ent = (
+        cnt.join(tot, id_col)
+        .groupBy(id_col)
+        .agg(
+            F.round(
+                -F.sum((F.col("__n") / F.col("__t")) * F.log2(F.col("__n") / F.col("__t"))),
+                6,
+            ).alias("entropy")
+        )
+    )
+    return df.select(id_col).join(ent, id_col, "left")

@@ -579,3 +579,30 @@ def test_extract_domains_trailing_dot_and_userinfo(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {(r.doc_id, r.domain) for r in extract_domains(df, "doc_id").collect()}
     assert got == {(1, "example.com"), (2, "evil.example.com")}
+
+
+def test_char_entropy(spark):
+    import math
+
+    from pyspark_skyline_spark.operators.text import char_entropy
+
+    rows = [
+        (1, "aaaa"),            # zero entropy
+        (2, "hello"),           # 1.921928 bits (h,e,2xl,o)
+        (3, None),              # NULL -> NULL
+        (4, ""),                # empty -> NULL
+        (5, "ABBA"),            # lowercased: a,b,b,a -> 1 bit
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.entropy for r in char_entropy(df, "doc_id").collect()}
+    assert out[1] == 0.0
+    assert out[2] == round(-(0.2 * math.log2(0.2) * 3 + 0.4 * math.log2(0.4)), 6)
+    assert out[3] is None and out[4] is None
+    assert out[5] == 1.0
+    # cap bounds the work: entropy computed on the first max_chars only
+    long = spark.createDataFrame([(9, "ab" * 5000)], "doc_id long, text string")
+    assert char_entropy(long, "doc_id", max_chars=100).first().entropy == 1.0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        char_entropy(df, "nope")
