@@ -32,7 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["asof_join"]
+__all__ = ["asof_join", "asof_join_nearest"]
 
 _TS, _SIDE, _TIE, _RPAY = "__asof_ts", "__asof_side", "__asof_tie", "__asof_r"
 
@@ -145,3 +145,71 @@ def asof_join(
         F.col(f"{_RPAY}.`{c}`").alias(f"{right_prefix}{c}") for c in right_payload
     ]
     return matched.select(*out_cols)
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    left_id: str,
+    by: list[str] | None = None,
+    tolerance_micros: int | None = None,
+    tiebreak: str | None = None,
+    how: str = "inner",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """As-of join taking the right row NEAREST in time on EITHER side
+    (``pandas.merge_asof(direction="nearest")`` semantics; exact ties
+    in distance prefer the backward match, like pandas).
+
+    Composition of the two directional union-scans plus one
+    smallest-|gap| window keyed on ``left_id`` (which must uniquely
+    identify left rows — the window needs a per-row identity to pick
+    between the two candidates). Costs ~2x a directional join; the
+    final window partitions by ``left_id`` so it parallelizes per row
+    group, no global sort.
+    """
+    if left_id not in left.columns:
+        raise ValueError(f"left_id {left_id!r} not in left columns {left.columns}")
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how!r}")
+    rts = f"{right_prefix}{right_on}"
+    legs = []
+    for direction in ("backward", "forward"):
+        leg = asof_join(
+            left, right, left_on, right_on, by=by, direction=direction,
+            tolerance_micros=tolerance_micros, tiebreak=tiebreak,
+            how="left", right_prefix=right_prefix,
+        )
+        if rts not in leg.columns:
+            raise ValueError(
+                f"right_on column {right_on!r} must be part of the right "
+                "payload (needed to compute the gap)"
+            )
+        legs.append(leg.withColumn("__asof_dir", F.lit(direction)))
+    both = legs[0].unionByName(legs[1])
+
+    def micros(col):
+        dtype = dict(both.dtypes)[col]
+        c = F.col(col)
+        if dtype in ("timestamp", "timestamp_ntz"):
+            return F.unix_micros(c.cast("timestamp"))
+        return c.cast("long")
+
+    absgap = F.when(
+        F.col(rts).isNotNull(), F.abs(micros(left_on) - micros(rts))
+    ).otherwise(F.lit(None))
+    w = Window.partitionBy(left_id).orderBy(
+        absgap.asc_nulls_last(),
+        # exact distance tie -> backward wins (pandas semantics)
+        F.when(F.col("__asof_dir") == "backward", 0).otherwise(1).asc(),
+    )
+    picked = (
+        both.withColumn("__asof_rn", F.row_number().over(w))
+        .filter(F.col("__asof_rn") == 1)
+        .drop("__asof_rn", "__asof_dir")
+    )
+    if how == "inner":
+        picked = picked.filter(F.col(rts).isNotNull())
+    return picked

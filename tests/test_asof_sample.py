@@ -599,3 +599,63 @@ def test_pack_by_length_guards_id_space(spark):
     # lazy — no extra driver job on the happy path)
     with _pytest.raises(Exception, match="prefix space"):
         pack_by_length(df, ["doc_id"], "n_tokens", batch_size=8, bucket_width=1).collect()
+
+
+def test_asof_nearest_matches_pandas(spark):
+    """Differential vs pandas.merge_asof(direction='nearest') on random
+    keyed data, including the backward-wins-on-exact-tie rule."""
+    import random
+
+    import pandas as pd
+
+    from pyspark_skyline_spark.operators.asof import asof_join_nearest
+
+    rng = random.Random(5)
+    lrows = [(i, rng.choice(["a", "b"]), rng.randint(0, 1000)) for i in range(60)]
+    rrows = [(100 + i, rng.choice(["a", "b"]), rng.randint(0, 1000), i * 1.5)
+             for i in range(40)]
+    # make right times unique per key so the pandas comparison is
+    # tie-free on the right side (our tiebreak rule differs from
+    # pandas' positional one)
+    seen = set()
+    rrows = [r for r in rrows if not ((r[1], r[2]) in seen or seen.add((r[1], r[2])))]
+
+    ldf = spark.createDataFrame(lrows, "lid long, k string, ts long")
+    rdf = spark.createDataFrame(rrows, "rid long, k string, ts long, v double")
+    got = {
+        r.lid: r.r_rid
+        for r in asof_join_nearest(
+            ldf, rdf, "ts", "ts", "lid", by=["k"], how="left"
+        ).collect()
+    }
+
+    lpd = pd.DataFrame(lrows, columns=["lid", "k", "ts"]).sort_values("ts")
+    rpd = pd.DataFrame(rrows, columns=["rid", "k", "ts", "v"]).sort_values("ts")
+    want_df = pd.merge_asof(lpd, rpd, on="ts", by="k", direction="nearest")
+    want = {
+        int(row.lid): (None if pd.isna(row.rid) else int(row.rid))
+        for row in want_df.itertuples()
+    }
+    assert got == want
+    # inner mode drops only unmatched rows
+    inner = asof_join_nearest(ldf, rdf, "ts", "ts", "lid", by=["k"], how="inner")
+    assert inner.count() == sum(1 for v in want.values() if v is not None)
+
+
+def test_asof_nearest_tolerance_and_validation(spark):
+    from pyspark_skyline_spark.operators.asof import asof_join_nearest
+
+    ldf = spark.createDataFrame([(1, 100), (2, 500)], "lid long, ts long")
+    rdf = spark.createDataFrame([(9, 120, 1.0)], "rid long, ts long, v double")
+    out = {
+        r.lid: r.r_rid
+        for r in asof_join_nearest(
+            ldf, rdf, "ts", "ts", "lid", tolerance_micros=50, how="left"
+        ).collect()
+    }
+    assert out == {1: 9, 2: None}  # 380 > tolerance
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        asof_join_nearest(ldf, rdf, "ts", "ts", "nope")
