@@ -1921,10 +1921,10 @@ WITH ch AS (
   FROM documents),
 cnt AS (SELECT doc_id, c, count(*)::DOUBLE AS n FROM ch WHERE c <> ''
         GROUP BY 1, 2),
-tot AS (SELECT doc_id, sum(n) AS t FROM cnt GROUP BY 1),
 ent AS (
-  SELECT cnt.doc_id, round(-sum((n / t) * log2(n / t)), 6) AS entropy
-  FROM cnt JOIN tot USING (doc_id) GROUP BY cnt.doc_id)
+  SELECT doc_id,
+         round(log2(sum(n)) - sum(n * log2(n)) / sum(n), 6) AS entropy
+  FROM cnt GROUP BY doc_id)
 SELECT d.doc_id, ent.entropy FROM documents d LEFT JOIN ent USING (doc_id)
 """,
     # the injected-link construction makes the expected set closed-form

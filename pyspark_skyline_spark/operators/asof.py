@@ -37,6 +37,17 @@ __all__ = ["asof_join", "asof_join_nearest"]
 _TS, _SIDE, _TIE, _RPAY = "__asof_ts", "__asof_side", "__asof_tie", "__asof_r"
 
 
+def _event_micros(df: DataFrame, col: str):
+    """Event time as integer microseconds (timestamps) or a plain long
+    (numerics) — the single type-dispatch both the directional and the
+    nearest variants must agree on."""
+    dtype = df.schema[col].dataType.typeName()
+    c = F.col(col)
+    if dtype in ("timestamp", "timestamp_ntz"):
+        return F.unix_micros(c.cast("timestamp"))
+    return c.cast("long")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -76,13 +87,6 @@ def asof_join(
         raise ValueError(f"how must be inner|left, got {how!r}")
     by = list(by or ())
 
-    def ts_expr(df: DataFrame, col: str):
-        dtype = df.schema[col].dataType.typeName()
-        c = F.col(col)
-        if dtype in ("timestamp", "timestamp_ntz"):
-            return F.unix_micros(c.cast("timestamp"))
-        return c.cast("long")
-
     right_payload = [c for c in right.columns if c not in by]
     out_names = {f"{right_prefix}{c}" for c in right_payload}
     clash = out_names & set(left.columns)
@@ -98,7 +102,7 @@ def asof_join(
     tie = F.col(tiebreak) if tiebreak is not None else F.lit(0)
     l_tagged = left.select(
         *by,
-        ts_expr(left, left_on).alias(_TS),
+        _event_micros(left, left_on).alias(_TS),
         F.lit(1).alias(_SIDE),
         F.lit(None).cast("long").alias(_TIE),
         F.struct(*[F.col(c) for c in left.columns]).alias("__asof_l"),
@@ -106,12 +110,20 @@ def asof_join(
     )
     r_tagged = right.select(
         *by,
-        ts_expr(right, right_on).alias(_TS),
+        _event_micros(right, right_on).alias(_TS),
         F.lit(0).alias(_SIDE),
         tie.cast("long").alias(_TIE),
         F.lit(None).cast(l_struct).alias("__asof_l"),
         F.struct(*[F.col(c) for c in right_payload]).alias(_RPAY),
     )
+    # rows with NULL event time have no temporal position: NULL right
+    # rows must never be carried as matches (asc-nulls-first sorting
+    # would otherwise attach their payload to every row after them),
+    # and NULL left rows can match nothing — excluded from the scan,
+    # re-attached unmatched in "left" mode below
+    r_tagged = r_tagged.where(F.col(_TS).isNotNull())
+    l_null = l_tagged.where(F.col(_TS).isNull())
+    l_tagged = l_tagged.where(F.col(_TS).isNotNull())
     unioned = l_tagged.unionByName(r_tagged)
 
     if direction == "backward":
@@ -140,6 +152,9 @@ def asof_join(
     if how == "inner":
         matched = matched.filter(F.col(_RPAY).isNotNull())
 
+    if how == "left":
+        # l_null lacks the carried __asof_rts column; fill with NULL
+        matched = matched.unionByName(l_null, allowMissingColumns=True)
     out_cols = [F.col(f"__asof_l.`{c}`").alias(c) for c in left.columns]
     out_cols += [
         F.col(f"{_RPAY}.`{c}`").alias(f"{right_prefix}{c}") for c in right_payload
@@ -190,17 +205,14 @@ def asof_join_nearest(
         legs.append(leg.withColumn("__asof_dir", F.lit(direction)))
     both = legs[0].unionByName(legs[1])
 
-    def micros(col):
-        dtype = dict(both.dtypes)[col]
-        c = F.col(col)
-        if dtype in ("timestamp", "timestamp_ntz"):
-            return F.unix_micros(c.cast("timestamp"))
-        return c.cast("long")
-
     absgap = F.when(
-        F.col(rts).isNotNull(), F.abs(micros(left_on) - micros(rts))
+        F.col(rts).isNotNull(),
+        F.abs(_event_micros(both, left_on) - _event_micros(both, rts)),
     ).otherwise(F.lit(None))
-    w = Window.partitionBy(left_id).orderBy(
+    # partition by the by-keys too: a left_id unique only per group is
+    # then still safe (identical cost; the docstring's global-uniqueness
+    # demand remains the contract for duplicate ids within one group)
+    w = Window.partitionBy(left_id, *(by or [])).orderBy(
         absgap.asc_nulls_last(),
         # exact distance tie -> backward wins (pandas semantics)
         F.when(F.col("__asof_dir") == "backward", 0).otherwise(1).asc(),

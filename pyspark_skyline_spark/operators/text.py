@@ -547,15 +547,12 @@ def char_entropy(
         ).alias("__c"),
     ).where(F.col("__c") != "")
     cnt = chars.groupBy(id_col, "__c").agg(F.count(F.lit(1)).cast("double").alias("__n"))
-    tot = cnt.groupBy(id_col).agg(F.sum("__n").alias("__t"))
-    ent = (
-        cnt.join(tot, id_col)
-        .groupBy(id_col)
-        .agg(
-            F.round(
-                -F.sum((F.col("__n") / F.col("__t")) * F.log2(F.col("__n") / F.col("__t"))),
-                6,
-            ).alias("entropy")
-        )
+    # single aggregate, no join: H = log2(t) - sum(n*log2 n)/t (the
+    # algebraic form of -sum(p*log2 p)) — one exchange instead of two
+    ent = cnt.groupBy(id_col).agg(
+        F.round(
+            F.log2(F.sum("__n")) - F.sum(F.col("__n") * F.log2("__n")) / F.sum("__n"),
+            6,
+        ).alias("entropy")
     )
     return df.select(id_col).join(ent, id_col, "left")

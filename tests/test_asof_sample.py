@@ -659,3 +659,48 @@ def test_asof_nearest_tolerance_and_validation(spark):
 
     with _pytest.raises(ValueError):
         asof_join_nearest(ldf, rdf, "ts", "ts", "nope")
+
+
+def test_asof_null_event_times_never_match(spark):
+    """A row without an event time has no temporal position: NULL-ts
+    right rows must never be carried as matches (they used to
+    contaminate every later row's payload), and NULL-ts left rows
+    match nothing (kept unmatched in left mode, dropped in inner)."""
+    from pyspark_skyline_spark.operators.asof import asof_join, asof_join_nearest
+
+    ldf = spark.createDataFrame([(1, 50), (2, None)], "lid long, ts long")
+    rdf = spark.createDataFrame(
+        [(99, None, 9.9), (7, 40, 1.0)], "rid long, ts long, v double"
+    )
+    got = {
+        r.lid: r.r_rid
+        for r in asof_join(ldf, rdf, "ts", "ts", how="left", right_prefix="r_").collect()
+    }
+    assert got == {1: 7, 2: None}  # NULL right row invisible; NULL left unmatched
+    inner = asof_join(ldf, rdf, "ts", "ts", how="inner", right_prefix="r_")
+    assert {r.lid for r in inner.collect()} == {1}
+    near = {
+        r.lid: r.r_rid
+        for r in asof_join_nearest(ldf, rdf, "ts", "ts", "lid", how="left").collect()
+    }
+    assert near == {1: 7, 2: None}
+
+
+def test_asof_nearest_per_group_unique_ids(spark):
+    """left_id unique only within each by-group must not collapse rows
+    (the final window partitions by (left_id, by))."""
+    from pyspark_skyline_spark.operators.asof import asof_join_nearest
+
+    ldf = spark.createDataFrame(
+        [(1, "a", 10), (1, "b", 20)], "lid long, k string, ts long"
+    )
+    rdf = spark.createDataFrame(
+        [(100, "a", 11, 1.0), (200, "b", 19, 2.0)], "rid long, k string, ts long, v double"
+    )
+    got = {
+        (r.lid, r.k): r.r_rid
+        for r in asof_join_nearest(
+            ldf, rdf, "ts", "ts", "lid", by=["k"], how="left"
+        ).collect()
+    }
+    assert got == {(1, "a"): 100, (1, "b"): 200}
