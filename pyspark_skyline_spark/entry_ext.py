@@ -1165,9 +1165,11 @@ def _q_histogram_orders(spark, sf_dir):
 
     orders = load_table(spark, sf_dir, "orders")
     h = histogram(orders, "o_totalprice", bins=8)
-    return h.select(
-        "bucket", F.round("lo", 6).alias("lo"), F.round("hi", 6).alias("hi"), "n"
-    )
+    # lo/hi are UNROUNDED: both engines evaluate the identical IEEE
+    # sequence t=(hi-lo)/8; u=i*t; v=lo+u, so the doubles are
+    # bit-identical and rounding (Spark HALF_UP vs DuckDB half-even —
+    # the r3 ADVICE boundary risk) is not needed at all
+    return h.select("bucket", "lo", "hi", "n")
 
 
 def _q_scd2_events(spark, sf_dir):
@@ -1913,7 +1915,12 @@ FROM grid g LEFT JOIN a ON a.event_type = g.event_type AND a.hb = g.hb
     # fold impl -> bit-identical doubles; one corpus pass, 3 probes
     "cosine_topk_batch_embeddings": _batch_topk_oracle(),
     # same slice cap, lowercase, and log2 arithmetic; round(6) absorbs
-    # summation-order float noise
+    # summation-order float noise. ACCEPTED BOUNDARY RISK (r3 ADVICE):
+    # round() is HALF_UP in Spark vs half-even in DuckDB, so a computed
+    # entropy landing EXACTLY on a representable 5e-7 tie would diverge;
+    # entropies are sums of p*log2(p) terms, which cannot be exact
+    # decimal ties except for degenerate one-symbol inputs (entropy 0,
+    # tie-free), so the risk is accepted rather than tolerated away.
     "char_entropy_documents": """
 WITH ch AS (
   SELECT doc_id,
@@ -1936,7 +1943,9 @@ SELECT doc_id, 'mirror.example.org' AS domain
 FROM documents WHERE doc_id % 5 = 0
 """,
     # same IEEE edge arithmetic (lo + i*span), max closed into the top
-    # bucket, empty buckets zero-filled
+    # bucket, empty buckets zero-filled; edges UNROUNDED — both engines
+    # run the identical double op sequence, so the values are
+    # bit-identical without any tie-breaking-sensitive round()
     "histogram_orders": """
 WITH b AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders),
 k AS (
@@ -1946,9 +1955,9 @@ k AS (
 c AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n FROM k GROUP BY 1),
 grid AS (SELECT unnest(range(0, 8)) AS bucket)
 SELECT CAST(grid.bucket AS INT) AS bucket,
-       round(b.lo + grid.bucket * ((b.hi - b.lo) / 8), 6) AS lo,
-       round(CASE WHEN grid.bucket = 7 THEN b.hi
-                  ELSE b.lo + (grid.bucket + 1) * ((b.hi - b.lo) / 8) END, 6) AS hi,
+       b.lo + grid.bucket * ((b.hi - b.lo) / 8) AS lo,
+       CASE WHEN grid.bucket = 7 THEN b.hi
+            ELSE b.lo + (grid.bucket + 1) * ((b.hi - b.lo) / 8) END AS hi,
        coalesce(c.n, 0) AS n
 FROM grid CROSS JOIN b LEFT JOIN c ON c.bucket = grid.bucket
 """,
@@ -2014,7 +2023,12 @@ WHERE ('0x' || substr(md5(o_orderkey::VARCHAR || '#' || '42'), 1, 15))::BIGINT
       < CAST(floor(least(greatest((o_orderkey % 100) / 100.0, 0.0), 1.0)
                    * 1152921504606846976.0) AS BIGINT)
 """,
-    # Pearson is scale-invariant -> engine-portable modulo float noise
+    # Pearson is scale-invariant -> engine-portable modulo float noise;
+    # round(6) absorbs the differing summation orders. ACCEPTED BOUNDARY
+    # RISK (r3 ADVICE): Spark HALF_UP vs DuckDB half-even could diverge
+    # on an EXACT 5e-7 tie, but corr of real data is an irrational-ish
+    # ratio (sqrt in the denominator) — an exact decimal tie needs a
+    # contrived integer lattice; accepted, not tolerated away.
     "correlations_lineitem": """
 SELECT * FROM (
   SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
@@ -2034,9 +2048,10 @@ SELECT * FROM (
 
 def _q_upsert_orders(spark, sf_dir):
     """Keyed merge/upsert (operators/upsert.py): a derived update batch
-    (every 10th order, price +10%, status 'U') applied to the orders
-    snapshot — update/passthrough semantics graded row-for-row. The
-    snapshot side is a broadcast anti-join, never shuffled."""
+    (every 10th order, price +1000.0 — exact in doubles, no rounding
+    landmine — status 'U') applied to the orders snapshot —
+    update/passthrough semantics graded row-for-row. The snapshot side
+    is a broadcast anti-join, never shuffled."""
     from pyspark_skyline_spark.operators.upsert import merge_upsert
 
     orders = load_table(spark, sf_dir, "orders")

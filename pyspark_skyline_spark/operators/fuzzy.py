@@ -130,21 +130,27 @@ def fuzzy_pairs(
         .dropDuplicates()
     )
     # long x short boundary pairs: lengths straddling the cut can still
-    # be within max_dist — catch them with the same band trick
-    la = long_side.where(F.col("__len") < short_cut + max_dist).select(
-        F.col("__id").alias("id_a"), F.col("__len").alias("__lla")
-    )
-    boundary = (
-        la.crossJoin(
-            F.broadcast(
-                short_side.select(F.col("__id").alias("id_b"), F.col("__len").alias("__llb"))
+    # be within max_dist — same length-band equi-join as short_cand
+    # (the r3 crossJoin-with-full-short-side-broadcast is gone: on a
+    # mostly-short corpus that broadcast was the whole table). Each
+    # long-boundary row explodes to <= max_dist band keys (its reachable
+    # short lengths), then hash-joins the short side on its exact
+    # length — edit distance >= |len diff| makes the band sound.
+    boundary_a = long_side.where(F.col("__len") < short_cut + max_dist).select(
+        F.col("__id").alias("id_a"),
+        F.explode(
+            F.sequence(
+                F.greatest(F.col("__len") - max_dist, F.lit(0)),
+                F.lit(short_cut - 1),
             )
-        )
-        .where(F.abs(F.col("__lla") - F.col("__llb")) <= max_dist)
-        .select(
-            F.least("id_a", "id_b").alias("id_a"),
-            F.greatest("id_a", "id_b").alias("id_b"),
-        )
+        ).alias("__band"),
+    )
+    boundary_b = short_side.select(
+        F.col("__id").alias("id_b"), F.col("__len").alias("__band")
+    )
+    boundary = boundary_a.join(boundary_b, "__band").select(
+        F.least("id_a", "id_b").alias("id_a"),
+        F.greatest("id_a", "id_b").alias("id_b"),
     )
 
     cand = long_cand.unionByName(short_cand).unionByName(boundary).dropDuplicates()

@@ -17,9 +17,64 @@ AQE coalesces it into the existing exchange. No Python anywhere.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 __all__ = ["resample"]
+
+# fixed-length units only: floor-bucketing onto a regular microsecond
+# grid is meaningless for variable-length calendar periods
+_UNIT_US = {
+    "microsecond": 1,
+    "us": 1,
+    "millisecond": 1_000,
+    "ms": 1_000,
+    "second": 1_000_000,
+    "sec": 1_000_000,
+    "s": 1_000_000,
+    "minute": 60_000_000,
+    "min": 60_000_000,
+    "hour": 3_600_000_000,
+    "h": 3_600_000_000,
+    "day": 86_400_000_000,
+    "d": 86_400_000_000,
+    "week": 7 * 86_400_000_000,
+    "w": 7 * 86_400_000_000,
+}
+_CALENDAR_UNITS = ("month", "quarter", "year")
+
+
+def _step_micros(step: str) -> int:
+    """Parse a fixed-length interval string ("15 minutes", "1 week") to
+    microseconds. Calendar units (month/quarter/year) are rejected with
+    a contract error: their buckets are variable-length, so a fixed
+    floor grid cannot honor them — use ``F.date_trunc`` + ``groupBy``
+    for calendar bucketing instead."""
+    m = re.fullmatch(r"\s*(\d+(?:\.\d+)?)\s*([a-zA-Z]+)\s*", str(step))
+    if not m:
+        raise ValueError(
+            f"step {step!r} is not '<number> <unit>'; supported units: "
+            f"{sorted(set(_UNIT_US))}"
+        )
+    n, unit = float(m.group(1)), m.group(2).lower()
+    # de-pluralize only when the singular is the known unit ("minutes" ->
+    # "minute"); never blind-strip ("us"/"ms"/"s" are units themselves)
+    if unit not in _UNIT_US and unit not in _CALENDAR_UNITS and unit.endswith("s"):
+        unit = unit[:-1]
+    if unit in _CALENDAR_UNITS:
+        raise ValueError(
+            f"step {step!r} uses calendar unit {unit!r}: calendar periods are "
+            "variable-length and cannot be resampled onto a fixed grid; use "
+            "date_trunc + groupBy for calendar buckets, or a fixed-length "
+            f"step from {sorted(set(_UNIT_US))}"
+        )
+    if unit not in _UNIT_US:
+        raise ValueError(
+            f"step {step!r} has unknown unit {unit!r}; supported units: "
+            f"{sorted(set(_UNIT_US))}"
+        )
+    return int(round(n * _UNIT_US[unit]))
 
 
 def resample(
@@ -35,7 +90,11 @@ def resample(
 
     - ``ts_col`` must be a timestamp/timestamp_ntz column (strings and
       epoch numbers are rejected loudly, same policy as sessionize).
-    - ``step``: any ``INTERVAL`` string (``"15 minutes"``, ``"1 hour"``).
+    - ``step``: a FIXED-LENGTH interval string (``"15 minutes"``,
+      ``"1 hour"``, ``"1 week"``; units us/ms/second/minute/hour/day/
+      week). Calendar units (month/quarter/year) are variable-length
+      and rejected with a ``ValueError`` — use ``date_trunc`` +
+      ``groupBy`` for calendar bucketing.
     - ``by``: optional grouping columns — each group gets its own full
       grid from ITS first to ITS last bucket.
     - ``aggs``: ``{out_name: aggregate Column}``; default
@@ -46,8 +105,6 @@ def resample(
 
     Returns one row per (group, bucket_start) with no holes.
     """
-    import pandas as pd
-
     if fill not in ("none", "zero", "prev"):
         raise ValueError(f"fill must be none|zero|prev, got {fill!r}")
     dtype = dict(df.dtypes).get(ts_col)
@@ -62,7 +119,7 @@ def resample(
     missing = [c for c in by if c not in df.columns]
     if missing:
         raise ValueError(f"by columns {missing} not in DataFrame columns")
-    step_us = int(pd.Timedelta(step).total_seconds() * 1_000_000)
+    step_us = _step_micros(step)
     if step_us <= 0:
         raise ValueError(f"step {step!r} must be positive")
     if aggs is None:

@@ -519,9 +519,12 @@ def skyline(
         them, and switches to ``_broadcast_final_filter`` when the
         count is in (broadcast_threshold, broadcast_cap]; outside that
         range (or for grouped skylines, whose parallelism comes from
-        groups) it tree-merges. "broadcast" forces the parallel filter,
-        "tree" forces the fold (also the >cap fallback — frontiers past
-        the cap are never collected).
+        groups) it tree-merges. The probe job itself is skipped (straight
+        to tree) for small low-d inputs — estimated input <= 4 GiB and
+        d <= 4 — where the wall frontier shape cannot occur and the
+        probe is pure per-query overhead. "broadcast" forces the
+        parallel filter, "tree" forces the fold (also the >cap fallback
+        — frontiers past the cap are never collected).
 
     Rows with NULL in any skyline dimension are excluded (SQL
     ``NOT EXISTS`` oracle semantics need the same guard).
@@ -611,6 +614,21 @@ def skyline(
 
     if merge_strategy not in ("auto", "tree", "broadcast"):
         raise ValueError(f"merge_strategy must be auto/tree/broadcast, got {merge_strategy!r}")
+    if merge_strategy == "auto" and d <= 4 and _estimated_bytes(df) <= 4 * 1024**3:
+        # Probe-skip gate (same size gate as the map-side combiner): the
+        # adaptive probe below costs one fixed extra job (checkpoint +
+        # count) before the merge — pure overhead at small SF (~+1 s per
+        # query in the r3 bench). A small LOW-d input cannot grow a
+        # frontier big enough to hit the tree's single-group wall, so go
+        # straight to the tree. High d keeps the probe regardless of
+        # size (frontier growth is exponential in d: the d=10/1e5 shape
+        # is ~8 MB of input but a 68k-point frontier — minutes in the
+        # tree's final fold, seconds broadcast-filtered), and large
+        # inputs keep it at any d (a 100 TB anticorrelated 2-d scan can
+        # still surface a multi-million-point frontier). A pathological
+        # small-but-all-frontier low-d input pays the tree fold; force
+        # merge_strategy="broadcast" to override.
+        merge_strategy = "tree"
     if merge_strategy != "tree" and not by and ncells > 1:
         # Adaptive global merge: materialize the (small relative to the
         # input) local frontiers once, then pick the merge shape by

@@ -109,8 +109,11 @@ def compact_table(
     so readers are never exposed to a half-written table.
 
     With ``partition_by`` the hive layout (and its pruning) is
-    preserved; sizing is global, per-directory file counts follow the
-    data distribution. Returns ``file_stats(out_path)``.
+    preserved AND the sizing still threads through: measured bytes/row
+    converts ``target_mb`` into a ``maxRecordsPerFile`` cap, so every
+    directory gets ``~ceil(dir_bytes / target_mb)`` files (exact up to
+    per-directory compression-ratio variation). Returns
+    ``file_stats(out_path)``.
     """
     if os.path.abspath(in_path) == os.path.abspath(out_path):
         raise ValueError("compact_table writes to a NEW directory; swap afterwards")
@@ -123,7 +126,22 @@ def compact_table(
     n_out = max(1, math.ceil(stats["total_bytes"] / (target_mb * 1024 * 1024)))
     df = spark.read.format(fmt).load(in_path)
     if partition_by:
-        write_table(df, out_path, fmt=fmt, partition_by=partition_by)
+        # thread target_mb through the hive layout (the r3 path ignored
+        # it — ADVICE fixed): measured bytes/row turns the size target
+        # into a maxRecordsPerFile record target, so EVERY directory
+        # gets ceil(dir_bytes / target_mb) files regardless of how rows
+        # distribute across values — deterministic, no salting, no
+        # per-directory stats pass.
+        n_rows = df.count()
+        bytes_per_row = stats["total_bytes"] / max(n_rows, 1)
+        per_file = max(1, int(target_mb * 1024 * 1024 / max(bytes_per_row, 1e-9)))
+        write_table(
+            df,
+            out_path,
+            fmt=fmt,
+            partition_by=partition_by,
+            max_records_per_file=per_file,
+        )
     else:
         df.repartition(n_out).write.mode("overwrite").format(fmt).save(out_path)
     return file_stats(out_path, suffix=suffix)

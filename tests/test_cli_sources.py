@@ -204,3 +204,28 @@ def test_write_table_bloom_filters(spark, tmp_path):
         write_table(df, str(tmp_path / "x"), fmt="csv", bloom_filter_cols=["k"])
     with _pytest.raises(ValueError):
         write_table(df, str(tmp_path / "x"), bloom_filter_cols=["nope"])
+
+
+def test_compact_table_partitioned_sizing_threads_through(spark, tmp_path):
+    """r3 ADVICE: target_mb must also govern the hive-layout path. With
+    a tiny target each partition directory is split into multiple files
+    (salted slices); with a huge target each collapses to one."""
+    import glob
+
+    from pyspark.sql import functions as F
+    from pyspark_skyline_spark.sources.sinks import compact_table
+
+    df = spark.range(0, 40_000).withColumn(
+        "grp", (F.col("id") % 2).cast("string")
+    ).withColumn("pad", F.sha2(F.col("id").cast("string"), 256))
+    small = str(tmp_path / "ps_small")
+    df.repartition(16).write.partitionBy("grp").parquet(small)
+
+    tight = str(tmp_path / "ps_tight")
+    stats = compact_table(spark, small, tight, target_mb=1, partition_by=["grp"])
+    for g in ("0", "1"):
+        assert len(glob.glob(f"{tight}/grp={g}/*.parquet")) > 1, g
+    assert stats["n_files"] > 2
+    back = spark.read.parquet(tight)
+    assert back.count() == 40_000
+    assert back.agg(F.sum("id")).first()[0] == df.agg(F.sum("id")).first()[0]

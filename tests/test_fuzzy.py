@@ -111,3 +111,17 @@ def test_fuzzy_on_part_names(spark, sf_dir):
     # sanity: symmetric contract + verified distances only
     bad = out.where((F.col("dist") > 2) | (F.col("id_a") >= F.col("id_b"))).count()
     assert bad == 0
+
+
+def test_fuzzy_plan_has_no_nested_loop_join(spark):
+    """The r3 long-x-short boundary leg was a crossJoin broadcasting the
+    entire short-string side; the length-band equi-join replaced it.
+    Guard the plan shape: every join in fuzzy_pairs must be hash-based."""
+    from pyspark_skyline_spark.plans.explain import formatted_plan
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(["cat", "catalogue", "cart", "x"])],
+        "id long, s string",
+    )
+    plan = formatted_plan(fuzzy_pairs(df, "id", "s", max_dist=2))
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan, plan

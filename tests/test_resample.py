@@ -101,3 +101,48 @@ def test_real_events_table_no_holes(spark, sf_dir):
     )
     assert all(r.n_buckets == r.expected for r in spans.collect())
     assert out.where(F.col("n") < 0).count() == 0
+
+
+def test_step_units_fixed_length_ok():
+    """Unit-string contract (r3 ADVICE): fixed-length steps parse —
+    including weeks, which pd.Timedelta rejected."""
+    from pyspark_skyline_spark.operators.resample import _step_micros
+
+    assert _step_micros("15 minutes") == 15 * 60_000_000
+    assert _step_micros("1 hour") == 3_600_000_000
+    assert _step_micros("1 week") == 7 * 86_400_000_000
+    assert _step_micros("2 weeks") == 14 * 86_400_000_000
+    assert _step_micros("500 ms") == 500_000
+    assert _step_micros("10s") == 10_000_000
+    assert _step_micros("1.5 hours") == 5_400_000_000
+
+
+def test_step_units_calendar_rejected_clearly():
+    """Calendar units raise a CONTRACT error naming the problem, not a
+    pandas internals message."""
+    from pyspark_skyline_spark.operators.resample import _step_micros
+
+    for bad in ("1 month", "3 months", "1 quarter", "1 year"):
+        with pytest.raises(ValueError, match="calendar"):
+            _step_micros(bad)
+    with pytest.raises(ValueError, match="unknown unit"):
+        _step_micros("1 fortnight")
+    with pytest.raises(ValueError, match="not '<number> <unit>'"):
+        _step_micros("hourly")
+
+
+def test_resample_week_step_grid(spark):
+    """End-to-end with a week step: grid rows are exactly 7 days apart."""
+    rows = [("2024-01-01 00:00:00",), ("2024-01-20 12:00:00",)]
+    df = spark.createDataFrame(rows, "s string").select(
+        F.col("s").cast("timestamp").alias("ts")
+    )
+    out = resample(df, "ts", "1 week").orderBy("bucket_start").collect()
+    # epoch-aligned weekly buckets: 2024-01-01 -> 2023-12-28, 2024-01-20
+    # -> 2024-01-18, grid covers the two empty weeks between
+    assert len(out) == 4
+    starts = [r.bucket_start for r in out]
+    assert all(
+        (b - a).total_seconds() == 7 * 86400 for a, b in zip(starts, starts[1:])
+    )
+    assert [r.n for r in out] == [1, None, None, 1]
