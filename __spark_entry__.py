@@ -47,12 +47,13 @@ _SKYLINE_QUERIES: dict[str, tuple[str, list[tuple[str, str]], str]] = {
         [("c_acctbal", "max"), ("c_custkey", "min")],
         "MR_GRID",
     ),
-    # differential pair: same query through MR_DIM (via the parser front
-    # door) and MR_ANGLE; the MR_GRID leg moved to extra_queries() —
-    # MR_GRID keeps its driver row via skyline_customer_acctbal, and the
-    # three-way differential survives in pytest
+    # the MR_GRID and (round-4) MR_ANGLE legs of this differential
+    # moved to extra_queries(): MR_GRID keeps its driver row via
+    # skyline_customer_acctbal, MR_ANGLE via skyline_events_value_ts,
+    # and the three-way differential survives in pytest — freeing gate
+    # rows for previously-ungraded operator families (fuzzy matching,
+    # SCD2, histogram)
     "skyline_part_dim": ("part", [("p_retailprice", "min"), ("p_size", "min")], "MR_DIM"),
-    "skyline_part_angle": ("part", [("p_retailprice", "min"), ("p_size", "min")], "MR_ANGLE"),
     "skyline_events_value_ts": (
         "events",
         [("value", "min"), ("ts", "min")],
@@ -99,6 +100,13 @@ _EXTRA_SKYLINE_QUERIES: dict[str, tuple[str, list[tuple[str, str]], str]] = {
         "part",
         [("p_retailprice", "min"), ("p_size", "min")],
         "MR_GRID",
+    ),
+    # round-4 rotation: MR_ANGLE stays driver-graded via
+    # skyline_events_value_ts (same packed angular key + reflection)
+    "skyline_part_angle": (
+        "part",
+        [("p_retailprice", "min"), ("p_size", "min")],
+        "MR_ANGLE",
     ),
 }
 

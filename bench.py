@@ -234,9 +234,45 @@ def ann_recall(spark, sf_dir: str) -> dict:
     }
     mh_recall = sum(1 for p in mh_planted if p in mh_got) / len(mh_planted)
 
+    # clustered-fixture IVF recall at the SAME production parameters:
+    # the sf embeddings are near-uniform, which data-limits IVF recall
+    # to ~nprobe/nlist (the r3 "it's the data, not the index" claim).
+    # This fixture makes that claim falsifiable: 12 well-separated
+    # Gaussian clusters, where a working IVF index must put a probe's
+    # true neighbors in its own handful of cells — recall should be
+    # near 1.0 here every round, whatever the uniform table scores.
+    crng = np.random.default_rng(11)
+    n_clusters, per, dim = 12, 170, 64
+    centers = crng.standard_normal((n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1)[:, None]
+    cvecs = np.repeat(centers, per, axis=0) + 0.15 * crng.standard_normal(
+        (n_clusters * per, dim)
+    )
+    cids = np.arange(len(cvecs))
+    cunit = cvecs / np.linalg.norm(cvecs, axis=1)[:, None]
+    cdf = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in zip(cids, cvecs)],
+        "vec_id long, embedding array<float>",
+    )
+    civf_hits = 0
+    cprobes = [0, per * 5 + 3, per * 10 + 7]
+    for pid in cprobes:
+        cos = cunit @ cunit[pid]
+        mask = cids != pid
+        order = np.lexsort((cids[mask], -cos[mask]))
+        want = set(int(x) for x in cids[mask][order][:k])
+        got = {
+            r.vec_id
+            for r in S.cosine_topk_ivf(
+                cdf, "vec_id", "embedding", pid, k, nlist=12, nprobe=4
+            ).collect()
+        }
+        civf_hits += len(got & want)
+
     return {
         "lsh_topk@10": round(lsh_hits / (k * len(probes)), 3),
         "ivf_topk@10": round(ivf_hits / (k * len(probes)), 3),
+        "ivf_topk@10_clustered": round(civf_hits / (k * len(cprobes)), 3),
         "near_dup_planted": round(len(got_pairs & planted) / len(planted), 3),
         "near_dup_all_pairs": round(len(got_pairs & truth) / len(truth), 3) if truth else 1.0,
         "near_dup_truth_pairs": len(truth),
@@ -251,6 +287,12 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    # --queries a,b,c: time only the named subset (scale-point runs,
+    # e.g. the top-N most expensive rows at a generated sf1 fixture);
+    # the driver's no-arg invocation is unchanged
+    only: set | None = None
+    if "--queries" in sys.argv:
+        only = set(sys.argv[sys.argv.index("--queries") + 1].split(","))
 
     from pyspark.sql import SparkSession
 
@@ -300,6 +342,8 @@ def main() -> None:
     warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     if os.path.isdir(warm_dir) and os.path.abspath(warm_dir) != os.path.abspath(sf_dir):
         for name, fn in sorted(entry.queries().items()):
+            if only is not None and name not in only:
+                continue
             try:
                 fn(spark, warm_dir).count()
             except Exception as exc:  # warmup is best-effort
@@ -317,6 +361,8 @@ def main() -> None:
     errors: dict[str, str] = {}
     for _pass in range(2):
         for name, fn in sorted(entry.queries().items()):
+            if only is not None and name not in only:
+                continue
             if name in errors:
                 continue
             t0 = time.perf_counter()
@@ -345,6 +391,8 @@ def main() -> None:
     # (driver rows grade exhaustive mode; this tracks real-parameter
     # recall round-over-round)
     try:
+        if only is not None:
+            raise RuntimeError("skipped for --queries subset run")
         payload["recall"] = ann_recall(spark, sf_dir)
         print(f"# recall: {json.dumps(payload['recall'])}", file=sys.stderr)
     except Exception as exc:  # quality probe must never kill the bench

@@ -2245,7 +2245,7 @@ def _q_json_extract_events(spark, sf_dir):
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # NOTE: the driver grades at most 50 entries (round 1 registered 52
     # and the last 2 got no CORRECTNESS row), so this registry is held
-    # at exactly 50 = 7 skyline + 43 here (__spark_entry__.queries()
+    # at exactly 50 = 6 skyline + 44 here (__spark_entry__.queries()
     # asserts the total). Entries retired as redundant move to
     # _EXTRA_QUERIES below — still oracle-graded by pytest
     # (tests/test_entry.py), just not by the driver's capped gate.
@@ -2265,9 +2265,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rolling_stats_events": _q_rolling_stats_events,
     "pack_batches_orders": _q_pack_batches_orders,
     "cosine_topk_embeddings": _q_cosine_topk,
-    # exhaustive-mode driver entries (exact oracles); approximation
-    # quality at real parameters is graded by the recall pytests
-    "cosine_topk_ivf_embeddings": _q_cosine_topk_ivf,
+    # exhaustive-mode driver entry (exact oracle); approximation quality
+    # at real parameters is graded by the recall pytests. The IVF leg
+    # rotated to extras in round 4 (graded there + by the bench recall
+    # tail); exact + LSH stay at the hard gate.
     "cosine_near_dup_embeddings": _q_cosine_near_dup,
     "global_top_orders": _q_global_top_orders,
     "set_ops_customers": _q_set_ops_customers,
@@ -2278,7 +2279,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "distinct_users_by_type": _q_distinct_users_by_type,
     "stream_skyline_orders": _q_stream_skyline_orders,
     "stream_window_stats_orders": _q_stream_window_stats_orders,
-    "stream_session_stats_events": _q_stream_session_stats_events,
+    # stream_session_stats_events rotated to extras in round 4: session
+    # windows stay graded via sessionize_events (batch semantics) and
+    # the remaining stream rows cover the streaming engine paths
     "skyline_orders_by_status": _q_skyline_by_status,
     "join_skyline_customer_nation": _q_join_skyline_customer_nation,
     "asof_error_click_events": _q_asof_error_click,
@@ -2302,6 +2305,15 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "json_extract_events": _q_json_extract_events,
     "upsert_orders": _q_upsert_orders,
     "resample_events": _q_resample_events,
+    # round-4 rotation: the strongest previously-ungraded families get
+    # hard-gate rows (retired: skyline_part_angle, cosine_topk_ivf,
+    # stream_session_stats — rationale at their extra entries).
+    # fuzzy_pairs carries the subtlest soundness story in the repo (the
+    # positional q-gram lower bound); scd2 grades interval construction;
+    # histogram grades the bit-exact unrounded edge arithmetic.
+    "fuzzy_pairs_part": _q_fuzzy_pairs_part,
+    "scd2_events": _q_scd2_events,
+    "histogram_orders": _q_histogram_orders,
 }
 
 #: Retired from the driver's 50-entry gate as redundant with rows that
@@ -2347,10 +2359,13 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_by_length_documents": _q_pack_by_length_documents,
     "skyline_witness_part": _q_skyline_witness_part,
     "cosine_topk_batch_embeddings": _q_cosine_topk_batch_embeddings,
-    "fuzzy_pairs_part": _q_fuzzy_pairs_part,
-    "scd2_events": _q_scd2_events,
-    "histogram_orders": _q_histogram_orders,
     "extract_domains_documents": _q_extract_domains_documents,
+    # round-4 rotation out of the 50-cap (swapped for fuzzy/scd2/
+    # histogram): IVF stays graded here + by the bench recall tail and
+    # the exact/LSH driver rows; session windows stay graded via
+    # sessionize_events + the remaining stream rows
+    "cosine_topk_ivf_embeddings": _q_cosine_topk_ivf,
+    "stream_session_stats_events": _q_stream_session_stats_events,
     # no oracle (sequential greedy): rows-only at the gate, contract
     # graded by pytest (tests/test_witness.py)
     "representative_skyline_part": _q_representative_skyline_part,

@@ -4,7 +4,10 @@ counterpart in the reference).
 ``fuzzy_pairs`` finds all id pairs whose strings are within edit
 (Levenshtein) distance ``max_dist`` — the record-linkage primitive
 (near-identical names, titles, URLs) — without ever forming the
-all-pairs product:
+all-pairs product. The machinery runs over DISTINCT strings (edit
+distance is a property of the string, not the row; duplicate-heavy
+columns would otherwise pay the duplicate product in every filter
+stage) and expands verified string-pairs back to id-pairs at the end:
 
 - LONG strings (length >= q·(d+1)) go through the POSITIONAL q-gram
   filter (Gravano et al.): within edit distance d the strings admit a
@@ -53,6 +56,17 @@ def fuzzy_pairs(
     With ``max_gram_freq=None`` (default) the result is EXACT — the
     q-gram count bound and the length band are both necessary
     conditions for the verified predicate.
+
+    DISTINCT-STRING COLLAPSE (round 4): edit distance is a function of
+    the STRING, not the row, so the filter/verify machinery runs over
+    ``SELECT DISTINCT str_col`` and verified string-pairs are expanded
+    back to id-pairs by two hash joins (plus a same-string self-join
+    for the dist-0 pairs inside duplicate groups). On a duplicate-heavy
+    column (a 200k-row table with 64 distinct names) this turns a
+    quadratic-in-duplicates candidate join into a 64-string problem
+    whose only large stage is the inherent output expansion; on an
+    all-unique column it costs one extra distinct + the expansion
+    joins. The output contract is unchanged.
     """
     if max_dist < 0:
         raise ValueError("max_dist must be >= 0")
@@ -62,17 +76,16 @@ def fuzzy_pairs(
         if c not in df.columns:
             raise ValueError(f"column {c!r} not in DataFrame columns {df.columns}")
 
-    base = (
-        df.select(F.col(id_col).alias("__id"), F.col(str_col).alias("__s"))
-        .where(F.col("__s").isNotNull())
-        .withColumn("__len", F.length("__s"))
+    base = df.select(F.col(id_col).alias("__id"), F.col(str_col).alias("__s")).where(
+        F.col("__s").isNotNull()
     )
+    vals = base.select("__s").distinct().withColumn("__len", F.length("__s"))
     short_cut = q * (max_dist + 1)  # below this, the count bound is vacuous
 
-    # --- long branch: positional q-gram filter -------------------------
-    long_side = base.where(F.col("__len") >= short_cut)
+    # --- long branch: positional q-gram filter (distinct strings) -----
+    long_side = vals.where(F.col("__len") >= short_cut)
     grams = long_side.select(
-        "__id",
+        "__s",
         "__len",
         F.posexplode(
             F.expr(
@@ -86,11 +99,11 @@ def fuzzy_pairs(
             grams.join(freq, "__g").where(F.col("__gf") <= max_gram_freq).drop("__gf")
         )
     a = grams.select(
-        F.col("__id").alias("id_a"), F.col("__len").alias("__la"),
+        F.col("__s").alias("s_a"), F.col("__len").alias("__la"),
         F.col("__p").alias("__pa"), "__g",
     )
     b = grams.select(
-        F.col("__id").alias("id_b"), F.col("__len").alias("__lb"),
+        F.col("__s").alias("s_b"), F.col("__len").alias("__lb"),
         F.col("__p").alias("__pb"), "__g",
     )
     # a true pair admits a 1:1 matching of >= T gram occurrences with
@@ -99,33 +112,33 @@ def fuzzy_pairs(
     long_cand = (
         a.join(b, "__g")
         .where(
-            (F.col("id_a") < F.col("id_b"))
+            (F.col("s_a") < F.col("s_b"))
             & (F.abs(F.col("__la") - F.col("__lb")) <= max_dist)
             & (F.abs(F.col("__pa") - F.col("__pb")) <= max_dist)
         )
-        .groupBy("id_a", "id_b", "__la", "__lb")
+        .groupBy("s_a", "s_b", "__la", "__lb")
         .agg(F.countDistinct("__pa").alias("__matched"))
         .where(
             F.col("__matched")
             >= F.greatest(F.col("__la"), F.col("__lb")) - F.lit(q - 1 + q * max_dist)
         )
-        .select("id_a", "id_b")
+        .select("s_a", "s_b")
     )
 
-    # --- short branch: length-band block join --------------------------
-    short_side = base.where(F.col("__len") < short_cut)
+    # --- short branch: length-band block join -------------------------
+    short_side = vals.where(F.col("__len") < short_cut)
     sa = short_side.select(
-        F.col("__id").alias("id_a"),
+        F.col("__s").alias("s_a"),
         F.explode(
             F.sequence(F.col("__len"), F.col("__len") + max_dist)
         ).alias("__band"),
     )
-    sb = short_side.select(F.col("__id").alias("id_b"), F.col("__len").alias("__band"))
+    sb = short_side.select(F.col("__s").alias("s_b"), F.col("__len").alias("__band"))
     short_cand = (
-        sa.join(sb, "__band").where(F.col("id_a") != F.col("id_b"))
+        sa.join(sb, "__band").where(F.col("s_a") != F.col("s_b"))
         .select(
-            F.least("id_a", "id_b").alias("id_a"),
-            F.greatest("id_a", "id_b").alias("id_b"),
+            F.least("s_a", "s_b").alias("s_a"),
+            F.greatest("s_a", "s_b").alias("s_b"),
         )
         .dropDuplicates()
     )
@@ -137,7 +150,7 @@ def fuzzy_pairs(
     # short lengths), then hash-joins the short side on its exact
     # length — edit distance >= |len diff| makes the band sound.
     boundary_a = long_side.where(F.col("__len") < short_cut + max_dist).select(
-        F.col("__id").alias("id_a"),
+        F.col("__s").alias("s_a"),
         F.explode(
             F.sequence(
                 F.greatest(F.col("__len") - max_dist, F.lit(0)),
@@ -146,22 +159,40 @@ def fuzzy_pairs(
         ).alias("__band"),
     )
     boundary_b = short_side.select(
-        F.col("__id").alias("id_b"), F.col("__len").alias("__band")
+        F.col("__s").alias("s_b"), F.col("__len").alias("__band")
     )
     boundary = boundary_a.join(boundary_b, "__band").select(
-        F.least("id_a", "id_b").alias("id_a"),
-        F.greatest("id_a", "id_b").alias("id_b"),
+        F.least("s_a", "s_b").alias("s_a"),
+        F.greatest("s_a", "s_b").alias("s_b"),
     )
 
-    cand = long_cand.unionByName(short_cand).unionByName(boundary).dropDuplicates()
+    vcand = long_cand.unionByName(short_cand).unionByName(boundary).dropDuplicates()
 
-    # --- exact verify ---------------------------------------------------
-    s_a = base.select(F.col("__id").alias("id_a"), F.col("__s").alias("__sa"))
-    s_b = base.select(F.col("__id").alias("id_b"), F.col("__s").alias("__sb"))
-    return (
-        cand.join(s_a, "id_a")
-        .join(s_b, "id_b")
-        .withColumn("dist", F.levenshtein("__sa", "__sb").cast("long"))
-        .where(F.col("dist") <= max_dist)
-        .select("id_a", "id_b", "dist")
+    # --- exact verify on distinct string pairs ------------------------
+    vpairs = vcand.withColumn(
+        "dist", F.levenshtein("s_a", "s_b").cast("long")
+    ).where(F.col("dist") <= max_dist)
+
+    # --- expand back to id pairs --------------------------------------
+    ids_a = base.select(F.col("__s").alias("s_a"), F.col("__id").alias("id_a"))
+    ids_b = base.select(F.col("__s").alias("s_b"), F.col("__id").alias("id_b"))
+    cross = (
+        vpairs.join(ids_a, "s_a")
+        .join(ids_b, "s_b")
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            "dist",
+        )
     )
+    # dist-0 pairs inside each duplicate-string group (distinct strings
+    # are never at distance 0, so these never overlap with `cross`)
+    dup0 = (
+        ids_a.join(
+            base.select(F.col("__s").alias("s_a"), F.col("__id").alias("id_b")),
+            "s_a",
+        )
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.lit(0).cast("long").alias("dist"))
+    )
+    return cross.unionByName(dup0)
