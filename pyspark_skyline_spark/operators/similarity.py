@@ -39,6 +39,7 @@ __all__ = [
     "ivf_assign",
     "train_ivf_centroids",
     "cosine_near_dup_pairs",
+    "semantic_dedup",
 ]
 
 
@@ -482,3 +483,67 @@ def cosine_topk_lsh(
         rank_col="rank",
     )
     return ranked.select("rank", id_col).withColumn("rank", F.col("rank").cast("long"))
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    nlist: int = 16,
+    threshold: float = 0.95,
+    train_n: int = 4096,
+    iters: int = 10,
+    seed: int = 42,
+    max_cell: int = 200_000,
+    cell_col: str = "cell",
+) -> DataFrame:
+    """SemDeDup (Abbas et al., 2023, arXiv:2303.03540): embedding-level
+    semantic dedup — cluster vectors with spherical k-means, then
+    within each cluster greedily drop any vector whose cosine to an
+    already-kept earlier vector (smaller id) exceeds ``threshold``.
+    Returns the surviving rows as ``(id_col, cell_col)``.
+
+    Scale path: the k-means fit is the bounded deterministic sample of
+    ``train_ivf_centroids`` (O(train_n · d) driver work regardless of
+    table size); assignment is one Arrow-batched matrix product; the
+    within-cluster prune is ``applyInPandas`` per cell — pairwise work
+    is confined to cells (~N/nlist rows each), never the whole table,
+    which is the entire point of the published method. Size ``nlist``
+    so cells fit one task; a cell above ``max_cell`` raises loudly
+    (raise ``nlist``) rather than silently OOMing mid-job.
+
+    Deterministic: seeded sample + seeded k-means + ascending-id greedy
+    order, so re-runs and different input partitionings agree exactly.
+    No SQL oracle (iterative k-means); graded by the differential
+    planted-duplicate pytest (tests/test_similarity.py).
+    """
+    C = train_ivf_centroids(df, id_col, vec_col, nlist, train_n, iters, seed)
+    assigned = ivf_assign(
+        df.select(id_col, vec_col), vec_col, C, cell_col="__sd_cell"
+    )
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    out_schema = StructType(
+        [df.schema[id_col], StructField(cell_col, IntegerType(), False)]
+    )
+
+    def prune(key, pdf):
+        if len(pdf) > max_cell:
+            raise ValueError(
+                f"semantic_dedup cell {key[0]} has {len(pdf)} rows > "
+                f"max_cell={max_cell}; raise nlist so cells fit one task"
+            )
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        m = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        kept = np.empty_like(m)
+        kept_idx = []
+        for i in range(len(pdf)):
+            if not kept_idx or float((kept[: len(kept_idx)] @ m[i]).max()) < threshold:
+                kept[len(kept_idx)] = m[i]
+                kept_idx.append(i)
+        out = pdf.iloc[kept_idx][[id_col]].copy()
+        out[cell_col] = int(key[0])
+        return out
+
+    return assigned.groupBy("__sd_cell").applyInPandas(prune, out_schema)

@@ -1,0 +1,168 @@
+"""Deterministic global shuffle / sharding / grouped rank / corpus
+mixing (operators/shuffle.py) and sub-document dedup
+(operators/dedup.py::paragraph_dedup)."""
+
+import pytest
+from pyspark.sql import Row, Window, functions as F
+
+from pyspark_skyline_spark.operators.dedup import paragraph_dedup
+from pyspark_skyline_spark.operators.shuffle import (
+    allocate_mixture,
+    global_row_number,
+    global_shuffle,
+    grouped_row_number,
+    mix_corpus,
+)
+from pyspark_skyline_spark.plans.explain import assert_max_exchanges
+
+
+@pytest.fixture(scope="module")
+def orders(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/orders.parquet")
+
+
+def test_global_shuffle_is_a_balanced_permutation(spark, orders):
+    out = global_shuffle(orders, ["o_orderkey"], n_shards=8, seed=42)
+    n = orders.count()
+    rows = out.select("__pos", "__ord", "__shard").collect()
+    assert sorted(r["__pos"] for r in rows) == list(range(n))
+    # pos order == md5-ord order
+    by_pos = sorted(rows, key=lambda r: r["__pos"])
+    assert [r["__ord"] for r in by_pos] == sorted(r["__ord"] for r in rows)
+    # round-robin shards: balanced to within one row
+    from collections import Counter
+
+    c = Counter(r["__shard"] for r in rows)
+    assert set(c) == set(range(8))
+    assert max(c.values()) - min(c.values()) <= 1
+
+
+def test_global_shuffle_deterministic_across_partitionings(spark, orders):
+    a = global_shuffle(orders, ["o_orderkey"], n_shards=4, seed=7, num_partitions=3)
+    b = global_shuffle(
+        orders.repartition(11), ["o_orderkey"], n_shards=4, seed=7, num_partitions=8
+    )
+    ra = {r["o_orderkey"]: (r["__pos"], r["__shard"]) for r in a.collect()}
+    rb = {r["o_orderkey"]: (r["__pos"], r["__shard"]) for r in b.collect()}
+    assert ra == rb
+    # a different seed is a different permutation
+    c = global_shuffle(orders, ["o_orderkey"], n_shards=4, seed=8)
+    rc = {r["o_orderkey"]: r["__pos"] for r in c.collect()}
+    assert rc != {k: v[0] for k, v in ra.items()}
+
+
+def test_global_row_number_single_range_shuffle(spark, orders):
+    out = global_shuffle(orders, ["o_orderkey"], n_shards=8)
+    # ONE range exchange; offsets arrive via broadcast (not counted).
+    # budget 2 because the persisted subplan's AdaptiveSparkPlan prints
+    # the same exchange twice (== Initial Plan == + == Final Plan ==);
+    # the rangepartitioning assert below pins the real count
+    assert_max_exchanges(out, 2)
+    from pyspark_skyline_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(out)
+    assert plan.count("rangepartitioning") <= 2  # initial+final of ONE node
+    assert "hashpartitioning" not in plan  # no window/hash re-shuffle
+
+
+def test_grouped_row_number_matches_window_reference(spark, orders):
+    out = grouped_row_number(
+        orders, ["o_orderstatus"], ["o_orderkey"], pos_col="rn", num_partitions=5
+    )
+    got = {(r["o_orderstatus"], r["o_orderkey"]): r["rn"] for r in out.collect()}
+    w = Window.partitionBy("o_orderstatus").orderBy("o_orderkey")
+    ref = {
+        (r["o_orderstatus"], r["o_orderkey"]): r["rn"]
+        for r in orders.withColumn("rn", F.row_number().over(w) - 1).collect()
+    }
+    assert got == ref
+    assert_max_exchanges(out, 2)  # ONE range exchange, printed twice by AQE
+
+
+def test_allocate_mixture_exact_and_deterministic():
+    alloc = allocate_mixture({"a": 0.5, "b": 0.3, "c": 0.2}, 10)
+    assert alloc == {"a": 5, "b": 3, "c": 2}
+    # largest remainder: 7*0.5=3.5, 7*0.3=2.1, 7*0.4... use uneven
+    alloc = allocate_mixture({"a": 1.0, "b": 1.0, "c": 1.0}, 7)
+    assert sum(alloc.values()) == 7
+    assert alloc == allocate_mixture({"a": 1.0, "b": 1.0, "c": 1.0}, 7)
+    assert sorted(alloc.values()) == [2, 2, 3]
+    with pytest.raises(ValueError):
+        allocate_mixture({"a": 0.0}, 5)
+
+
+def test_mix_corpus_exact_counts_and_order(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    targets = {"src1": 10, "src3": 3, "src7": 100, "src19": 0}
+    out = mix_corpus(docs, "source", targets, ["doc_id"], seed=7)
+    counts = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    avail = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert set(counts) <= {"src1", "src3", "src7"}
+    for d in ("src1", "src3", "src7"):
+        assert counts.get(d, 0) == min(targets[d], avail[d])
+    # the kept rows per domain are the target-smallest by md5 order
+    ordv = F.md5(F.concat_ws("|", F.lit("7"), F.col("doc_id").cast("string")))
+    ref = docs.withColumn("__o", ordv)
+    w = Window.partitionBy("source").orderBy("__o")
+    ref_ids = {
+        r["doc_id"]
+        for r in ref.withColumn("rn", F.row_number().over(w))
+        .where(
+            F.col("rn")
+            <= F.when(F.col("source") == "src1", 10)
+            .when(F.col("source") == "src3", 3)
+            .when(F.col("source") == "src7", 100)
+            .otherwise(0)
+        )
+        .collect()
+    }
+    assert {r["doc_id"] for r in out.collect()} == ref_ids
+
+
+def test_paragraph_dedup_keep_first_and_reassembly(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="aa bb|cc dd|ee"),
+            Row(doc_id=2, text="cc dd|zz yy|aa bb"),
+            Row(doc_id=3, text="aa bb|cc dd"),
+        ]
+    )
+    out = {
+        r["doc_id"]: (r["text_dedup"], r["n_kept"])
+        for r in paragraph_dedup(docs, "doc_id", "text", sep="|").collect()
+    }
+    # doc 1 keeps everything (first occurrence of all three units)
+    assert out[1] == ("aa bb|cc dd|ee", 3)
+    # doc 2 loses "cc dd" and "aa bb" to doc 1, keeps its own "zz yy"
+    assert out[2] == ("zz yy", 1)
+    # doc 3 is entirely duplicate -> vanishes
+    assert 3 not in out
+
+
+def test_paragraph_dedup_chunk_mode(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=10, text="a b c d e"),  # chunks(2): "a b","c d","e"
+            Row(doc_id=11, text="c d a b x"),  # "c d","a b" dup; keeps "x"
+        ]
+    )
+    out = {
+        r["doc_id"]: (r["text_dedup"], r["n_kept"])
+        for r in paragraph_dedup(docs, "doc_id", "text", chunk_words=2).collect()
+    }
+    assert out[10] == ("a b c d e", 3)
+    assert out[11] == ("x", 1)
+    with pytest.raises(ValueError):
+        paragraph_dedup(docs, "doc_id", "text")
+    with pytest.raises(ValueError):
+        paragraph_dedup(docs, "doc_id", "text", sep="|", chunk_words=2)
+
+
+def test_paragraph_dedup_partitioning_invariant(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = paragraph_dedup(docs, "doc_id", "text", chunk_words=8)
+    b = paragraph_dedup(docs.repartition(13), "doc_id", "text", chunk_words=8)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

@@ -253,3 +253,61 @@ def test_cosine_topk_batch_null_corpus_vectors(spark, sf_dir):
     )
     with _pytest.raises(ValueError, match="non-null"):
         cosine_topk_batch(corpus, bad_probe, "vec_id", "embedding", "pid", "pvec")
+
+
+def _numpy_semantic_dedup(ids, vecs, C, threshold):
+    """Greedy reference: assign to nearest centroid, ascending-id greedy
+    keep within each cell."""
+    # round through float32 first: the Spark column is array<float>
+    m = np.asarray(vecs, dtype=np.float32).astype(np.float64)
+    m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    cells = (m @ C.T).argmax(axis=1)
+    kept = []
+    for cell in np.unique(cells):
+        idx = np.where(cells == cell)[0]
+        idx = idx[np.argsort(np.asarray(ids)[idx])]
+        kept_vs = []
+        for i in idx:
+            if not kept_vs or max(v @ m[i] for v in kept_vs) < 0.95:
+                kept_vs.append(m[i])
+                kept.append((int(ids[i]), int(cell)))
+    return sorted(kept)
+
+
+def test_semantic_dedup_drops_planted_duplicates(spark):
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(40, 16))
+    ids = list(range(40))
+    vecs = [v for v in base]
+    # plant near-duplicates of rows 3 and 17 with HIGHER ids
+    for src, nid in ((3, 100), (17, 101), (3, 102)):
+        ids.append(nid)
+        vecs.append(base[src] + rng.normal(scale=1e-3, size=16))
+    df = _spark_df(spark, ids, vecs)
+    out = S.semantic_dedup(df, "vec_id", "embedding", nlist=4, threshold=0.95, seed=1)
+    got = sorted((r["vec_id"], r["cell"]) for r in out.collect())
+    kept_ids = {i for i, _ in got}
+    # planted dups dropped, their originals kept
+    assert {100, 101, 102}.isdisjoint(kept_ids)
+    assert {3, 17} <= kept_ids
+    # exact match vs the NumPy greedy reference on the same centroids
+    C = S.train_ivf_centroids(df, "vec_id", "embedding", 4, seed=1)
+    assert got == _numpy_semantic_dedup(ids, vecs, C, 0.95)
+    # partitioning-invariant
+    out2 = S.semantic_dedup(
+        df.repartition(7), "vec_id", "embedding", nlist=4, threshold=0.95, seed=1
+    )
+    assert sorted((r["vec_id"], r["cell"]) for r in out2.collect()) == got
+
+
+def test_semantic_dedup_max_cell_guard(spark):
+    rng = np.random.default_rng(6)
+    vecs = [v for v in rng.normal(size=(30, 8))]
+    df = _spark_df(spark, list(range(30)), vecs)
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import PythonException
+
+    with pytest.raises((Py4JJavaError, PythonException), match="max_cell"):
+        S.semantic_dedup(
+            df, "vec_id", "embedding", nlist=1, threshold=0.95, max_cell=10
+        ).collect()
