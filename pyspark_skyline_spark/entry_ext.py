@@ -2367,20 +2367,17 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize_events": _q_sessionize_events,
     "k_skyband_part": _q_k_skyband_part,
     "rolling_stats_events": _q_rolling_stats_events,
-    "pack_batches_orders": _q_pack_batches_orders,
     "cosine_topk_embeddings": _q_cosine_topk,
     # exhaustive-mode driver entry (exact oracle); approximation quality
     # at real parameters is graded by the recall pytests. The IVF leg
     # rotated to extras in round 4 (graded there + by the bench recall
     # tail); exact + LSH stay at the hard gate.
     "cosine_near_dup_embeddings": _q_cosine_near_dup,
-    "global_top_orders": _q_global_top_orders,
     "set_ops_customers": _q_set_ops_customers,
     "topk_orders_per_customer": _q_topk_orders,
     "agg_lineitem_pricing": _q_agg_pricing,
     "multimodal_meta_documents": _q_multimodal_meta,
     "windowed_skyline_events": _q_windowed_skyline_events,
-    "distinct_users_by_type": _q_distinct_users_by_type,
     "stream_skyline_orders": _q_stream_skyline_orders,
     "stream_window_stats_orders": _q_stream_window_stats_orders,
     # stream_session_stats_events rotated to extras in round 4: session
@@ -2418,6 +2415,17 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuzzy_pairs_part": _q_fuzzy_pairs_part,
     "scd2_events": _q_scd2_events,
     "histogram_orders": _q_histogram_orders,
+    # round-4 rotation (second wave): the new training-data-layout +
+    # sub-document-dedup families get hard-gate rows (retired:
+    # global_top_orders, distinct_users_by_type, pack_batches_orders —
+    # rationale at their extra entries). global_shuffle grades the
+    # single-range-shuffle global row-number machinery; mix_corpus
+    # grades skew-free grouped ranking + exact mixture allocation;
+    # paragraph_dedup grades keep-first sub-document dedup with
+    # reassembly.
+    "global_shuffle_orders": _q_global_shuffle_orders,
+    "mix_corpus_documents": _q_mix_corpus_documents,
+    "paragraph_dedup_documents": _q_paragraph_dedup_documents,
 }
 
 #: Retired from the driver's 50-entry gate as redundant with rows that
@@ -2477,10 +2485,16 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cube_orders": _q_cube_orders,
     "grouping_sets_orders": _q_grouping_sets_orders,
     "correlations_lineitem": _q_correlations_lineitem,
-    # round-4 additions past the 50-cap: oracle-graded by pytest
-    "global_shuffle_orders": _q_global_shuffle_orders,
-    "mix_corpus_documents": _q_mix_corpus_documents,
-    "paragraph_dedup_documents": _q_paragraph_dedup_documents,
+    # round-4 rotation (second wave) out of the 50-cap (swapped for
+    # global_shuffle/mix_corpus/paragraph_dedup): global sort+limit
+    # stays graded here and via the TakeOrdered paths inside
+    # vocab_topk/tfidf/bm25; plain DISTINCT stays graded here and via
+    # dedup_exact_events + set_ops_customers' distinct set semantics;
+    # hash-chop batch packing stays graded here and via the richer
+    # pack_by_length_documents oracle
+    "global_top_orders": _q_global_top_orders,
+    "distinct_users_by_type": _q_distinct_users_by_type,
+    "pack_batches_orders": _q_pack_batches_orders,
     # no oracle (iterative k-means): rows-only at the gate, exactness
     # graded by the NumPy-differential pytest (tests/test_similarity.py)
     "semantic_dedup_embeddings": _q_semantic_dedup_embeddings,

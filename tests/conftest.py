@@ -13,6 +13,13 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "8")
 def spark():
     from pyspark.sql import SparkSession
 
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # executor Python workers import pyspark_skyline_spark by NAME for
+    # module-level applyInPandas functions (cloudpickle by-reference);
+    # make that work from any cwd, as --py-files would on a cluster
+    os.environ["PYTHONPATH"] = (
+        repo_root + os.pathsep + os.environ.get("PYTHONPATH", "")
+    )
     spark = (
         SparkSession.builder.master(f"local[{CPUS}]")
         .appName("pyspark-skyline-tests")
