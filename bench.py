@@ -292,7 +292,10 @@ def main() -> None:
     # the driver's no-arg invocation is unchanged
     only: set | None = None
     if "--queries" in sys.argv:
-        only = set(sys.argv[sys.argv.index("--queries") + 1].split(","))
+        idx = sys.argv.index("--queries") + 1
+        if idx >= len(sys.argv):
+            sys.exit("usage: bench.py [--queries name1,name2,...]")
+        only = set(sys.argv[idx].split(","))
 
     from pyspark.sql import SparkSession
 

@@ -917,13 +917,20 @@ def paragraph_dedup(
 
     ex = df.select(F.col(id_col), F.posexplode(units).alias("pos", "__para"))
     ex = ex.withColumn("__ph", F.md5(F.col("__para")))
-    winners = ex.groupBy("__ph").agg(
-        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__w")
+    # winner per distinct unit, then SEMI-JOIN BACK ON (id, pos) — a
+    # unique, uniformly distributed key — never on the hash: joining on
+    # __ph would funnel every occurrence of a hot boilerplate unit into
+    # one join partition, recreating the skew the min(struct) aggregate
+    # just avoided
+    winners = (
+        ex.groupBy("__ph")
+        .agg(F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__w"))
+        .select(
+            F.col("__w").getField(id_col).alias(id_col),
+            F.col("__w").getField("pos").alias("pos"),
+        )
     )
-    kept = ex.join(winners, "__ph").where(
-        (F.col(id_col) == F.col("__w").getField(id_col))
-        & (F.col("pos") == F.col("__w").getField("pos"))
-    )
+    kept = ex.join(winners, [id_col, "pos"], "left_semi")
     return kept.groupBy(id_col).agg(
         F.array_join(
             F.transform(

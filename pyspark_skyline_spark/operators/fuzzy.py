@@ -32,7 +32,13 @@ GENERATION only (the count threshold is computed against the surviving
 grams on BOTH sides identically, so correctness degrades to recall loss
 confined to pairs whose every shared gram is ubiquitous — and those
 still meet through the short-string band if short, as in dedup.py's
-bucket-cap trade, documented there).
+bucket-cap trade, documented there). Since the round-4 distinct-string
+collapse, gram frequency is counted over DISTINCT string values, not
+rows — the right unit, because the candidate join itself runs in
+distinct-string space (a gram shared by a million copies of 64 names
+has frequency <= 64 and is harmless; only grams shared across many
+DISTINCT strings explode the candidate pair count). Caps calibrated to
+row counts should be re-read as distinct-value counts.
 """
 
 from __future__ import annotations

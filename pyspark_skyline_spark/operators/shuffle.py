@@ -78,7 +78,10 @@ def global_row_number(
     ``order_cols`` must be a total order (ties may land on either side
     of a range-partition boundary and would then be numbered in
     partition order, not a deterministic one).  One range shuffle; the
-    count side-job reuses the persisted exchange.
+    count side-job and the main job share the localCheckpoint
+    materialization (checkpoint RDDs are reclaimed by the context
+    cleaner when the DataFrame goes out of scope — a ``persist`` here
+    would pin a full-table cache entry forever).
     """
     n = _num_partitions(df, num_partitions)
     part = (
@@ -87,7 +90,7 @@ def global_row_number(
         .withColumn("__mid", F.monotonically_increasing_id())
         .withColumn("__gpid", F.shiftrightunsigned(F.col("__mid"), _MID_BITS))
         .withColumn("__lpos", F.col("__mid").bitwiseAND(F.lit(_MID_MASK)))
-        .persist()
+        .localCheckpoint(eager=False)
     )
     counts = {
         r["__gpid"]: r["cnt"]
@@ -120,8 +123,11 @@ def global_shuffle(
 ) -> DataFrame:
     """Deterministic global permutation + balanced shard assignment.
 
-    ``key_cols`` must uniquely identify rows (the md5 order key is
-    built from them; duplicate keys would tie).  Adds:
+    ``key_cols`` must uniquely identify rows and be non-NULL (the md5
+    order key concatenates them with ``concat_ws``, which skips NULLs —
+    a NULL in one key column could make distinct keys tie, and
+    duplicate keys would tie outright; ties are numbered in partition
+    order, breaking determinism).  Adds:
 
     - ``ord_col``: ``md5(seed | key_cols)`` hex — the shuffle order,
       identical in any engine with md5 (fully oracle-gradable);
@@ -165,10 +171,24 @@ def grouped_row_number(
     partitions); then ``gpos = local_pos - local_start + group_offset``
     applied via a broadcast join of the O(partitions + groups)
     adjustment table.  ``group_cols + order_cols`` must be a total
-    order.
+    order.  Group values may be NULL and may contain any bytes: the
+    internal group key base64-encodes each value with a distinct NULL
+    sentinel, so ``("x", NULL)`` / ``(NULL, "x")`` and
+    delimiter-containing values never collapse into one group.
     """
     n = _num_partitions(df, num_partitions)
-    gk = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in group_cols])
+    # NULL-safe, injection-safe composite key: base64 has no \x1f and
+    # the \x00 sentinel is outside the base64 alphabet
+    gk = F.concat_ws(
+        "\x1f",
+        *[
+            F.coalesce(
+                F.base64(F.col(c).cast("string").cast("binary")),
+                F.lit("\x00NULL"),
+            )
+            for c in group_cols
+        ],
+    )
     part = (
         df.repartitionByRange(n, *[F.col(c) for c in group_cols + order_cols])
         .sortWithinPartitions(*(group_cols + order_cols))
@@ -176,7 +196,7 @@ def grouped_row_number(
         .withColumn("__mid", F.monotonically_increasing_id())
         .withColumn("__gpid", F.shiftrightunsigned(F.col("__mid"), _MID_BITS))
         .withColumn("__lpos", F.col("__mid").bitwiseAND(F.lit(_MID_MASK)))
-        .persist()
+        .localCheckpoint(eager=False)
     )
     # one small job: per-(partition, group-run) count and local start.
     stats = (
@@ -242,7 +262,10 @@ def mix_corpus(
     shuffle via ``grouped_row_number`` (no per-domain single-task
     window).  Use ``allocate_mixture`` to turn float mixture weights
     into integer targets.  Adds ``rank_col`` (0-based within-domain
-    rank in the shuffled order).
+    rank in the shuffled order).  ``key_cols`` must be unique and
+    non-NULL (same md5-order contract as ``global_shuffle``); NULL
+    domains are safe (grouped_row_number's key encoding) but match no
+    target, so they are dropped.
     """
     for k, v in targets.items():
         if v < 0:

@@ -614,7 +614,7 @@ def skyline(
 
     if merge_strategy not in ("auto", "tree", "broadcast"):
         raise ValueError(f"merge_strategy must be auto/tree/broadcast, got {merge_strategy!r}")
-    if merge_strategy == "auto" and d <= 4 and _estimated_bytes(df) <= 4 * 1024**3:
+    if merge_strategy == "auto" and d <= 4 and 0 < _estimated_bytes(df) <= 4 * 1024**3:
         # Probe-skip gate (same size gate as the map-side combiner): the
         # adaptive probe below costs one fixed extra job (checkpoint +
         # count) before the merge — pure overhead at small SF (~+1 s per
@@ -627,7 +627,8 @@ def skyline(
         # inputs keep it at any d (a 100 TB anticorrelated 2-d scan can
         # still surface a multi-million-point frontier). A pathological
         # small-but-all-frontier low-d input pays the tree fold; force
-        # merge_strategy="broadcast" to override.
+        # merge_strategy="broadcast" to override. A FAILED size estimate
+        # (_estimated_bytes == 0) keeps the probe — unknown is not small.
         merge_strategy = "tree"
     if merge_strategy != "tree" and not by and ncells > 1:
         # Adaptive global merge: materialize the (small relative to the

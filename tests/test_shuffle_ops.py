@@ -166,3 +166,20 @@ def test_paragraph_dedup_partitioning_invariant(spark, sf_dir):
     a = paragraph_dedup(docs, "doc_id", "text", chunk_words=8)
     b = paragraph_dedup(docs.repartition(13), "doc_id", "text", chunk_words=8)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_grouped_row_number_null_and_delimiter_groups(spark):
+    # ("x", NULL) vs (NULL, "x") vs ("x\x1f", "") must be DISTINCT
+    # groups (code-review finding: concat_ws drops NULLs and does not
+    # escape, collapsing such groups into one interleaved numbering)
+    rows = [
+        ("x", None, 1), ("x", None, 2),
+        (None, "x", 3), (None, "x", 4), (None, "x", 5),
+        ("x\x1f", "", 6),
+    ]
+    df = spark.createDataFrame(rows, "a string, b string, k int")
+    out = grouped_row_number(df, ["a", "b"], ["k"], pos_col="rn", num_partitions=3)
+    got = {(r["a"], r["b"], r["k"]): r["rn"] for r in out.collect()}
+    assert got[("x", None, 1)] == 0 and got[("x", None, 2)] == 1
+    assert [got[(None, "x", k)] for k in (3, 4, 5)] == [0, 1, 2]
+    assert got[("x\x1f", "", 6)] == 0

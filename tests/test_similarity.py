@@ -51,7 +51,12 @@ def test_ivf_recall(spark):
     # sf0.01 the same parameters legitimately score 4/10). Clustered-
     # data recall at production parameters is tracked by the bench
     # tail's ivf_topk@10_clustered key instead.
-    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    import os
+
+    root = os.path.dirname(
+        os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001").rstrip("/")
+    )
+    emb = spark.read.parquet(f"{root}/sf0.001/embeddings.parquet")
     rows = emb.collect()
     want = set(numpy_topk(rows, probe_id=0, k=10))
     got = {
