@@ -354,6 +354,8 @@ def train_ivf_centroids(
         .limit(train_n)
         .collect()
     )
+    if not rows:  # empty table: no cells to train
+        return np.zeros((0, 0), dtype=np.float64)
     X = np.asarray([r["v"] for r in rows], dtype=np.float64)
     X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
@@ -526,6 +528,8 @@ def semantic_dedup(
     out_schema = StructType(
         [df.schema[id_col], StructField(cell_col, IntegerType(), False)]
     )
+    if C.shape[0] == 0:  # empty table: nothing to dedup
+        return df.sparkSession.createDataFrame([], out_schema)
 
     def prune(key, pdf):
         if len(pdf) > max_cell:

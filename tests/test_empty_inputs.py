@@ -125,3 +125,24 @@ def test_new_layout_ops_empty(spark, tmp_path):
     out = str(tmp_path / "z_empty")
     write_zordered(empty, out, ["x", "y"], bits=8, n_files=2)
     assert spark.read.parquet(out).count() == 0
+
+
+def test_shuffle_mix_paragraph_semantic_empty(spark, empty_docs):
+    from pyspark_skyline_spark.operators.dedup import paragraph_dedup
+    from pyspark_skyline_spark.operators.shuffle import (
+        global_shuffle,
+        grouped_row_number,
+        mix_corpus,
+    )
+    from pyspark_skyline_spark.operators.similarity import semantic_dedup
+
+    assert global_shuffle(empty_docs, ["doc_id"], n_shards=4).count() == 0
+    assert (
+        grouped_row_number(empty_docs, ["source"], ["doc_id"]).count() == 0
+    )
+    assert (
+        mix_corpus(empty_docs, "source", {"src1": 5}, ["doc_id"]).count() == 0
+    )
+    assert paragraph_dedup(empty_docs, "doc_id", "text", chunk_words=4).count() == 0
+    empty_emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert semantic_dedup(empty_emb, "vec_id", "embedding", nlist=4).count() == 0
