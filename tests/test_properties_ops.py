@@ -66,3 +66,42 @@ def test_merge_upsert_laws(spark, cur, upd):
     # idempotence: applying the same batch again changes nothing
     again = merge_upsert(merged, udf_, ["k"], order_col="ord")
     assert _counted(again) == _counted(merged)
+
+
+# grouped_row_number ≡ Window.partitionBy(group).orderBy(order) row_number
+# on arbitrary data with NULL groups, delimiter bytes, and collisions —
+# the skew-free machinery must be observationally identical to the
+# window form it replaces
+_GROUPS = st.one_of(
+    st.none(), st.sampled_from(["", "x", "x\x1f", "\x1fx", "a|b", "∅"])
+)
+_grp_rows = st.lists(
+    st.tuples(_GROUPS, st.integers(0, 50)), min_size=0, max_size=30, unique=True
+)
+
+
+@given(rows=_grp_rows, nparts=st.integers(1, 5))
+@_SETTINGS
+def test_grouped_row_number_equals_window(spark, rows, nparts):
+    from pyspark.sql import Window, functions as F
+
+    from pyspark_skyline_spark.operators.shuffle import grouped_row_number
+
+    schema = "g string, k int"
+    df = (
+        spark.createDataFrame(rows, schema)
+        if rows
+        else spark.createDataFrame([], schema)
+    )
+    got = {
+        (r["g"], r["k"]): r["rn"]
+        for r in grouped_row_number(
+            df, ["g"], ["k"], pos_col="rn", num_partitions=nparts
+        ).collect()
+    }
+    w = Window.partitionBy("g").orderBy("k")
+    ref = {
+        (r["g"], r["k"]): r["rn"]
+        for r in df.withColumn("rn", F.row_number().over(w) - 1).collect()
+    }
+    assert got == ref
