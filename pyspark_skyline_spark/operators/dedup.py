@@ -36,6 +36,7 @@ __all__ = [
     "dedup_incremental",
     "dedup_incremental_neardup",
     "paragraph_dedup",
+    "paragraph_dedup_incremental",
     "spread_for_compute",
 ]
 
@@ -864,6 +865,40 @@ def dedup_incremental_neardup(
     return survivors.join(sigs_new, id_col, "left")
 
 
+
+
+def _para_units(
+    text_col: str, sep: str | None, chunk_words: int | None, joiner: str | None
+):
+    """Unit-splitting expression shared by the batch and incremental
+    paragraph dedup: either ``sep``-separated paragraphs or fixed
+    ``chunk_words``-word chunks (exactly one must be given). Returns
+    (array<string> Column, reassembly joiner)."""
+    if (sep is None) == (chunk_words is None):
+        raise ValueError("give exactly one of sep / chunk_words")
+    if sep is not None:
+        import re as _re
+
+        return F.split(F.col(text_col), _re.escape(sep)), (
+            sep if joiner is None else joiner
+        )
+    c = int(chunk_words)
+    if c < 1:
+        raise ValueError(f"chunk_words must be >= 1, got {chunk_words}")
+    words = F.split(F.col(text_col), " ")
+    n_chunks = F.ceil(F.size(words) / F.lit(float(c))).cast("int")
+    units = F.when(
+        F.size(words) > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(F.slice(words, i * c + 1, c), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return units, (" " if joiner is None else joiner)
+
+
+
+
 def paragraph_dedup(
     df: DataFrame,
     id_col: str,
@@ -893,28 +928,7 @@ def paragraph_dedup(
     size. Documents whose every unit was seen earlier disappear (both
     here and in the oracle).
     """
-    if (sep is None) == (chunk_words is None):
-        raise ValueError("give exactly one of sep / chunk_words")
-    if sep is not None:
-        import re as _re
-
-        units = F.split(F.col(text_col), _re.escape(sep))
-        joiner = sep if joiner is None else joiner
-    else:
-        c = int(chunk_words)
-        if c < 1:
-            raise ValueError(f"chunk_words must be >= 1, got {chunk_words}")
-        words = F.split(F.col(text_col), " ")
-        n_chunks = F.ceil(F.size(words) / F.lit(float(c))).cast("int")
-        units = F.when(
-            F.size(words) > 0,
-            F.transform(
-                F.sequence(F.lit(0), n_chunks - 1),
-                lambda i: F.array_join(F.slice(words, i * c + 1, c), " "),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-        joiner = " " if joiner is None else joiner
-
+    units, joiner = _para_units(text_col, sep, chunk_words, joiner)
     ex = df.select(F.col(id_col), F.posexplode(units).alias("pos", "__para"))
     ex = ex.withColumn("__ph", F.md5(F.col("__para")))
     # winner per distinct unit, then SEMI-JOIN BACK ON (id, pos) — a
@@ -941,3 +955,66 @@ def paragraph_dedup(
         ).alias(out_col),
         F.count(F.lit(1)).cast("long").alias("n_kept"),
     )
+
+
+def paragraph_dedup_incremental(
+    new_df: DataFrame,
+    ledger_df: DataFrame | None,
+    id_col: str,
+    text_col: str,
+    sep: str | None = None,
+    chunk_words: int | None = None,
+    joiner: str | None = None,
+    ledger_hash_col: str = "ph",
+    out_col: str = "text_dedup",
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental sub-document dedup: today's batch against the
+    accumulated UNIT-HASH ledger, then within-batch keep-first — the
+    streaming/daily-ingest form of ``paragraph_dedup`` (same unit
+    splitting, same keep-first semantics, same reassembly).
+
+    Returns ``(docs, new_hashes)``:
+
+    - ``docs`` — surviving documents ``(id_col, out_col, n_kept)``;
+      documents whose every unit already exists vanish, exactly like
+      the batch op;
+    - ``new_hashes`` — the distinct unit md5s first seen in THIS batch
+      (one ``ledger_hash_col`` column). Append them to the ledger so
+      the next batch dedups against corpus history. Out-before-ledger
+      ordering (write outputs, then append the ledger) makes replays
+      safe: a replayed batch just re-drops everything.
+
+    Shape at scale: the ledger side carries ONLY 16-byte unit hashes —
+    never text — and membership is a hash anti-join on the unit hash
+    (both sides shuffle by hash, no broadcast assumption; same design
+    as ``dedup_incremental``'s document ledger). ``ledger_df=None``
+    means an empty ledger (first batch): the result equals the batch
+    ``paragraph_dedup``.
+    """
+    units, joiner = _para_units(text_col, sep, chunk_words, joiner)
+    ex = new_df.select(F.col(id_col), F.posexplode(units).alias("pos", "__para"))
+    ex = ex.withColumn("__ph", F.md5(F.col("__para")))
+    if ledger_df is not None:
+        known = ledger_df.select(F.col(ledger_hash_col).alias("__ph")).distinct()
+        ex = ex.join(known, "__ph", "left_anti")
+    winners = (
+        ex.groupBy("__ph")
+        .agg(F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__w"))
+        .select(
+            F.col("__w").getField(id_col).alias(id_col),
+            F.col("__w").getField("pos").alias("pos"),
+        )
+    )
+    kept = ex.join(winners, [id_col, "pos"], "left_semi")
+    docs = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "__para"))),
+                lambda s: s.getField("__para"),
+            ),
+            joiner,
+        ).alias(out_col),
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+    )
+    new_hashes = kept.select(F.col("__ph").alias(ledger_hash_col)).distinct()
+    return docs, new_hashes

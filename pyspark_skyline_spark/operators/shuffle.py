@@ -35,11 +35,13 @@ building block here is a distributed total-order row number:
   sort + one filter; ``allocate_mixture`` converts float weights to
   integer counts by largest remainder.
 
-Scale notes: both row-number ops persist the range-shuffled input so
-the count job and the main job share the exchange, and both run the
-numbering arithmetic JVM-side (no Python in the row path).  The
+Scale notes: both row-number ops localCheckpoint the range-shuffled
+input so the count job and the main job share one materialization
+(reclaimed by the context cleaner), and both run the numbering
+arithmetic JVM-side (no Python in the row path).  The
 offset/adjustment tables are O(partitions + groups) and are applied
-via a broadcast join.
+via a broadcast join.  ``write_shards`` materializes an epoch as
+hive-partitioned, order-preserving shard files.
 """
 
 from __future__ import annotations
@@ -52,6 +54,7 @@ __all__ = [
     "grouped_row_number",
     "allocate_mixture",
     "mix_corpus",
+    "write_shards",
 ]
 
 # monotonically_increasing_id layout: upper 31 bits partition id,
@@ -288,3 +291,41 @@ def mix_corpus(
         F.col(rank_col) < F.coalesce(tmap[F.col(domain_col)], F.lit(0))
     )
     return out.drop("__mord")
+
+
+def write_shards(
+    df: DataFrame,
+    path: str,
+    key_cols: list[str],
+    n_shards: int = 8,
+    seed: int = 42,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    keep_order_col: bool = False,
+) -> None:
+    """Materialize a deterministic epoch shuffle as per-shard training
+    files: ``global_shuffle`` then write hive-partitioned by
+    ``__shard`` (``path/__shard=K/``), each shard sorted by ``__pos``
+    so a reader streaming one shard sees the corpus in the shuffled
+    order.  Shards are balanced to within one row (round-robin over
+    the permutation), so data-parallel trainers reading one shard per
+    worker stay load-balanced.
+
+    Re-running with the same seed reproduces the layout bit-for-bit;
+    a new seed is a new epoch.  The write repartitions ON the shard
+    column first (one task per shard — no tasks x shards small-file
+    explosion; shard count chooses the write parallelism).
+    ``keep_order_col`` retains ``__ord`` for audits; ``__pos`` is
+    always written (readers use it for resumable offsets).
+    """
+    out = global_shuffle(df, key_cols, n_shards, seed)
+    if not keep_order_col:
+        out = out.drop("__ord")
+    (
+        out.repartition(n_shards, F.col("__shard"))
+        .sortWithinPartitions("__shard", "__pos")
+        .write.format(fmt)
+        .partitionBy("__shard")
+        .mode(mode)
+        .save(path)
+    )

@@ -183,3 +183,62 @@ def test_grouped_row_number_null_and_delimiter_groups(spark):
     assert got[("x", None, 1)] == 0 and got[("x", None, 2)] == 1
     assert [got[(None, "x", k)] for k in (3, 4, 5)] == [0, 1, 2]
     assert got[("x\x1f", "", 6)] == 0
+
+
+def test_write_shards_layout_and_determinism(spark, orders, tmp_path):
+    from pyspark_skyline_spark.operators.shuffle import write_shards
+
+    out = str(tmp_path / "shards")
+    write_shards(orders, out, ["o_orderkey"], n_shards=4, seed=9)
+    import os
+
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("__shard="))
+    assert dirs == [f"__shard={i}" for i in range(4)]
+    back = spark.read.parquet(out)
+    n = orders.count()
+    assert back.count() == n
+    # balanced to within one row; __pos % 4 == shard
+    sizes = {r["__shard"]: r["n"] for r in back.groupBy("__shard").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    assert back.where(F.col("__pos") % 4 != F.col("__shard")).count() == 0
+    # same seed -> byte-identical layout (same keys per shard)
+    out2 = str(tmp_path / "shards2")
+    write_shards(orders, out2, ["o_orderkey"], n_shards=4, seed=9)
+    a = sorted(map(tuple, back.select("o_orderkey", "__pos", "__shard").collect()))
+    b = sorted(map(tuple, spark.read.parquet(out2).select("o_orderkey", "__pos", "__shard").collect()))
+    assert a == b
+
+
+def test_paragraph_dedup_incremental_cross_batch(spark):
+    from pyspark_skyline_spark.operators.dedup import (
+        paragraph_dedup,
+        paragraph_dedup_incremental,
+    )
+
+    b1 = spark.createDataFrame(
+        [Row(doc_id=1, text="aa bb|cc dd"), Row(doc_id=2, text="cc dd|ee ff")]
+    )
+    # first batch (no ledger) == the batch operator
+    docs1, h1 = paragraph_dedup_incremental(b1, None, "doc_id", "text", sep="|")
+    batch = paragraph_dedup(b1, "doc_id", "text", sep="|")
+    assert sorted(map(tuple, docs1.collect())) == sorted(map(tuple, batch.collect()))
+    assert h1.count() == 3  # "aa bb", "cc dd", "ee ff"
+
+    # second batch vs the accumulated ledger: known units drop even
+    # though they are this batch's first occurrence
+    b2 = spark.createDataFrame(
+        [Row(doc_id=10, text="cc dd|gg hh"), Row(doc_id=11, text="ee ff|gg hh")]
+    )
+    docs2, h2 = paragraph_dedup_incremental(b2, h1, "doc_id", "text", sep="|")
+    got = {r["doc_id"]: r["text_dedup"] for r in docs2.collect()}
+    assert got == {10: "gg hh"}  # 11 fully known/dup -> vanishes
+    assert {r["ph"] for r in h2.collect()} == {
+        r["ph"]
+        for r in spark.createDataFrame([("gg hh",)], "t string")
+        .select(F.md5("t").alias("ph"))
+        .collect()
+    }
+    # replay safety: re-running batch 2 against the grown ledger drops everything
+    ledger = h1.union(h2)
+    docs2r, h2r = paragraph_dedup_incremental(b2, ledger, "doc_id", "text", sep="|")
+    assert docs2r.count() == 0 and h2r.count() == 0
