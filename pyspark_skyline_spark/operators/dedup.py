@@ -928,33 +928,9 @@ def paragraph_dedup(
     size. Documents whose every unit was seen earlier disappear (both
     here and in the oracle).
     """
-    units, joiner = _para_units(text_col, sep, chunk_words, joiner)
-    ex = df.select(F.col(id_col), F.posexplode(units).alias("pos", "__para"))
-    ex = ex.withColumn("__ph", F.md5(F.col("__para")))
-    # winner per distinct unit, then SEMI-JOIN BACK ON (id, pos) — a
-    # unique, uniformly distributed key — never on the hash: joining on
-    # __ph would funnel every occurrence of a hot boilerplate unit into
-    # one join partition, recreating the skew the min(struct) aggregate
-    # just avoided
-    winners = (
-        ex.groupBy("__ph")
-        .agg(F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__w"))
-        .select(
-            F.col("__w").getField(id_col).alias(id_col),
-            F.col("__w").getField("pos").alias("pos"),
-        )
-    )
-    kept = ex.join(winners, [id_col, "pos"], "left_semi")
-    return kept.groupBy(id_col).agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "__para"))),
-                lambda s: s.getField("__para"),
-            ),
-            joiner,
-        ).alias(out_col),
-        F.count(F.lit(1)).cast("long").alias("n_kept"),
-    )
+    return paragraph_dedup_incremental(
+        df, None, id_col, text_col, sep, chunk_words, joiner, out_col=out_col
+    )[0]
 
 
 def paragraph_dedup_incremental(
@@ -994,18 +970,29 @@ def paragraph_dedup_incremental(
     units, joiner = _para_units(text_col, sep, chunk_words, joiner)
     ex = new_df.select(F.col(id_col), F.posexplode(units).alias("pos", "__para"))
     ex = ex.withColumn("__ph", F.md5(F.col("__para")))
+    # Skew discipline: occurrence rows are NEVER joined on the unit
+    # hash (a boilerplate unit repeated a billion times would funnel
+    # every copy into one join partition). The winner aggregate first
+    # reduces to ONE ROW PER DISTINCT HASH (map-side partials absorb
+    # the hot hash); the ledger anti-join then runs on that one-row-
+    # per-hash table, and occurrences are semi-joined back on the
+    # unique, uniformly distributed (id, pos) key.
+    winners = ex.groupBy("__ph").agg(
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__w")
+    )
     if ledger_df is not None:
         known = ledger_df.select(F.col(ledger_hash_col).alias("__ph")).distinct()
-        ex = ex.join(known, "__ph", "left_anti")
-    winners = (
-        ex.groupBy("__ph")
-        .agg(F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__w"))
-        .select(
-            F.col("__w").getField(id_col).alias(id_col),
-            F.col("__w").getField("pos").alias("pos"),
-        )
+        winners = winners.join(known, "__ph", "left_anti")
+    winners = winners.select(
+        F.col("__w").getField(id_col).alias(id_col),
+        F.col("__w").getField("pos").alias("pos"),
+        F.col("__ph"),
     )
-    kept = ex.join(winners, [id_col, "pos"], "left_semi")
+    # a kept occurrence IS the winner of a first-seen hash: known-hash
+    # units drop everywhere, later duplicates within the batch drop too
+    kept = ex.join(
+        winners.select(id_col, "pos"), [id_col, "pos"], "left_semi"
+    )
     docs = kept.groupBy(id_col).agg(
         F.array_join(
             F.transform(
@@ -1016,5 +1003,5 @@ def paragraph_dedup_incremental(
         ).alias(out_col),
         F.count(F.lit(1)).cast("long").alias("n_kept"),
     )
-    new_hashes = kept.select(F.col("__ph").alias(ledger_hash_col)).distinct()
+    new_hashes = winners.select(F.col("__ph").alias(ledger_hash_col))
     return docs, new_hashes

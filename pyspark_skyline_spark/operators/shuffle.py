@@ -322,7 +322,11 @@ def write_shards(
     if not keep_order_col:
         out = out.drop("__ord")
     (
-        out.repartition(n_shards, F.col("__shard"))
+        # RANGE partition on the shard id: hash repartition would send
+        # pmod(murmur3(k), n) collisions of the n small ints to one
+        # task, leaving some write slots idle — range boundaries over n
+        # distinct values give the documented one-task-per-shard layout
+        out.repartitionByRange(n_shards, F.col("__shard"), F.col("__pos"))
         .sortWithinPartitions("__shard", "__pos")
         .write.format(fmt)
         .partitionBy("__shard")
