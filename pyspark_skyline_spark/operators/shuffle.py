@@ -28,7 +28,13 @@ building block here is a distributed total-order row number:
   group may span many range partitions and each partition sorts only
   its slice.  Per-(partition, group) counts are collected (groups are
   contiguous under the sort, so that's O(partitions + groups) rows)
-  and stitched into per-group offsets on the driver.
+  and stitched into per-group offsets on the driver.  The driver
+  stitch is only safe when groups are FEW — a high-cardinality group
+  key would collect O(groups) rows to the driver — so the op probes
+  ``approx_count_distinct(group)`` first and, past ``max_groups``,
+  falls back to ``Window.partitionBy`` (the RIGHT plan when groups
+  are numerous and small: skew only bites when groups are few and
+  hot) or raises, per ``on_many_groups``.
 - ``mix_corpus``: exact domain-weighted mixture — take the first
   ``targets[domain]`` rows of each domain in md5 order.  The standard
   "data mixing" step (sample each source to its target share) as one
@@ -46,7 +52,9 @@ hive-partitioned, order-preserving shard files.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+import warnings
+
+from pyspark.sql import DataFrame, Window, functions as F
 
 __all__ = [
     "global_row_number",
@@ -59,6 +67,11 @@ __all__ = [
 
 # monotonically_increasing_id layout: upper 31 bits partition id,
 # lower 33 bits record index within the partition (Spark API docs).
+# The partition id itself comes from spark_partition_id() (contracted
+# API); the mid supplies only the within-partition counter, and the
+# counts job asserts per-partition that counters are exactly
+# 0..cnt-1, so a layout drift in a future Spark fails loudly instead
+# of silently corrupting positions.
 _MID_BITS = 33
 _MID_MASK = (1 << _MID_BITS) - 1
 
@@ -67,6 +80,21 @@ def _num_partitions(df: DataFrame, num_partitions: int | None) -> int:
     if num_partitions is not None:
         return max(1, int(num_partitions))
     return max(1, int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")))
+
+
+def _check_lpos_layout(pid: int, cnt: int, lo: int, hi: int) -> None:
+    """Loud guard for the monotonically_increasing_id record-index
+    contract: within one task the masked counter must be exactly
+    0..cnt-1.  If a Spark upgrade changed the bit layout or Catalyst
+    reordered the id below the sort, positions would be garbage —
+    fail the job instead."""
+    if lo != 0 or hi != cnt - 1:
+        raise RuntimeError(
+            "monotonically_increasing_id layout drift detected in "
+            f"partition {pid}: local counters span [{lo}, {hi}] for "
+            f"{cnt} rows (expected [0, {cnt - 1}]). Spark's record-"
+            "index contract changed; row numbering would be corrupt."
+        )
 
 
 def global_row_number(
@@ -90,15 +118,25 @@ def global_row_number(
     part = (
         df.repartitionByRange(n, *[F.col(c) for c in order_cols])
         .sortWithinPartitions(*order_cols)
-        .withColumn("__mid", F.monotonically_increasing_id())
-        .withColumn("__gpid", F.shiftrightunsigned(F.col("__mid"), _MID_BITS))
-        .withColumn("__lpos", F.col("__mid").bitwiseAND(F.lit(_MID_MASK)))
+        .withColumn("__gpid", F.spark_partition_id().cast("long"))
+        .withColumn(
+            "__lpos", F.monotonically_increasing_id().bitwiseAND(F.lit(_MID_MASK))
+        )
         .localCheckpoint(eager=False)
     )
-    counts = {
-        r["__gpid"]: r["cnt"]
-        for r in part.groupBy("__gpid").agg(F.count(F.lit(1)).alias("cnt")).collect()
-    }
+    stats = (
+        part.groupBy("__gpid")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("__lpos").alias("lo"),
+            F.max("__lpos").alias("hi"),
+        )
+        .collect()
+    )
+    counts = {}
+    for r in stats:
+        _check_lpos_layout(r["__gpid"], r["cnt"], r["lo"], r["hi"])
+        counts[r["__gpid"]] = r["cnt"]
     acc = 0
     offsets = []
     for pid in sorted(counts):
@@ -109,7 +147,7 @@ def global_row_number(
     out = (
         part.join(F.broadcast(off), "__gpid", "left")
         .withColumn(pos_col, F.coalesce(F.col("__off"), F.lit(0)) + F.col("__lpos"))
-        .drop("__mid", "__gpid", "__lpos", "__off")
+        .drop("__gpid", "__lpos", "__off")
     )
     return out
 
@@ -155,12 +193,30 @@ def global_shuffle(
     return out.withColumn(shard_col, (F.col(pos_col) % n_shards).cast("int"))
 
 
+def _group_key_expr(group_cols: list[str]):
+    # NULL-safe, injection-safe composite key: base64 has no \x1f and
+    # the \x00 sentinel is outside the base64 alphabet
+    return F.concat_ws(
+        "\x1f",
+        *[
+            F.coalesce(
+                F.base64(F.col(c).cast("string").cast("binary")),
+                F.lit("\x00NULL"),
+            )
+            for c in group_cols
+        ],
+    )
+
+
 def grouped_row_number(
     df: DataFrame,
     group_cols: list[str],
     order_cols: list[str],
     pos_col: str = "__gpos",
     num_partitions: int | None = None,
+    max_groups: int = 100_000,
+    on_many_groups: str = "window",
+    num_groups_hint: int | None = None,
 ) -> DataFrame:
     """Add a 0-based row number *within each group* in ``order_cols``
     order, without ``Window.partitionBy(group)``'s one-task-per-group
@@ -178,37 +234,90 @@ def grouped_row_number(
     internal group key base64-encodes each value with a distinct NULL
     sentinel, so ``("x", NULL)`` / ``(NULL, "x")`` and
     delimiter-containing values never collapse into one group.
+
+    **Cardinality guard** (the stitch collects O(groups) rows to the
+    driver, so it is only safe when groups are FEW — domains, splits,
+    shards): a one-scan ``approx_count_distinct`` probe runs first;
+    past ``max_groups`` the op either auto-falls back to
+    ``Window.partitionBy(group)`` (``on_many_groups="window"``, the
+    default — the right plan when groups are numerous and small,
+    because per-group skew only bites when groups are few and hot) or
+    raises (``on_many_groups="error"``, for callers that must have
+    the range-shuffle plan).  ``num_groups_hint`` skips the probe
+    when the caller already knows the cardinality (e.g. it just
+    enumerated the domains) — the hint is still checked against
+    ``max_groups``.
     """
-    n = _num_partitions(df, num_partitions)
-    # NULL-safe, injection-safe composite key: base64 has no \x1f and
-    # the \x00 sentinel is outside the base64 alphabet
-    gk = F.concat_ws(
-        "\x1f",
-        *[
-            F.coalesce(
-                F.base64(F.col(c).cast("string").cast("binary")),
-                F.lit("\x00NULL"),
+    if on_many_groups not in ("window", "error"):
+        raise ValueError(
+            f"on_many_groups must be 'window' or 'error', got {on_many_groups!r}"
+        )
+    gk = _group_key_expr(group_cols)
+    if num_groups_hint is not None:
+        n_groups = int(num_groups_hint)
+    else:
+        # one scan, no wide shuffle: HLL sketches merge map-side.
+        n_groups = df.agg(F.approx_count_distinct(gk).alias("g")).collect()[0]["g"]
+    if n_groups > max_groups:
+        if on_many_groups == "error":
+            raise RuntimeError(
+                f"grouped_row_number: ~{n_groups} distinct groups exceeds "
+                f"max_groups={max_groups}; the driver-side stitch would "
+                "collect O(groups) rows. Raise max_groups only if the "
+                "driver can hold that, or use on_many_groups='window'."
             )
-            for c in group_cols
-        ],
-    )
+        warnings.warn(
+            f"grouped_row_number: ~{n_groups} distinct groups > "
+            f"max_groups={max_groups}; falling back to "
+            "Window.partitionBy (numerous small groups hash-partition "
+            "fine; the range-shuffle plan is for few hot groups).",
+            stacklevel=2,
+        )
+        w = Window.partitionBy(*group_cols).orderBy(
+            *[F.col(c) for c in order_cols]
+        )
+        return df.withColumn(pos_col, (F.row_number().over(w) - F.lit(1)).cast("long"))
+    n = _num_partitions(df, num_partitions)
     part = (
         df.repartitionByRange(n, *[F.col(c) for c in group_cols + order_cols])
         .sortWithinPartitions(*(group_cols + order_cols))
         .withColumn("__gkey", gk)
-        .withColumn("__mid", F.monotonically_increasing_id())
-        .withColumn("__gpid", F.shiftrightunsigned(F.col("__mid"), _MID_BITS))
-        .withColumn("__lpos", F.col("__mid").bitwiseAND(F.lit(_MID_MASK)))
+        .withColumn("__gpid", F.spark_partition_id().cast("long"))
+        .withColumn(
+            "__lpos", F.monotonically_increasing_id().bitwiseAND(F.lit(_MID_MASK))
+        )
         .localCheckpoint(eager=False)
     )
     # one small job: per-(partition, group-run) count and local start.
     stats = (
         part.groupBy("__gpid", "__gkey")
-        .agg(F.count(F.lit(1)).alias("cnt"), F.min("__lpos").alias("start"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("__lpos").alias("start"),
+            F.max("__lpos").alias("end"),
+        )
         .collect()
     )
     # group runs sorted by (pid, local start) == global group/order sort.
     stats.sort(key=lambda r: (r["__gpid"], r["start"]))
+    # layout guard: group runs are contiguous under the sort, so their
+    # [start, end] counter spans must tile each partition as exactly
+    # 0..partition_count-1; any gap/overlap means the id contract drifted.
+    run_pos = 0
+    prev_pid = None
+    for r in stats:
+        if r["__gpid"] != prev_pid:
+            prev_pid, run_pos = r["__gpid"], 0
+        if r["start"] != run_pos or r["end"] != run_pos + r["cnt"] - 1:
+            raise RuntimeError(
+                "monotonically_increasing_id layout drift detected in "
+                f"partition {r['__gpid']}: group run spans counters "
+                f"[{r['start']}, {r['end']}] for {r['cnt']} rows where "
+                f"[{run_pos}, {run_pos + r['cnt'] - 1}] was expected. "
+                "Spark's record-index contract changed; grouped row "
+                "numbering would be corrupt."
+            )
+        run_pos += r["cnt"]
     seen: dict[str, int] = {}
     adj = []
     for r in stats:
@@ -222,7 +331,7 @@ def grouped_row_number(
     out = (
         part.join(F.broadcast(adj_df), ["__gpid", "__gkey"], "left")
         .withColumn(pos_col, F.col("__lpos") + F.coalesce(F.col("__adj"), F.lit(0)))
-        .drop("__mid", "__gpid", "__gkey", "__lpos", "__adj")
+        .drop("__gpid", "__gkey", "__lpos", "__adj")
     )
     return out
 
@@ -273,6 +382,11 @@ def mix_corpus(
     for k, v in targets.items():
         if v < 0:
             raise ValueError(f"negative target for {k!r}: {v}")
+    if not targets:
+        # empty mixture = empty result; also sidesteps the zero-arg
+        # F.create_map() literal, whose typing is engine-version
+        # sensitive.
+        return df.withColumn(rank_col, F.lit(0).cast("long")).where(F.lit(False))
     keyed = df.withColumn(
         "__mord",
         F.md5(
@@ -287,8 +401,10 @@ def mix_corpus(
     tmap = F.create_map(
         *[F.lit(x) for kv in sorted(targets.items()) for x in kv]
     )
+    # explicit string cast: map keys are strings; a non-string domain
+    # column would otherwise rely on implicit-cast lookup semantics.
     out = ranked.where(
-        F.col(rank_col) < F.coalesce(tmap[F.col(domain_col)], F.lit(0))
+        F.col(rank_col) < F.coalesce(tmap[F.col(domain_col).cast("string")], F.lit(0))
     )
     return out.drop("__mord")
 

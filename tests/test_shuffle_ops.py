@@ -185,6 +185,81 @@ def test_grouped_row_number_null_and_delimiter_groups(spark):
     assert got[("x\x1f", "", 6)] == 0
 
 
+def test_grouped_row_number_many_groups_window_fallback(spark, orders):
+    # grouping by a (near-)unique key makes the driver stitch
+    # O(rows) — past max_groups the op must fall back to
+    # Window.partitionBy and still be observationally identical
+    with pytest.warns(UserWarning, match="falling back to\\s+Window.partitionBy"):
+        out = grouped_row_number(
+            orders, ["o_custkey"], ["o_orderkey"], pos_col="rn", max_groups=10
+        )
+    got = {(r["o_custkey"], r["o_orderkey"]): r["rn"] for r in out.collect()}
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    ref = {
+        (r["o_custkey"], r["o_orderkey"]): r["rn"]
+        for r in orders.withColumn("rn", F.row_number().over(w) - 1).collect()
+    }
+    assert got == ref
+    # the fallback plan hash-partitions on the group (no range shuffle)
+    from pyspark_skyline_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(out)
+    assert "hashpartitioning" in plan and "rangepartitioning" not in plan
+
+
+def test_grouped_row_number_many_groups_error_mode(spark, orders):
+    with pytest.raises(RuntimeError, match="distinct groups exceeds"):
+        grouped_row_number(
+            orders,
+            ["o_custkey"],
+            ["o_orderkey"],
+            max_groups=10,
+            on_many_groups="error",
+        )
+    with pytest.raises(ValueError, match="on_many_groups"):
+        grouped_row_number(orders, ["o_custkey"], ["o_orderkey"], on_many_groups="no")
+
+
+def test_grouped_row_number_hint_skips_probe(spark, orders):
+    # a hint under the cap takes the range-shuffle path with NO probe
+    # job (hint trusted); a hint over the cap falls back immediately
+    out = grouped_row_number(
+        orders,
+        ["o_orderstatus"],
+        ["o_orderkey"],
+        pos_col="rn",
+        num_groups_hint=3,
+        num_partitions=4,
+    )
+    from pyspark_skyline_spark.plans.explain import formatted_plan
+
+    # range path: ends in the broadcast adjustment join (the stats job
+    # materialized the lazy checkpoint, so the range exchange itself is
+    # below the checkpoint cut); fallback path: a window over a hash
+    # shuffle, no broadcast join
+    plan = formatted_plan(out)
+    assert "BroadcastHashJoin" in plan and "Window" not in plan
+    with pytest.warns(UserWarning):
+        out2 = grouped_row_number(
+            orders,
+            ["o_orderstatus"],
+            ["o_orderkey"],
+            pos_col="rn",
+            num_groups_hint=10**9,
+        )
+    plan2 = formatted_plan(out2)
+    assert "Window" in plan2 and "hashpartitioning" in plan2
+    a = sorted((r["o_orderstatus"], r["o_orderkey"], r["rn"]) for r in out.collect())
+    b = sorted((r["o_orderstatus"], r["o_orderkey"], r["rn"]) for r in out2.collect())
+    assert a == b
+
+
+def test_mix_corpus_empty_targets(spark, orders):
+    out = mix_corpus(orders, "o_orderstatus", {}, ["o_orderkey"])
+    assert out.count() == 0
+    assert "mix_rank" in out.columns
+
+
 def test_write_shards_layout_and_determinism(spark, orders, tmp_path):
     from pyspark_skyline_spark.operators.shuffle import write_shards
 
