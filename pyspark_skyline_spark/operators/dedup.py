@@ -920,10 +920,13 @@ def paragraph_dedup(
 
     Scale path: units are exploded with their position, hashed with
     md5 (engine-portable → DuckDB-oracle-gradable), and the winner per
-    hash is a ``min(struct(id, pos))`` aggregate — map-side partial
-    aggregation, so a boilerplate unit repeated a billion times
-    reduces to one row per map task before the shuffle (a window
-    ``row_number`` over the hash would put the hot hash in one task).
+    hash is a ``min(struct(id, pos, text))`` aggregate — map-side
+    partial aggregation, so a boilerplate unit repeated a billion
+    times reduces to one row per map task before the shuffle (a window
+    ``row_number`` over the hash would put the hot hash in one task),
+    and because the struct carries the unit text, the kept units flow
+    straight into reassembly with NO join back to the occurrence table
+    (one fewer full-data shuffle than the join-back formulation).
     Reassembly is a per-document ``collect_list`` bounded by document
     size. Documents whose every unit was seen earlier disappear (both
     here and in the oracle).
@@ -972,26 +975,29 @@ def paragraph_dedup_incremental(
     ex = ex.withColumn("__ph", F.md5(F.col("__para")))
     # Skew discipline: occurrence rows are NEVER joined on the unit
     # hash (a boilerplate unit repeated a billion times would funnel
-    # every copy into one join partition). The winner aggregate first
-    # reduces to ONE ROW PER DISTINCT HASH (map-side partials absorb
-    # the hot hash); the ledger anti-join then runs on that one-row-
-    # per-hash table, and occurrences are semi-joined back on the
-    # unique, uniformly distributed (id, pos) key.
+    # every copy into one join partition). The winner aggregate reduces
+    # to ONE ROW PER DISTINCT HASH — map-side partials absorb the hot
+    # hash — and the struct CARRIES THE UNIT TEXT, so the winning
+    # occurrence needs no join back to the exploded rows at all (the
+    # previous shape semi-joined occurrences on (id, pos), re-shuffling
+    # the full text-carrying table a second time). (id, pos) is unique,
+    # so the text field never participates in the min comparison.
+    # Network cost: at most one text copy per (map task, distinct hash)
+    # into the __ph shuffle — duplicate copies collapse before moving —
+    # then only the KEPT units into the per-document reassembly.
     winners = ex.groupBy("__ph").agg(
-        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__w")
+        F.min(F.struct(F.col(id_col), F.col("pos"), F.col("__para"))).alias("__w")
     )
     if ledger_df is not None:
+        # ledger membership is checked on the one-row-per-hash table —
+        # both sides shuffle by the 16-byte hash, no broadcast assumption
         known = ledger_df.select(F.col(ledger_hash_col).alias("__ph")).distinct()
         winners = winners.join(known, "__ph", "left_anti")
-    winners = winners.select(
+    kept = winners.select(
         F.col("__w").getField(id_col).alias(id_col),
         F.col("__w").getField("pos").alias("pos"),
+        F.col("__w").getField("__para").alias("__para"),
         F.col("__ph"),
-    )
-    # a kept occurrence IS the winner of a first-seen hash: known-hash
-    # units drop everywhere, later duplicates within the batch drop too
-    kept = ex.join(
-        winners.select(id_col, "pos"), [id_col, "pos"], "left_semi"
     )
     docs = kept.groupBy(id_col).agg(
         F.array_join(

@@ -161,6 +161,19 @@ def test_paragraph_dedup_chunk_mode(spark):
         paragraph_dedup(docs, "doc_id", "text", sep="|", chunk_words=2)
 
 
+def test_paragraph_dedup_plan_is_join_free_two_exchanges(spark, sf_dir):
+    # the winner aggregate carries the unit text in its min-struct, so
+    # the kept units flow straight into reassembly: exactly TWO
+    # exchanges (partial-agged __ph shuffle + per-doc reassembly) and
+    # NO join back to the occurrence table
+    from pyspark_skyline_spark.plans.explain import formatted_plan
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = paragraph_dedup(docs, "doc_id", "text", chunk_words=8)
+    assert_max_exchanges(out, 2)
+    assert "Join" not in formatted_plan(out)
+
+
 def test_paragraph_dedup_partitioning_invariant(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     a = paragraph_dedup(docs, "doc_id", "text", chunk_words=8)
