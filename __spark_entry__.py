@@ -47,13 +47,6 @@ _SKYLINE_QUERIES: dict[str, tuple[str, list[tuple[str, str]], str]] = {
         [("c_acctbal", "max"), ("c_custkey", "min")],
         "MR_GRID",
     ),
-    # the MR_GRID and (round-4) MR_ANGLE legs of this differential
-    # moved to extra_queries(): MR_GRID keeps its driver row via
-    # skyline_customer_acctbal, MR_ANGLE via skyline_events_value_ts,
-    # and the three-way differential survives in pytest — freeing gate
-    # rows for previously-ungraded operator families (fuzzy matching,
-    # SCD2, histogram)
-    "skyline_part_dim": ("part", [("p_retailprice", "min"), ("p_size", "min")], "MR_DIM"),
     "skyline_events_value_ts": (
         "events",
         [("value", "min"), ("ts", "min")],
@@ -101,6 +94,17 @@ _EXTRA_SKYLINE_QUERIES: dict[str, tuple[str, list[tuple[str, str]], str]] = {
         [("p_retailprice", "min"), ("p_size", "min")],
         "MR_GRID",
     ),
+    # round-5 rotation: MR_DIM stays driver-graded via
+    # skyline_lineitem_2d_mixed + skyline_orders_price_date; the K11
+    # parser front door this row carried moved to
+    # skyline_lineitem_2d_mixed (via_sql below), so the parser keeps a
+    # hard-gate row. Freed the slot for stream-stream join / BM25 /
+    # split-dataset coverage.
+    "skyline_part_dim": (
+        "part",
+        [("p_retailprice", "min"), ("p_size", "min")],
+        "MR_DIM",
+    ),
     # round-4 rotation: MR_ANGLE stays driver-graded via
     # skyline_events_value_ts (same packed angular key + reflection)
     "skyline_part_angle": (
@@ -114,10 +118,11 @@ _EXTRA_SKYLINE_QUERIES: dict[str, tuple[str, list[tuple[str, str]], str]] = {
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name, (table, dims, algo) in _SKYLINE_QUERIES.items():
-        # skyline_part_dim goes through the SKYLINE OF query-string front
-        # door so the K11 parser gets a graded driver row (same result)
+        # skyline_lineitem_2d_mixed goes through the SKYLINE OF
+        # query-string front door so the K11 parser gets a graded driver
+        # row (same result; carried by skyline_part_dim before rotation #5)
         out[name] = _make_skyline_query(
-            table, dims, algo, via_sql=(name == "skyline_part_dim")
+            table, dims, algo, via_sql=(name == "skyline_lineitem_2d_mixed")
         )
     from pyspark_skyline_spark.entry_ext import ext_queries
 

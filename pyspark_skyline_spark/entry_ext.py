@@ -2355,7 +2355,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (tests/test_entry.py), just not by the driver's capped gate.
     "text_stats_documents": _q_text_stats,
     "lang_id_documents": _q_lang_id,
-    "subword_count_documents": _q_subword_count,
     "winnow_fingerprints_documents": _q_winnow,
     "quality_documents": _q_quality,
     "minhash_pairs_documents": _q_minhash_pairs,
@@ -2366,7 +2365,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "skyline_layers_orders": _q_skyline_layers_orders,
     "sessionize_events": _q_sessionize_events,
     "k_skyband_part": _q_k_skyband_part,
-    "rolling_stats_events": _q_rolling_stats_events,
     "cosine_topk_embeddings": _q_cosine_topk,
     # exhaustive-mode driver entry (exact oracle); approximation quality
     # at real parameters is graded by the recall pytests. The IVF leg
@@ -2426,6 +2424,18 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "global_shuffle_orders": _q_global_shuffle_orders,
     "mix_corpus_documents": _q_mix_corpus_documents,
     "paragraph_dedup_documents": _q_paragraph_dedup_documents,
+    # round-5 rotation: the strongest remaining extras get hard-gate
+    # rows (retired: skyline_part_dim, subword_count_documents,
+    # rolling_stats_events — rationale at their extra entries).
+    # stream_join grades the watermarked stream-stream interval join
+    # through the real streaming engine (the only join family not yet
+    # driver-graded); bm25 grades the text-relevance scoring family
+    # (df/idf/length-normalized tf over the corpus); split_dataset
+    # grades the anti-leak hash-split property — practically the most
+    # load-bearing LLM-pipeline op that was still extras-only.
+    "stream_join_error_click_events": _q_stream_join_events,
+    "bm25_documents": _q_bm25_documents,
+    "split_dataset_orders": _q_split_dataset_orders,
 }
 
 #: Retired from the driver's 50-entry gate as redundant with rows that
@@ -2451,16 +2461,13 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_frame_sample": _q_multimodal_frames,
     "stream_sliding_stats_events": _q_stream_sliding_stats_events,
     # round-3 additions past the 50-cap: oracle-graded by pytest
-    "split_dataset_orders": _q_split_dataset_orders,
     "tfidf_topk_documents": _q_tfidf_topk_documents,
     "ngram_counts_documents": _q_ngram_counts_documents,
     "multi_join_revenue": _q_multi_join_revenue,
-    "bm25_documents": _q_bm25_documents,
     "hash_embed_documents": _q_hash_embed_documents,
     "column_quantiles_orders": _q_column_quantiles_orders,
     "rollup_orders": _q_rollup_orders,
     "pivot_events": _q_pivot_events,
-    "stream_join_error_click_events": _q_stream_join_events,
     "dedup_incremental_documents": _q_dedup_incremental_documents,
     "stream_vocab_documents": _q_stream_vocab_documents,
     "contamination_report_documents": _q_contamination_report_documents,
@@ -2498,6 +2505,14 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # no oracle (iterative k-means): rows-only at the gate, exactness
     # graded by the NumPy-differential pytest (tests/test_similarity.py)
     "semantic_dedup_embeddings": _q_semantic_dedup_embeddings,
+    # round-5 rotation out of the 50-cap (swapped for stream_join/bm25/
+    # split_dataset): BPE-ish subword counting stays graded here and
+    # inside quality_documents' token stats; rolling window frames stay
+    # graded here and via topk_orders_per_customer's ranked windows +
+    # the stream window rows. (skyline_part_dim moved to the extra
+    # skyline registry in __spark_entry__.py.)
+    "subword_count_documents": _q_subword_count,
+    "rolling_stats_events": _q_rolling_stats_events,
 }
 
 
