@@ -269,6 +269,36 @@ def ann_recall(spark, sf_dir: str) -> dict:
         }
         civf_hits += len(got & want)
 
+    # SemDeDup planted-clone recall at PRODUCTION parameters: plant
+    # near-identical clones (cosine ~0.999 to their base, comfortably
+    # past the 0.95 production threshold) into the clustered fixture
+    # with ids ABOVE every base id, run semantic_dedup at production
+    # nlist, and measure the fraction of clones dropped. A quality
+    # regression at real parameters (bad centroids, broken cell prune)
+    # shows here round-over-round even though the op has no SQL oracle.
+    sd_rng = np.random.default_rng(13)
+    n_sd = 10
+    sd_base = sd_rng.choice(len(cids), size=n_sd, replace=False)
+    sd_clone_ids = np.arange(len(cids), len(cids) + n_sd)
+    sd_clones = cvecs[sd_base] + 0.01 * sd_rng.standard_normal((n_sd, dim))
+    sd_df = cdf.unionByName(
+        spark.createDataFrame(
+            [
+                (int(i), [float(x) for x in v])
+                for i, v in zip(sd_clone_ids, sd_clones)
+            ],
+            "vec_id long, embedding array<float>",
+        )
+    )
+    sd_kept = {
+        r.vec_id
+        for r in S.semantic_dedup(
+            sd_df, "vec_id", "embedding", nlist=12, threshold=0.95
+        ).collect()
+    }
+    sd_dropped = sum(1 for i in sd_clone_ids if int(i) not in sd_kept)
+    sd_bases_kept = sum(1 for i in sd_base if int(cids[i]) in sd_kept)
+
     return {
         "lsh_topk@10": round(lsh_hits / (k * len(probes)), 3),
         "ivf_topk@10": round(ivf_hits / (k * len(probes)), 3),
@@ -277,6 +307,8 @@ def ann_recall(spark, sf_dir: str) -> dict:
         "near_dup_all_pairs": round(len(got_pairs & truth) / len(truth), 3) if truth else 1.0,
         "near_dup_truth_pairs": len(truth),
         "minhash_planted@J0.7": round(mh_recall, 3),
+        "semdedup_planted": round(sd_dropped / n_sd, 3),
+        "semdedup_bases_kept": round(sd_bases_kept / n_sd, 3),
     }
 
 
@@ -361,6 +393,7 @@ def main() -> None:
     # AnalysisException). Failing queries are recorded under "errors"
     # and excluded from the total; the final JSON line always prints.
     timings: dict[str, float] = {}
+    passes: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     for _pass in range(2):
         for name, fn in sorted(entry.queries().items()):
@@ -375,9 +408,11 @@ def main() -> None:
             except Exception as exc:
                 errors[name] = f"{type(exc).__name__}: {exc}"[:500]
                 timings.pop(name, None)
+                passes.pop(name, None)
                 print(f"# pass{_pass} {name}: ERROR {errors[name]}", file=sys.stderr)
                 continue
             dt = round(time.perf_counter() - t0, 3)
+            passes.setdefault(name, []).append(dt)
             if name not in timings or dt < timings[name]:
                 timings[name] = dt
             print(f"# pass{_pass} {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
@@ -388,6 +423,11 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        # both raw pass times per query (execution order), not just the
+        # min: host contention shows up as pass1/pass2 divergence, so a
+        # future slow artifact is distinguishable from real plan drift
+        # without re-running anything
+        "passes": passes,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     # untimed tail: ANN approximation quality at PRODUCTION parameters

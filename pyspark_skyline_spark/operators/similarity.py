@@ -502,8 +502,8 @@ def semantic_dedup(
     """SemDeDup (Abbas et al., 2023, arXiv:2303.03540): embedding-level
     semantic dedup — cluster vectors with spherical k-means, then
     within each cluster greedily drop any vector whose cosine to an
-    already-kept earlier vector (smaller id) exceeds ``threshold``.
-    Returns the surviving rows as ``(id_col, cell_col)``.
+    already-kept earlier vector (smaller id) meets or exceeds
+    ``threshold``. Returns the surviving rows as ``(id_col, cell_col)``.
 
     Scale path: the k-means fit is the bounded deterministic sample of
     ``train_ivf_centroids`` (O(train_n · d) driver work regardless of
@@ -520,9 +520,6 @@ def semantic_dedup(
     planted-duplicate pytest (tests/test_similarity.py).
     """
     C = train_ivf_centroids(df, id_col, vec_col, nlist, train_n, iters, seed)
-    assigned = ivf_assign(
-        df.select(id_col, vec_col), vec_col, C, cell_col="__sd_cell"
-    )
     from pyspark.sql.types import IntegerType, StructField, StructType
 
     out_schema = StructType(
@@ -530,6 +527,9 @@ def semantic_dedup(
     )
     if C.shape[0] == 0:  # empty table: nothing to dedup
         return df.sparkSession.createDataFrame([], out_schema)
+    assigned = ivf_assign(
+        df.select(id_col, vec_col), vec_col, C, cell_col="__sd_cell"
+    )
 
     def prune(key, pdf):
         if len(pdf) > max_cell:

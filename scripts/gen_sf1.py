@@ -66,13 +66,24 @@ def gen(out_dir: str, scale: int = 10) -> None:
         "c_mktsegment": pa.array(seg[rng.integers(0, len(seg), n_cust)]),
     }))
 
-    adjs = ["large", "hot", "blue", "small", "red", "dark", "light", "cold"]
-    nouns = ["ring", "bolt", "washer", "gear", "cog", "pin", "screw", "clip"]
+    # p_name: TPC-H-style 5-word combination over a 40-word list, so the
+    # DISTINCT name count scales with the row count (~n_part). The
+    # driver tables keep 64 distinct 2-word names at every SF — a
+    # degeneracy that made the sf1 fuzzy point output-bound (duplicate
+    # groups grow linearly, valid pairs quadratically) instead of
+    # measuring the operator's compute scaling. Deliberate divergence
+    # from the driver marginal, bench-fixture-only.
+    name_words = np.array(
+        "large hot blue small red dark light cold ring bolt washer gear "
+        "cog pin screw clip plate shim nut flange rivet bracket hinge "
+        "spring bearing valve rotor shaft cam lever strut coupler gasket "
+        "collar spacer dowel wheel crank socket plug".split()
+    )
     _write(out_dir, "part", pa.table({
         "p_partkey": pa.array(np.arange(n_part), pa.int64()),
         "p_name": pa.array([
-            f"{adjs[a]} {nouns[b]}"
-            for a, b in zip(rng.integers(0, 8, n_part), rng.integers(0, 8, n_part))
+            " ".join(name_words[rng.integers(0, len(name_words), 5)])
+            for _ in range(n_part)
         ]),
         "p_brand": pa.array([f"Brand#{i}" for i in rng.integers(1, 26, n_part)]),
         "p_type": pa.array(np.array(
