@@ -31,10 +31,19 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-from pyspark_skyline_spark.operators.dedup import dedup_incremental_neardup
+from pyspark_skyline_spark.operators.dedup import (
+    dedup_incremental_neardup,
+    paragraph_dedup_incremental,
+)
+from pyspark_skyline_spark.operators.shuffle import write_shards
 from pyspark_skyline_spark.streaming.sinks import write_epoch_idempotent
 
-__all__ = ["run_incremental_dedup_stream", "committed_ledger"]
+__all__ = [
+    "run_incremental_dedup_stream",
+    "committed_ledger",
+    "run_paragraph_dedup_stream",
+    "committed_unit_ledger",
+]
 
 
 def _committed_epoch_dirs(path: str) -> list[str]:
@@ -125,6 +134,92 @@ def run_incremental_dedup_stream(
     writer = stream_df.writeStream.foreachBatch(process)
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
+    if processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    elif trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def committed_unit_ledger(
+    spark: SparkSession, ledger_dir: str, hash_col: str = "ph"
+) -> DataFrame | None:
+    """The accumulated UNIT-HASH ledger (one md5 per distinct
+    paragraph/chunk ever kept): union of committed epochs. Returns
+    ``None`` for an empty ledger — the value
+    ``paragraph_dedup_incremental`` takes for a first batch."""
+    dirs = _committed_epoch_dirs(ledger_dir)
+    if dirs:
+        return spark.read.parquet(*dirs)
+    return None
+
+
+def run_paragraph_dedup_stream(
+    stream_df: DataFrame,
+    out_dir: str,
+    ledger_dir: str,
+    id_col: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    sep: str | None = None,
+    chunk_words: int | None = None,
+    joiner: str | None = None,
+    n_shards: int = 4,
+    shard_seed: int = 42,
+    trigger_available_now: bool = True,
+    processing_time: str | None = None,
+):
+    """Continuous corpus curation: each micro-batch is sub-document
+    deduplicated against the accumulated unit-hash ledger
+    (``paragraph_dedup_incremental``) and the surviving documents are
+    materialized as balanced, deterministically-shuffled training
+    shards (``write_shards``) under ``out_dir/epoch=N/__shard=K/``.
+    First-seen unit hashes land under ``ledger_dir/epoch=N``. Returns
+    the StreamingQuery.
+
+    Same crash contract as ``run_incremental_dedup_stream`` —
+    out-before-ledger ordering with ``_SUCCESS``-gated epochs (the
+    shard write's own job-commit ``_SUCCESS`` at the epoch root IS the
+    marker), so a replayed batch recomputes against the identical
+    ledger state and skips committed writes. Writing the ledger first
+    would be wrong: a replayed batch would match its own unit hashes
+    and drop every document.
+
+    Shard layout per epoch: ``global_shuffle`` order (md5 of
+    ``shard_seed`` | ``id_col``), round-robin balanced to within one
+    row, ``__pos``-ordered within each shard file — a per-epoch
+    training-ready corpus slice. State on disk is 16-byte md5s only;
+    document text never enters the ledger.
+    """
+    if not checkpoint_dir:
+        raise ValueError("checkpoint_dir is required (epoch identity depends on it)")
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        out_epoch = os.path.join(out_dir, f"epoch={int(epoch_id)}")
+        out_done = os.path.exists(os.path.join(out_epoch, "_SUCCESS"))
+        ledger_done = os.path.exists(
+            os.path.join(ledger_dir, f"epoch={int(epoch_id)}", "_SUCCESS")
+        )
+        if out_done and ledger_done:
+            return  # fully committed replay
+        spark = batch_df.sparkSession
+        ledger = committed_unit_ledger(spark, ledger_dir)
+        docs, new_hashes = paragraph_dedup_incremental(
+            batch_df, ledger, id_col, text_col, sep, chunk_words, joiner
+        )
+        # one computation feeds the shard write, the ledger write, and
+        # write_shards' own count job
+        docs = docs.localCheckpoint(eager=True)
+        if not out_done:
+            write_shards(
+                docs, out_epoch, [id_col], n_shards=n_shards, seed=shard_seed
+            )
+        write_epoch_idempotent(new_hashes, epoch_id, ledger_dir)
+
+    writer = stream_df.writeStream.foreachBatch(process)
+    writer = writer.option("checkpointLocation", checkpoint_dir)
     if processing_time:
         writer = writer.trigger(processingTime=processing_time)
     elif trigger_available_now:

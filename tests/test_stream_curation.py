@@ -123,3 +123,112 @@ def test_blank_docs_pass_without_ledger_entries(spark, tmp_path):
     assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 2, 3}
     # only the substantive doc entered the ledger
     assert {r.ledger_id for r in committed_ledger(spark, ledger).collect()} == {1}
+
+
+def _run_para(spark, src, out, ledger, chk, n_shards=4):
+    from pyspark_skyline_spark.streaming.curation import run_paragraph_dedup_stream
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = run_paragraph_dedup_stream(
+        stream, out, ledger, "doc_id", checkpoint_dir=chk, sep="|",
+        n_shards=n_shards,
+    )
+    finished = q.awaitTermination(300)
+    if not finished:
+        q.stop()
+    assert finished, "availableNow paragraph curation query did not finish"
+
+
+def test_paragraph_stream_equals_batch_and_shard_invariants(spark, tmp_path):
+    """Cross-batch contract: streaming the corpus in two batches through
+    run_paragraph_dedup_stream must keep exactly the documents/text the
+    one-shot batch paragraph_dedup keeps (ids increase with arrival
+    order, so keep-first agrees), and every epoch's shard layout must
+    hold write_shards' invariants (pos % n == shard, balance <= 1)."""
+    from pyspark.sql import functions as F
+
+    from pyspark_skyline_spark.operators.dedup import paragraph_dedup
+    from pyspark_skyline_spark.streaming.curation import committed_unit_ledger
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ledger = str(tmp_path / "ledger")
+    b0 = [(1, "aa bb|cc dd"), (2, "cc dd|ee ff")]
+    b1 = [(10, "cc dd|gg hh"), (11, "ee ff|aa bb"), (12, "ii jj|gg hh")]
+    _write_batch(spark, src, "b0.parquet", b0, when=time.time())
+    _write_batch(spark, src, "b1.parquet", b1, when=time.time() + 5)
+    _run_para(spark, src, out, ledger, str(tmp_path / "chk"))
+
+    got = {
+        (r.doc_id, r.text_dedup, r.n_kept)
+        for r in spark.read.parquet(out)
+        .select("doc_id", "text_dedup", "n_kept")
+        .collect()
+    }
+    ref_df = spark.createDataFrame(b0 + b1, SCHEMA)
+    ref = {
+        (r.doc_id, r.text_dedup, r.n_kept)
+        for r in paragraph_dedup(ref_df, "doc_id", "text", sep="|").collect()
+    }
+    assert got == ref
+
+    # ledger accumulated exactly the distinct unit hashes
+    led = committed_unit_ledger(spark, ledger)
+    assert led.count() == 5  # aa bb, cc dd, ee ff, gg hh, ii jj
+    assert led.select("ph").distinct().count() == 5
+
+    # shard invariants per epoch
+    for epoch in ("epoch=0", "epoch=1"):
+        edf = spark.read.parquet(os.path.join(out, epoch))
+        n = edf.count()
+        if n == 0:
+            continue
+        assert edf.where(F.col("__pos") % 4 != F.col("__shard")).count() == 0
+        sizes = [
+            r.n
+            for r in edf.groupBy("__shard").agg(F.count(F.lit(1)).alias("n")).collect()
+        ]
+        assert max(sizes) - min(sizes) <= 1
+
+
+def test_paragraph_stream_replay_and_crash_window(spark, tmp_path):
+    """Replay with a fresh checkpoint changes nothing; a crash between
+    the shard write and the ledger write heals on replay (same
+    survivors recomputed against the identical ledger state)."""
+    import shutil
+
+    from pyspark_skyline_spark.streaming.curation import committed_unit_ledger
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ledger = str(tmp_path / "ledger")
+    _write_batch(spark, src, "b0.parquet", [(1, "aa bb|cc dd")], when=time.time())
+    _write_batch(spark, src, "b1.parquet", [(2, "cc dd|xx yy")], when=time.time() + 5)
+    _run_para(spark, src, out, ledger, str(tmp_path / "chk1"))
+    before = sorted(
+        (r.doc_id, r.text_dedup)
+        for r in spark.read.parquet(out).select("doc_id", "text_dedup").collect()
+    )
+    assert before == [(1, "aa bb|cc dd"), (2, "xx yy")]
+
+    _run_para(spark, src, out, ledger, str(tmp_path / "chk2"))  # full replay
+    after = sorted(
+        (r.doc_id, r.text_dedup)
+        for r in spark.read.parquet(out).select("doc_id", "text_dedup").collect()
+    )
+    assert after == before
+    assert committed_unit_ledger(spark, ledger).count() == 3
+
+    # crash window: ledger epoch 1 lost after out epoch 1 committed
+    shutil.rmtree(os.path.join(ledger, "epoch=1"))
+    _run_para(spark, src, out, ledger, str(tmp_path / "chk3"))
+    assert committed_unit_ledger(spark, ledger).count() == 3  # healed
+    again = sorted(
+        (r.doc_id, r.text_dedup)
+        for r in spark.read.parquet(out).select("doc_id", "text_dedup").collect()
+    )
+    assert again == before
