@@ -63,6 +63,14 @@ def fuzzy_pairs(
     q-gram count bound and the length band are both necessary
     conditions for the verified predicate.
 
+    .. versionchanged:: round 4
+        ``max_gram_freq`` counts a gram's frequency over DISTINCT
+        strings, not rows (the distinct-string collapse below runs the
+        whole filter on ``SELECT DISTINCT str_col``). A cap calibrated
+        to row counts on a duplicate-heavy column is now far tighter
+        than intended — re-tune it as a distinct-value cap. Recall-only
+        impact: the cap only ever drops candidate grams.
+
     DISTINCT-STRING COLLAPSE (round 4): edit distance is a function of
     the STRING, not the row, so the filter/verify machinery runs over
     ``SELECT DISTINCT str_col`` and verified string-pairs are expanded

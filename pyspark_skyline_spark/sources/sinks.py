@@ -77,16 +77,32 @@ def file_stats(path: str, suffix: str = ".parquet") -> dict:
     metadata excluded): ``{n_files, total_bytes, avg_bytes}`` — the
     numbers that decide whether a table needs compaction."""
     sizes = []
+    n_rows = 0
+    rows_known = suffix == ".parquet"
     for root, _dirs, files in os.walk(path):
         for f in files:
             if f.endswith(suffix) and not f.startswith(("_", ".")):
-                sizes.append(os.path.getsize(os.path.join(root, f)))
+                fp = os.path.join(root, f)
+                sizes.append(os.path.getsize(fp))
+                if rows_known:
+                    # footer-only metadata read — no data pages touched,
+                    # so downstream sizing (compact_table) gets an exact
+                    # row count without a Spark scan
+                    try:
+                        import pyarrow.parquet as _pq
+
+                        n_rows += _pq.ParquetFile(fp).metadata.num_rows
+                    except Exception:
+                        rows_known = False
     total = sum(sizes)
-    return {
+    out = {
         "n_files": len(sizes),
         "total_bytes": total,
         "avg_bytes": total // len(sizes) if sizes else 0,
     }
+    if rows_known:
+        out["n_rows"] = n_rows
+    return out
 
 
 def compact_table(
@@ -112,8 +128,12 @@ def compact_table(
     preserved AND the sizing still threads through: measured bytes/row
     converts ``target_mb`` into a ``maxRecordsPerFile`` cap, so every
     directory gets ``~ceil(dir_bytes / target_mb)`` files (exact up to
-    per-directory compression-ratio variation). Returns
-    ``file_stats(out_path)``.
+    per-directory compression-ratio variation, and up to row-width
+    variance — a directory whose rows are much wider than the table
+    average can still exceed ``target_mb`` per file, since one global
+    bytes/row figure sizes every directory). For parquet the row count
+    comes from the file footers already walked by ``file_stats`` — no
+    extra table scan. Returns ``file_stats(out_path)``.
     """
     if os.path.abspath(in_path) == os.path.abspath(out_path):
         raise ValueError("compact_table writes to a NEW directory; swap afterwards")
@@ -132,7 +152,7 @@ def compact_table(
         # gets ceil(dir_bytes / target_mb) files regardless of how rows
         # distribute across values — deterministic, no salting, no
         # per-directory stats pass.
-        n_rows = df.count()
+        n_rows = stats.get("n_rows") or df.count()
         bytes_per_row = stats["total_bytes"] / max(n_rows, 1)
         per_file = max(1, int(target_mb * 1024 * 1024 / max(bytes_per_row, 1e-9)))
         write_table(
