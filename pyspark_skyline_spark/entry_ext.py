@@ -1172,6 +1172,23 @@ def _q_histogram_orders(spark, sf_dir):
     return h.select("bucket", "lo", "hi", "n")
 
 
+def _q_equi_depth_orders(spark, sf_dir):
+    """Equi-depth binning (operators/shuffle.py::ntile_global): exact
+    SQL ntile(8) semantics over (o_totalprice, o_orderkey) — one range
+    shuffle + positional arithmetic, NOT Window.orderBy's single-task
+    global sort (the canonical quantile-bucketing scale wall). The
+    equi-width histogram row grades value-space binning; this grades
+    rank-space binning."""
+    from pyspark_skyline_spark.operators.shuffle import ntile_global
+
+    orders = load_table(spark, sf_dir, "orders")
+    return ntile_global(
+        orders.select("o_orderkey", "o_totalprice"),
+        ["o_totalprice", "o_orderkey"],
+        8,
+    ).select("o_orderkey", "tile")
+
+
 def _q_scd2_events(spark, sf_dir):
     """SCD type-2 history (operators/upsert.py::scd2_history): each
     user's event log becomes validity intervals — lead() per key, one
@@ -1508,6 +1525,11 @@ SELECT node, CAST(min(r) AS BIGINT) AS cluster_id FROM reach GROUP BY node
     "global_top_orders": """
 SELECT o_orderkey, o_totalprice FROM orders
 ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+""",
+    "equi_depth_orders": """
+SELECT o_orderkey,
+       CAST(ntile(8) OVER (ORDER BY o_totalprice, o_orderkey) AS INT) AS tile
+FROM orders
 """,
     "set_ops_customers": """
 SELECT o_custkey FROM orders WHERE month(o_orderdate) <= 6
@@ -2513,6 +2535,10 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # skyline registry in __spark_entry__.py.)
     "subword_count_documents": _q_subword_count,
     "rolling_stats_events": _q_rolling_stats_events,
+    # round-5 addition: rank-space (equi-depth) binning without the
+    # global-window scale wall; equi-width stays driver-graded via
+    # histogram_orders
+    "equi_depth_orders": _q_equi_depth_orders,
 }
 
 

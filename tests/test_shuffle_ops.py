@@ -267,6 +267,43 @@ def test_grouped_row_number_hint_skips_probe(spark, orders):
     assert a == b
 
 
+def test_ntile_global_matches_window_ntile(spark, orders):
+    from pyspark_skyline_spark.operators.shuffle import ntile_global
+
+    out = ntile_global(
+        orders.select("o_orderkey", "o_totalprice"),
+        ["o_totalprice", "o_orderkey"],
+        8,
+        num_partitions=5,
+    )
+    got = {r["o_orderkey"]: r["tile"] for r in out.collect()}
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    ref = {
+        r["o_orderkey"]: r["t"]
+        for r in orders.withColumn("t", F.ntile(8).over(w)).collect()
+    }
+    assert got == ref
+    # the plan must NOT contain the single-task global window
+    from pyspark_skyline_spark.plans.explain import formatted_plan
+
+    assert "Window" not in formatted_plan(out)
+
+
+def test_ntile_global_edge_cases(spark):
+    from pyspark_skyline_spark.operators.shuffle import ntile_global
+
+    # fewer rows than buckets: each row its own 1-based bucket
+    df = spark.createDataFrame([(3,), (1,), (2,)], "k int")
+    got = {r["k"]: r["tile"] for r in ntile_global(df, ["k"], 10).collect()}
+    assert got == {1: 1, 2: 2, 3: 3}
+    # exact division and remainder rule (7 rows, 3 buckets: 3/2/2)
+    df7 = spark.createDataFrame([(i,) for i in range(7)], "k int")
+    tiles = [r["tile"] for r in ntile_global(df7, ["k"], 3).orderBy("k").collect()]
+    assert tiles == [1, 1, 1, 2, 2, 3, 3]
+    with pytest.raises(ValueError):
+        ntile_global(df7, ["k"], 0)
+
+
 def test_mix_corpus_empty_targets(spark, orders):
     out = mix_corpus(orders, "o_orderstatus", {}, ["o_orderkey"])
     assert out.count() == 0
