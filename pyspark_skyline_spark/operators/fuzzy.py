@@ -9,19 +9,33 @@ distance is a property of the string, not the row; duplicate-heavy
 columns would otherwise pay the duplicate product in every filter
 stage) and expands verified string-pairs back to id-pairs at the end:
 
-- LONG strings (length >= q·(d+1)) go through the POSITIONAL q-gram
-  filter (Gravano et al.): within edit distance d the strings admit a
-  one-to-one matching of at least ``max(len) - q + 1 - q·d`` q-gram
-  occurrences whose positions differ by <= d. Candidates come from an
-  equi-join on exploded positional q-grams (position-window predicate)
-  + a distinct-matched-position count threshold — a necessary
-  condition of the true bound, so no true pair is lost (distinct
-  grams alone would be UNSOUND: repetitive strings collapse their
-  gram multiset). Hash join + hash aggregate — the shapes that scale.
-- SHORT strings (where that bound is vacuous) are block-joined within
-  a ``|len_a - len_b| <= d`` length band (edit distance >= length
-  difference, so the band is sound). Short-string volume is typically
-  tiny; the band bounds the blowup.
+- LONG strings go through one of two exact candidate filters
+  (``strategy``):
+
+  * ``"segment"`` (default, PassJoin — Li/Deng/Feng, VLDB 2011):
+    partition each string into ``d+1`` even segments; by pigeonhole,
+    any string within edit distance d contains at least one segment
+    VERBATIM, starting within ``±d`` of its source position. The
+    candidate join is an equi-join on ``(partner_len, segment_index,
+    segment_text)`` — segments are ``~len/(d+1)`` chars, so the key
+    stays selective even on SMALL-ALPHABET data (composed names,
+    codes, URLs) where every q-gram is ubiquitous and a gram join
+    goes quadratic. The probe side enumerates ``O(d²)`` banded
+    substrings per (partner length, segment); shorter-side-indexed,
+    so each cross-length pair is generated once.
+  * ``"qgram"`` (Gravano et al. positional filter): within edit
+    distance d the strings admit a one-to-one matching of at least
+    ``max(len) - q + 1 - q·d`` q-gram occurrences whose positions
+    differ by <= d. Equi-join on exploded positional q-grams +
+    distinct-matched-position count threshold (distinct grams alone
+    would be UNSOUND: repetitive strings collapse the multiset).
+    Strong on large-alphabet text; degenerates when the distinct
+    gram universe is small relative to the string count.
+
+- SHORT strings (where the filters are vacuous) are block-joined
+  within a ``|len_a - len_b| <= d`` length band (edit distance >=
+  length difference, so the band is sound). Short-string volume is
+  typically tiny; the band bounds the blowup.
 - every candidate is VERIFIED with Spark's native ``levenshtein``
   before it is emitted — the filters only affect speed, never the
   answer.
@@ -55,13 +69,26 @@ def fuzzy_pairs(
     max_dist: int = 2,
     q: int = 3,
     max_gram_freq: int | None = None,
+    strategy: str = "segment",
 ) -> DataFrame:
     """All pairs ``(id_a, id_b, dist)`` with ``id_a < id_b`` and
     ``levenshtein(s_a, s_b) <= max_dist``. NULL strings never match.
 
-    With ``max_gram_freq=None`` (default) the result is EXACT — the
-    q-gram count bound and the length band are both necessary
-    conditions for the verified predicate.
+    ``strategy`` picks the long-string candidate filter: ``"segment"``
+    (default; PassJoin pigeonhole — robust on any alphabet) or
+    ``"qgram"`` (positional Gravano filter; ``q``/``max_gram_freq``
+    apply only here). Both are necessary conditions of the verified
+    predicate, so the result is identical — EXACT with the default
+    parameters (``max_gram_freq`` trades qgram recall for hot-gram
+    skew, documented below).
+
+    .. versionchanged:: round 5
+        Default strategy is ``"segment"``: on a 200k-name fixture with
+        a 40-word vocabulary the q-gram join is quadratic (every gram
+        is shared by thousands of DISTINCT strings), while segment
+        keys (~len/(d+1) chars) stay selective; on large-alphabet text
+        both run in similar time. ``"qgram"`` remains for corpora
+        where grams are diverse and the shorter key pays off.
 
     .. versionchanged:: round 4
         ``max_gram_freq`` counts a gram's frequency over DISTINCT
@@ -86,6 +113,8 @@ def fuzzy_pairs(
         raise ValueError("max_dist must be >= 0")
     if q < 1:
         raise ValueError("q must be >= 1")
+    if strategy not in ("segment", "qgram"):
+        raise ValueError(f"strategy must be 'segment' or 'qgram', got {strategy!r}")
     for c in (id_col, str_col):
         if c not in df.columns:
             raise ValueError(f"column {c!r} not in DataFrame columns {df.columns}")
@@ -93,11 +122,200 @@ def fuzzy_pairs(
     base = df.select(F.col(id_col).alias("__id"), F.col(str_col).alias("__s")).where(
         F.col("__s").isNotNull()
     )
-    vals = base.select("__s").distinct().withColumn("__len", F.length("__s"))
-    short_cut = q * (max_dist + 1)  # below this, the count bound is vacuous
+    # the distinct-string table feeds four branches (index, probe,
+    # short, boundary) — materialize it once; the checkpoint RDD is
+    # reclaimed by the context cleaner with the plan
+    vals = (
+        base.select("__s")
+        .distinct()
+        .withColumn("__len", F.length("__s"))
+        .localCheckpoint(eager=False)
+    )
+    if strategy == "segment":
+        # below d+1 chars a string has no full-length segment partition
+        short_cut = max_dist + 1
+        long_side = vals.where(F.col("__len") >= short_cut)
+        long_cand = _segment_candidates(long_side, max_dist, short_cut)
+    else:
+        short_cut = q * (max_dist + 1)  # below this, the count bound is vacuous
+        long_side = vals.where(F.col("__len") >= short_cut)
+        long_cand = _qgram_candidates(long_side, max_dist, q, max_gram_freq)
 
-    # --- long branch: positional q-gram filter (distinct strings) -----
-    long_side = vals.where(F.col("__len") >= short_cut)
+    # --- short branch: length-band block join -------------------------
+    short_side = vals.where(F.col("__len") < short_cut)
+    sa = short_side.select(
+        F.col("__s").alias("s_a"),
+        F.explode(
+            F.sequence(F.col("__len"), F.col("__len") + max_dist)
+        ).alias("__band"),
+    )
+    sb = short_side.select(F.col("__s").alias("s_b"), F.col("__len").alias("__band"))
+    short_cand = (
+        sa.join(sb, "__band").where(F.col("s_a") != F.col("s_b"))
+        .select(
+            F.least("s_a", "s_b").alias("s_a"),
+            F.greatest("s_a", "s_b").alias("s_b"),
+        )
+    )
+    # long x short boundary pairs: lengths straddling the cut can still
+    # be within max_dist — same length-band equi-join as short_cand
+    # (the r3 crossJoin-with-full-short-side-broadcast is gone: on a
+    # mostly-short corpus that broadcast was the whole table). Each
+    # long-boundary row explodes to <= max_dist band keys (its reachable
+    # short lengths), then hash-joins the short side on its exact
+    # length — edit distance >= |len diff| makes the band sound.
+    boundary_a = long_side.where(F.col("__len") < short_cut + max_dist).select(
+        F.col("__s").alias("s_a"),
+        F.explode(
+            F.sequence(
+                F.greatest(F.col("__len") - max_dist, F.lit(0)),
+                F.lit(short_cut - 1),
+            )
+        ).alias("__band"),
+    )
+    boundary_b = short_side.select(
+        F.col("__s").alias("s_b"), F.col("__len").alias("__band")
+    )
+    boundary = boundary_a.join(boundary_b, "__band").select(
+        F.least("s_a", "s_b").alias("s_a"),
+        F.greatest("s_a", "s_b").alias("s_b"),
+    )
+
+    vcand = long_cand.unionByName(short_cand).unionByName(boundary)
+
+    # --- exact verify, then dedup the SURVIVORS -----------------------
+    # verify BEFORE deduplicating: candidates arrive with duplicates
+    # (equal-length pairs from both probe ends, multi-segment matches),
+    # but the duplication factor is small, while deduplicating first
+    # would shuffle the full candidate set — verification is a map-side
+    # filter, so only verified pairs (output-sized) reach a shuffle.
+    # The 3-arg threshold levenshtein runs the banded O(d·len) DP and
+    # returns -1 past the threshold (exact distance otherwise).
+    vpairs = (
+        vcand.withColumn(
+            "dist", F.expr(f"levenshtein(s_a, s_b, {int(max_dist)})").cast("long")
+        )
+        .where(F.col("dist") >= 0)
+        .dropDuplicates(["s_a", "s_b"])
+    )
+
+    # --- expand back to id pairs --------------------------------------
+    ids_a = base.select(F.col("__s").alias("s_a"), F.col("__id").alias("id_a"))
+    ids_b = base.select(F.col("__s").alias("s_b"), F.col("__id").alias("id_b"))
+    cross = (
+        vpairs.join(ids_a, "s_a")
+        .join(ids_b, "s_b")
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            "dist",
+        )
+    )
+    # dist-0 pairs inside each duplicate-string group (distinct strings
+    # are never at distance 0, so these never overlap with `cross`)
+    dup0 = (
+        ids_a.join(
+            base.select(F.col("__s").alias("s_a"), F.col("__id").alias("id_b")),
+            "s_a",
+        )
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.lit(0).cast("long").alias("dist"))
+    )
+    return cross.unionByName(dup0)
+
+
+def _segment_candidates(long_side: DataFrame, k: int, short_cut: int) -> DataFrame:
+    """PassJoin pigeonhole candidates over distinct strings of length
+    >= ``short_cut`` (= k+1).
+
+    Each string of length l is partitioned into ``k+1`` even segments
+    (first ``l mod (k+1)`` segments one char longer; start positions a
+    pure function of (l, i), so both sides derive them independently).
+    If ``lev(r, s) <= k`` then at most k segments of s are touched by
+    edit operations — at least one appears VERBATIM in r, its start
+    shifted by the net indel count before it, i.e. within ``±k``.
+    Index side: the segments of each (shorter) string; probe side:
+    each string r enumerates, for every partner length ``l in
+    [len(r)-k, len(r)]`` and segment index, the banded substrings of r
+    with that segment's exact length. Equi-join on ``(l, i,
+    substring)`` — a ``~l/(k+1)``-char key, selective on any alphabet.
+    Equal-length pairs are generated from both ends; the caller's
+    dropDuplicates collapses them.
+    """
+    n_seg = k + 1
+    # segment geometry for a string of length `lcol`, index `icol`:
+    #   a = l div (k+1); b = l mod (k+1)
+    #   seg_len(i) = a + (1 if i < b else 0)
+    #   seg_start(i) = i*a + min(i, b)
+    def seg_len(lcol, icol):
+        a = F.floor(lcol / n_seg)
+        b = lcol % n_seg
+        return (a + F.when(icol < b, 1).otherwise(0)).cast("int")
+
+    def seg_start(lcol, icol):
+        a = F.floor(lcol / n_seg)
+        b = lcol % n_seg
+        return (icol * a + F.least(icol, b)).cast("int")
+
+    idx = F.explode(F.sequence(F.lit(0), F.lit(k))).alias("__i")
+    segs = (
+        long_side.select(F.col("__s").alias("s_a"), F.col("__len").alias("__l"), idx)
+        .withColumn("__sl", seg_len(F.col("__l"), F.col("__i")))
+        .withColumn("__st", seg_start(F.col("__l"), F.col("__i")))
+        .select(
+            "s_a",
+            "__l",
+            "__i",
+            "__st",
+            F.col("s_a").substr(F.col("__st") + 1, F.col("__sl")).alias("__key"),
+        )
+    )
+    # probe: partner lengths are SHORTER-OR-EQUAL (each cross-length
+    # pair generated exactly once; equal lengths twice, deduped later)
+    probes = (
+        long_side.select(F.col("__s").alias("s_b"), F.col("__len").alias("__lb"))
+        .withColumn(
+            "__l",
+            F.explode(
+                F.sequence(
+                    F.greatest(F.col("__lb") - k, F.lit(short_cut)), F.col("__lb")
+                )
+            ),
+        )
+        .withColumn("__i", F.explode(F.sequence(F.lit(0), F.lit(k))))
+        .withColumn("__sl", seg_len(F.col("__l"), F.col("__i")))
+        .withColumn("__st", seg_start(F.col("__l"), F.col("__i")))
+        .withColumn("__plo", F.greatest(F.col("__st") - k, F.lit(0)))
+        .withColumn("__phi", F.least(F.col("__st") + k, F.col("__lb") - F.col("__sl")))
+        .where(F.col("__plo") <= F.col("__phi"))
+        .withColumn("__p", F.explode(F.sequence(F.col("__plo"), F.col("__phi"))))
+        .select(
+            "s_b",
+            "__l",
+            "__i",
+            F.col("__p").alias("__pst"),
+            F.col("s_b").substr(F.col("__p") + 1, F.col("__sl")).alias("__key"),
+        )
+    )
+    # duplicates (equal-length pairs generated from both ends, strings
+    # matching on several segments) are NOT collapsed here: the caller
+    # verifies first and dedups only survivors
+    return (
+        segs.join(probes, ["__l", "__i", "__key"])
+        .where(F.col("s_a") != F.col("s_b"))
+        .select(
+            F.least("s_a", "s_b").alias("s_a"),
+            F.greatest("s_a", "s_b").alias("s_b"),
+        )
+    )
+
+
+def _qgram_candidates(
+    long_side: DataFrame, max_dist: int, q: int, max_gram_freq: int | None
+) -> DataFrame:
+    """Positional q-gram count filter (Gravano et al.) over distinct
+    strings — see the module docstring for the soundness argument and
+    the ``max_gram_freq`` recall trade."""
     grams = long_side.select(
         "__s",
         "__len",
@@ -138,75 +356,4 @@ def fuzzy_pairs(
         )
         .select("s_a", "s_b")
     )
-
-    # --- short branch: length-band block join -------------------------
-    short_side = vals.where(F.col("__len") < short_cut)
-    sa = short_side.select(
-        F.col("__s").alias("s_a"),
-        F.explode(
-            F.sequence(F.col("__len"), F.col("__len") + max_dist)
-        ).alias("__band"),
-    )
-    sb = short_side.select(F.col("__s").alias("s_b"), F.col("__len").alias("__band"))
-    short_cand = (
-        sa.join(sb, "__band").where(F.col("s_a") != F.col("s_b"))
-        .select(
-            F.least("s_a", "s_b").alias("s_a"),
-            F.greatest("s_a", "s_b").alias("s_b"),
-        )
-        .dropDuplicates()
-    )
-    # long x short boundary pairs: lengths straddling the cut can still
-    # be within max_dist — same length-band equi-join as short_cand
-    # (the r3 crossJoin-with-full-short-side-broadcast is gone: on a
-    # mostly-short corpus that broadcast was the whole table). Each
-    # long-boundary row explodes to <= max_dist band keys (its reachable
-    # short lengths), then hash-joins the short side on its exact
-    # length — edit distance >= |len diff| makes the band sound.
-    boundary_a = long_side.where(F.col("__len") < short_cut + max_dist).select(
-        F.col("__s").alias("s_a"),
-        F.explode(
-            F.sequence(
-                F.greatest(F.col("__len") - max_dist, F.lit(0)),
-                F.lit(short_cut - 1),
-            )
-        ).alias("__band"),
-    )
-    boundary_b = short_side.select(
-        F.col("__s").alias("s_b"), F.col("__len").alias("__band")
-    )
-    boundary = boundary_a.join(boundary_b, "__band").select(
-        F.least("s_a", "s_b").alias("s_a"),
-        F.greatest("s_a", "s_b").alias("s_b"),
-    )
-
-    vcand = long_cand.unionByName(short_cand).unionByName(boundary).dropDuplicates()
-
-    # --- exact verify on distinct string pairs ------------------------
-    vpairs = vcand.withColumn(
-        "dist", F.levenshtein("s_a", "s_b").cast("long")
-    ).where(F.col("dist") <= max_dist)
-
-    # --- expand back to id pairs --------------------------------------
-    ids_a = base.select(F.col("__s").alias("s_a"), F.col("__id").alias("id_a"))
-    ids_b = base.select(F.col("__s").alias("s_b"), F.col("__id").alias("id_b"))
-    cross = (
-        vpairs.join(ids_a, "s_a")
-        .join(ids_b, "s_b")
-        .select(
-            F.least("id_a", "id_b").alias("id_a"),
-            F.greatest("id_a", "id_b").alias("id_b"),
-            "dist",
-        )
-    )
-    # dist-0 pairs inside each duplicate-string group (distinct strings
-    # are never at distance 0, so these never overlap with `cross`)
-    dup0 = (
-        ids_a.join(
-            base.select(F.col("__s").alias("s_a"), F.col("__id").alias("id_b")),
-            "s_a",
-        )
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.lit(0).cast("long").alias("dist"))
-    )
-    return cross.unionByName(dup0)
+    return long_cand

@@ -66,6 +66,26 @@ def test_fuzzy_matches_brute_force_random(spark):
         assert _spark_pairs(spark, rows, d) == _brute(rows, d), d
 
 
+def test_fuzzy_strategies_agree(spark):
+    """segment (PassJoin pigeonhole) and qgram (positional Gravano) are
+    both exact filters, so they must produce identical output — on a
+    small-alphabet composed-word corpus (qgram's worst case) AND on
+    perturbed free text."""
+    rng = random.Random(5)
+    words = ["aa", "ab", "ba", "bb", "ccc"]
+    rows = [
+        (i, " ".join(rng.choice(words) for _ in range(rng.randint(1, 5))))
+        for i in range(100)
+    ]
+    rows += [(200, ""), (201, "a"), (202, None), (203, "aa ab ba"), (204, "aa ab bb")]
+    for d in (0, 1, 2, 3):
+        truth = _brute(rows, d)
+        assert _spark_pairs(spark, rows, d, strategy="segment") == truth, d
+        assert _spark_pairs(spark, rows, d, strategy="qgram") == truth, d
+    with pytest.raises(ValueError):
+        _spark_pairs(spark, rows, 1, strategy="nope")
+
+
 def test_fuzzy_repetitive_strings_not_lost(spark):
     """The case a distinct-gram counter rejects: repeated grams collapse
     its count below threshold while the true distance is 1."""
