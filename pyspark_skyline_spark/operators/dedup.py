@@ -946,11 +946,19 @@ def paragraph_dedup_incremental(
     joiner: str | None = None,
     ledger_hash_col: str = "ph",
     out_col: str = "text_dedup",
+    materialize: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Incremental sub-document dedup: today's batch against the
     accumulated UNIT-HASH ledger, then within-batch keep-first — the
     streaming/daily-ingest form of ``paragraph_dedup`` (same unit
     splitting, same keep-first semantics, same reassembly).
+
+    ``materialize=True`` localCheckpoints the shared winner table (one
+    row per first-seen hash) that BOTH outputs derive from, so a
+    caller that executes ``docs`` and ``new_hashes`` as separate jobs
+    (the streaming sink writes them to different directories) computes
+    the explode→hash→winner→ledger-anti-join pipeline once instead of
+    twice. Leave False when only one output is consumed.
 
     Returns ``(docs, new_hashes)``:
 
@@ -993,6 +1001,8 @@ def paragraph_dedup_incremental(
         # both sides shuffle by the 16-byte hash, no broadcast assumption
         known = ledger_df.select(F.col(ledger_hash_col).alias("__ph")).distinct()
         winners = winners.join(known, "__ph", "left_anti")
+    if materialize:
+        winners = winners.localCheckpoint(eager=False)
     kept = winners.select(
         F.col("__w").getField(id_col).alias(id_col),
         F.col("__w").getField("pos").alias("pos"),

@@ -83,18 +83,21 @@ def _num_partitions(df: DataFrame, num_partitions: int | None) -> int:
     return max(1, int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")))
 
 
-def _check_lpos_layout(pid: int, cnt: int, lo: int, hi: int) -> None:
+def _check_lpos_layout(pid: int, cnt: int, lo: int, hi: int, total: int) -> None:
     """Loud guard for the monotonically_increasing_id record-index
-    contract: within one task the masked counter must be exactly
-    0..cnt-1.  If a Spark upgrade changed the bit layout or Catalyst
-    reordered the id below the sort, positions would be garbage —
-    fail the job instead."""
-    if lo != 0 or hi != cnt - 1:
+    contract: within one task the masked counter must be exactly the
+    permutation 0..cnt-1.  min==0, max==cnt-1 AND sum==cnt(cnt-1)/2
+    together force that exactly (min/max alone would admit
+    duplicate-plus-gap drift like {0, 0, 2}).  If a Spark upgrade
+    changed the bit layout or Catalyst reordered the id below the
+    sort, positions would be garbage — fail the job instead."""
+    if lo != 0 or hi != cnt - 1 or total != cnt * (cnt - 1) // 2:
         raise RuntimeError(
             "monotonically_increasing_id layout drift detected in "
-            f"partition {pid}: local counters span [{lo}, {hi}] for "
-            f"{cnt} rows (expected [0, {cnt - 1}]). Spark's record-"
-            "index contract changed; row numbering would be corrupt."
+            f"partition {pid}: local counters span [{lo}, {hi}] with "
+            f"sum {total} for {cnt} rows (expected exactly 0..{cnt - 1}, "
+            f"sum {cnt * (cnt - 1) // 2}). Spark's record-index "
+            "contract changed; row numbering would be corrupt."
         )
 
 
@@ -143,12 +146,13 @@ def _global_row_number_with_total(
             F.count(F.lit(1)).alias("cnt"),
             F.min("__lpos").alias("lo"),
             F.max("__lpos").alias("hi"),
+            F.sum("__lpos").alias("tot"),
         )
         .collect()
     )
     counts = {}
     for r in stats:
-        _check_lpos_layout(r["__gpid"], r["cnt"], r["lo"], r["hi"])
+        _check_lpos_layout(r["__gpid"], r["cnt"], r["lo"], r["hi"], r["tot"])
         counts[r["__gpid"]] = r["cnt"]
     acc = 0
     offsets = []
@@ -250,28 +254,34 @@ def grouped_row_number(
 
     **Cardinality guard** (the stitch collects O(groups) rows to the
     driver, so it is only safe when groups are FEW — domains, splits,
-    shards): a one-scan ``approx_count_distinct`` probe runs first;
-    past ``max_groups`` the op either auto-falls back to
-    ``Window.partitionBy(group)`` (``on_many_groups="window"``, the
-    default — the right plan when groups are numerous and small,
-    because per-group skew only bites when groups are few and hot) or
-    raises (``on_many_groups="error"``, for callers that must have
-    the range-shuffle plan).  ``num_groups_hint`` skips the probe
-    when the caller already knows the cardinality (e.g. it just
-    enumerated the domains) — the hint is still checked against
-    ``max_groups``.
+    shards): an ``approx_count_distinct`` probe runs over the
+    range-shuffled, checkpointed table (so the input lineage is
+    computed exactly once — the probe job doubles as the checkpoint
+    materialization); if the estimate lands past ``max_groups``, one
+    EXACT distinct count decides (the HLL error band never wrongly
+    switches plans or raises at the boundary).  Past the cap the op
+    either auto-falls back to a ``Window.partitionBy`` over the SAME
+    normalized group key the range path uses (so float ``0.0/-0.0``
+    and NULL semantics are identical in both plans;
+    ``on_many_groups="window"``, the default — the right plan when
+    groups are numerous and small, because per-group skew only bites
+    when groups are few and hot) or raises
+    (``on_many_groups="error"``, for callers that must have the
+    range-shuffle plan).  ``num_groups_hint`` skips the probe when
+    the caller already knows the cardinality (e.g. it just enumerated
+    the domains) — the hint is trusted against ``max_groups``; an
+    over-cap hint falls back before any shuffle.  A ≲5% HLL
+    underestimate that stays under the cap just means the stitch
+    collects ≲5% more rows than ``max_groups`` — the cap is an
+    order-of-magnitude guard, not an exact budget.
     """
     if on_many_groups not in ("window", "error"):
         raise ValueError(
             f"on_many_groups must be 'window' or 'error', got {on_many_groups!r}"
         )
     gk = _group_key_expr(group_cols)
-    if num_groups_hint is not None:
-        n_groups = int(num_groups_hint)
-    else:
-        # one scan, no wide shuffle: HLL sketches merge map-side.
-        n_groups = df.agg(F.approx_count_distinct(gk).alias("g")).collect()[0]["g"]
-    if n_groups > max_groups:
+
+    def _too_many(n_groups, frame, key):
         if on_many_groups == "error":
             raise RuntimeError(
                 f"grouped_row_number: ~{n_groups} distinct groups exceeds "
@@ -284,12 +294,15 @@ def grouped_row_number(
             f"max_groups={max_groups}; falling back to "
             "Window.partitionBy (numerous small groups hash-partition "
             "fine; the range-shuffle plan is for few hot groups).",
-            stacklevel=2,
+            stacklevel=3,
         )
-        w = Window.partitionBy(*group_cols).orderBy(
-            *[F.col(c) for c in order_cols]
+        w = Window.partitionBy(key).orderBy(*[F.col(c) for c in order_cols])
+        return frame.withColumn(
+            pos_col, (F.row_number().over(w) - F.lit(1)).cast("long")
         )
-        return df.withColumn(pos_col, (F.row_number().over(w) - F.lit(1)).cast("long"))
+
+    if num_groups_hint is not None and int(num_groups_hint) > max_groups:
+        return _too_many(int(num_groups_hint), df, gk)
     n = _num_partitions(df, num_partitions)
     part = (
         df.repartitionByRange(n, *[F.col(c) for c in group_cols + order_cols])
@@ -301,6 +314,16 @@ def grouped_row_number(
         )
         .localCheckpoint(eager=False)
     )
+    if num_groups_hint is None:
+        approx = part.agg(F.approx_count_distinct("__gkey").alias("g")).collect()[0][
+            "g"
+        ]
+        if approx > max_groups:
+            # exact recheck only when the estimate crosses the cap
+            exact = part.agg(F.countDistinct("__gkey").alias("g")).collect()[0]["g"]
+            if exact > max_groups:
+                fb = _too_many(exact, part, F.col("__gkey"))
+                return fb.drop("__gkey", "__gpid", "__lpos")
     # one small job: per-(partition, group-run) count and local start.
     stats = (
         part.groupBy("__gpid", "__gkey")

@@ -206,16 +206,20 @@ def run_paragraph_dedup_stream(
             return  # fully committed replay
         spark = batch_df.sparkSession
         ledger = committed_unit_ledger(spark, ledger_dir)
+        # materialize=True checkpoints the shared winner table, so the
+        # shard write and the ledger write both read ONE computation of
+        # the explode→hash→winner→anti-join pipeline (write_shards'
+        # internal count job reuses its own checkpoint on top)
         docs, new_hashes = paragraph_dedup_incremental(
-            batch_df, ledger, id_col, text_col, sep, chunk_words, joiner
+            batch_df, ledger, id_col, text_col, sep, chunk_words, joiner,
+            materialize=True,
         )
-        # one computation feeds the shard write, the ledger write, and
-        # write_shards' own count job
-        docs = docs.localCheckpoint(eager=True)
         if not out_done:
             write_shards(
                 docs, out_epoch, [id_col], n_shards=n_shards, seed=shard_seed
             )
+        # on the heal path (out committed, ledger lost) only this write
+        # runs — reassembly is never computed for it
         write_epoch_idempotent(new_hashes, epoch_id, ledger_dir)
 
     writer = stream_df.writeStream.foreachBatch(process)

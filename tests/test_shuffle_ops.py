@@ -267,6 +267,29 @@ def test_grouped_row_number_hint_skips_probe(spark, orders):
     assert a == b
 
 
+def test_grouped_row_number_signed_zero_groups_consistent(spark):
+    # both plans must use the SAME normalized group key: the range path
+    # string-casts (0.0 vs -0.0 -> distinct groups), so the window
+    # fallback must too (raw Window.partitionBy would normalize -0.0
+    # into 0.0 and merge the numbering)
+    rows = [(0.0, 1), (-0.0, 2), (0.0, 3), (-0.0, 4)]
+    df = spark.createDataFrame(rows, "g double, k int")
+    a = {
+        (str(r["g"]), r["k"]): r["rn"]
+        for r in grouped_row_number(df, ["g"], ["k"], pos_col="rn").collect()
+    }
+    with pytest.warns(UserWarning):
+        b = {
+            (str(r["g"]), r["k"]): r["rn"]
+            for r in grouped_row_number(
+                df, ["g"], ["k"], pos_col="rn", max_groups=1
+            ).collect()
+        }
+    assert a == b
+    assert a[("0.0", 1)] == 0 and a[("0.0", 3)] == 1
+    assert a[("-0.0", 2)] == 0 and a[("-0.0", 4)] == 1
+
+
 def test_ntile_global_matches_window_ntile(spark, orders):
     from pyspark_skyline_spark.operators.shuffle import ntile_global
 
