@@ -1189,6 +1189,23 @@ def _q_equi_depth_orders(spark, sf_dir):
     ).select("o_orderkey", "tile")
 
 
+def _q_equi_depth_by_status_orders(spark, sf_dir):
+    """Per-group equi-depth binning (operators/shuffle.py::
+    ntile_by_group): exact ntile(4) PARTITION BY o_orderstatus
+    semantics via the skew-free grouped rank + broadcast count table —
+    a hot status value spans many partitions instead of one window
+    task."""
+    from pyspark_skyline_spark.operators.shuffle import ntile_by_group
+
+    orders = load_table(spark, sf_dir, "orders")
+    return ntile_by_group(
+        orders.select("o_orderkey", "o_orderstatus", "o_totalprice"),
+        ["o_orderstatus"],
+        ["o_totalprice", "o_orderkey"],
+        4,
+    ).select("o_orderkey", "o_orderstatus", "tile")
+
+
 def _q_scd2_events(spark, sf_dir):
     """SCD type-2 history (operators/upsert.py::scd2_history): each
     user's event log becomes validity intervals — lead() per key, one
@@ -1529,6 +1546,12 @@ ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
     "equi_depth_orders": """
 SELECT o_orderkey,
        CAST(ntile(8) OVER (ORDER BY o_totalprice, o_orderkey) AS INT) AS tile
+FROM orders
+""",
+    "equi_depth_by_status_orders": """
+SELECT o_orderkey, o_orderstatus,
+       CAST(ntile(4) OVER (PARTITION BY o_orderstatus
+                           ORDER BY o_totalprice, o_orderkey) AS INT) AS tile
 FROM orders
 """,
     "set_ops_customers": """
@@ -2539,6 +2562,7 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # global-window scale wall; equi-width stays driver-graded via
     # histogram_orders
     "equi_depth_orders": _q_equi_depth_orders,
+    "equi_depth_by_status_orders": _q_equi_depth_by_status_orders,
 }
 
 

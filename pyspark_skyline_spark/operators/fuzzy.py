@@ -233,7 +233,11 @@ def _segment_candidates(long_side: DataFrame, k: int, short_cut: int) -> DataFra
     pure function of (l, i), so both sides derive them independently).
     If ``lev(r, s) <= k`` then at most k segments of s are touched by
     edit operations — at least one appears VERBATIM in r, its start
-    shifted by the net indel count before it, i.e. within ``±k``.
+    shifted by the net indel count before it. With ``l = len(s) <=
+    lb = len(r)``: #ins − #del = lb − l and #ins + #del <= k, so the
+    shift δ = (#ins before) − (#del before) is bounded by
+    ``−⌊(k−(lb−l))/2⌋ <= δ <= ⌊(k+(lb−l))/2⌋`` — tighter than the
+    naive ``±k`` (3 positions instead of 5 at k=2, equal lengths).
     Index side: the segments of each (shorter) string; probe side:
     each string r enumerates, for every partner length ``l in
     [len(r)-k, len(r)]`` and segment index, the banded substrings of r
@@ -285,8 +289,21 @@ def _segment_candidates(long_side: DataFrame, k: int, short_cut: int) -> DataFra
         .withColumn("__i", F.explode(F.sequence(F.lit(0), F.lit(k))))
         .withColumn("__sl", seg_len(F.col("__l"), F.col("__i")))
         .withColumn("__st", seg_start(F.col("__l"), F.col("__i")))
-        .withColumn("__plo", F.greatest(F.col("__st") - k, F.lit(0)))
-        .withColumn("__phi", F.least(F.col("__st") + k, F.col("__lb") - F.col("__sl")))
+        .withColumn("__dl", F.col("__lb") - F.col("__l"))
+        .withColumn(
+            "__plo",
+            F.greatest(
+                F.col("__st") - F.floor((F.lit(k) - F.col("__dl")) / 2).cast("int"),
+                F.lit(0),
+            ),
+        )
+        .withColumn(
+            "__phi",
+            F.least(
+                F.col("__st") + F.floor((F.lit(k) + F.col("__dl")) / 2).cast("int"),
+                F.col("__lb") - F.col("__sl"),
+            ),
+        )
         .where(F.col("__plo") <= F.col("__phi"))
         .withColumn("__p", F.explode(F.sequence(F.col("__plo"), F.col("__phi"))))
         .select(

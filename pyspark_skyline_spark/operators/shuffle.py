@@ -61,6 +61,7 @@ __all__ = [
     "global_shuffle",
     "grouped_row_number",
     "ntile_global",
+    "ntile_by_group",
     "allocate_mixture",
     "mix_corpus",
     "write_shards",
@@ -415,6 +416,66 @@ def ntile_global(
             F.lit(rem) + F.floor((F.col("__ntpos") - F.lit(cut)) / F.lit(base)) + F.lit(1)
         )
     return pos.withColumn(tile_col, tile.cast("int")).drop("__ntpos")
+
+
+def _ntile_expr(pos, cnt, n):
+    """SQL ntile bucket (1-based) from a 0-based position and the
+    total count, as pure column arithmetic: ``base = cnt div n`` rows
+    per bucket, the first ``rem = cnt mod n`` buckets one row larger;
+    with fewer rows than buckets each row gets its own bucket."""
+    base = F.floor(cnt / n)
+    rem = cnt % n
+    cut = rem * (base + 1)
+    return (
+        F.when(base == 0, pos + 1)
+        .when(pos < cut, F.floor(pos / (base + 1)) + 1)
+        .otherwise(rem + F.floor((pos - cut) / base) + 1)
+        .cast("int")
+    )
+
+
+def ntile_by_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    n: int,
+    tile_col: str = "tile",
+    num_partitions: int | None = None,
+    max_groups: int = 100_000,
+    num_groups_hint: int | None = None,
+) -> DataFrame:
+    """Per-group equi-depth binning with exact ``ntile(n) OVER
+    (PARTITION BY group ORDER BY order)`` semantics, skew-free: the
+    rank comes from ``grouped_row_number`` (one range shuffle — a hot
+    group spans many partitions instead of one window task) and the
+    per-group counts arrive via a broadcast join of the O(groups)
+    count table (bounded by ``grouped_row_number``'s cardinality
+    guard, which falls back to the plain window — then per-group ntile
+    is the window plan anyway).  ``group_cols + order_cols`` must be a
+    total order.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    pos = grouped_row_number(
+        df,
+        group_cols,
+        order_cols,
+        "__ntgpos",
+        num_partitions,
+        max_groups=max_groups,
+        num_groups_hint=num_groups_hint,
+    )
+    gk = _group_key_expr(group_cols)
+    keyed = pos.withColumn("__ntgk", gk)
+    sizes = keyed.groupBy("__ntgk").agg(F.count(F.lit(1)).alias("__ntgc"))
+    out = (
+        keyed.join(F.broadcast(sizes), "__ntgk")
+        .withColumn(
+            tile_col, _ntile_expr(F.col("__ntgpos"), F.col("__ntgc"), F.lit(n))
+        )
+        .drop("__ntgk", "__ntgpos", "__ntgc")
+    )
+    return out
 
 
 def allocate_mixture(weights: dict[str, float], total: int) -> dict[str, int]:

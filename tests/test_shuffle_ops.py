@@ -312,6 +312,34 @@ def test_ntile_global_matches_window_ntile(spark, orders):
     assert "Window" not in formatted_plan(out)
 
 
+def test_ntile_by_group_matches_window(spark, orders):
+    from pyspark_skyline_spark.operators.shuffle import ntile_by_group
+
+    out = ntile_by_group(
+        orders.select("o_orderkey", "o_orderstatus", "o_totalprice"),
+        ["o_orderstatus"],
+        ["o_totalprice", "o_orderkey"],
+        4,
+        num_partitions=5,
+    )
+    got = {r["o_orderkey"]: r["tile"] for r in out.collect()}
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    ref = {
+        r["o_orderkey"]: r["t"]
+        for r in orders.withColumn("t", F.ntile(4).over(w)).collect()
+    }
+    assert got == ref
+    # NULL group + tiny groups take the same arithmetic
+    df = spark.createDataFrame(
+        [(None, 1), (None, 2), (None, 3), ("a", 4), ("a", 5)], "g string, k int"
+    )
+    got2 = {
+        r["k"]: r["tile"]
+        for r in ntile_by_group(df, ["g"], ["k"], 2, num_partitions=2).collect()
+    }
+    assert got2 == {1: 1, 2: 1, 3: 2, 4: 1, 5: 2}
+
+
 def test_ntile_global_edge_cases(spark):
     from pyspark_skyline_spark.operators.shuffle import ntile_global
 
