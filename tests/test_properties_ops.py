@@ -105,3 +105,31 @@ def test_grouped_row_number_equals_window(spark, rows, nparts):
         for r in df.withColumn("rn", F.row_number().over(w) - 1).collect()
     }
     assert got == ref
+
+
+# ntile_by_group ≡ ntile(n) OVER (PARTITION BY g ORDER BY k) on arbitrary
+# data with NULL groups and any bucket count — the broadcast-count
+# arithmetic must reproduce SQL's remainder rule exactly
+@given(rows=_grp_rows, n=st.integers(1, 7))
+@_SETTINGS
+def test_ntile_by_group_equals_window(spark, rows, n):
+    from pyspark.sql import Window, functions as F
+
+    from pyspark_skyline_spark.operators.shuffle import ntile_by_group
+
+    schema = "g string, k int"
+    df = (
+        spark.createDataFrame(rows, schema)
+        if rows
+        else spark.createDataFrame([], schema)
+    )
+    got = {
+        (r["g"], r["k"]): r["tile"]
+        for r in ntile_by_group(df, ["g"], ["k"], n, num_partitions=3).collect()
+    }
+    w = Window.partitionBy("g").orderBy("k")
+    ref = {
+        (r["g"], r["k"]): r["t"]
+        for r in df.withColumn("t", F.ntile(n).over(w)).collect()
+    }
+    assert got == ref
