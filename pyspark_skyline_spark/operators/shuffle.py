@@ -276,13 +276,43 @@ def grouped_row_number(
     collects ≲5% more rows than ``max_groups`` — the cap is an
     order-of-magnitude guard, not an exact budget.
     """
+    out, _counts = _grouped_row_number_impl(
+        df,
+        group_cols,
+        order_cols,
+        pos_col,
+        num_partitions,
+        max_groups,
+        on_many_groups,
+        num_groups_hint,
+    )
+    return out.drop("__gkey")
+
+
+def _grouped_row_number_impl(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    pos_col: str,
+    num_partitions: int | None,
+    max_groups: int,
+    on_many_groups: str,
+    num_groups_hint: int | None,
+) -> tuple[DataFrame, dict | None]:
+    """Shared core: returns ``(out, counts)`` where ``out`` RETAINS the
+    normalized ``__gkey`` column and ``counts`` is the exact per-group
+    total from the stitch (``{gkey: cnt}``) — or ``None`` when the
+    cardinality guard chose the window fallback (callers that need
+    per-group totals then compute them windowed too, never as an
+    O(groups) driver/broadcast structure)."""
     if on_many_groups not in ("window", "error"):
         raise ValueError(
             f"on_many_groups must be 'window' or 'error', got {on_many_groups!r}"
         )
     gk = _group_key_expr(group_cols)
 
-    def _too_many(n_groups, frame, key):
+    def _too_many(n_groups, frame):
+        # `frame` must already carry __gkey
         if on_many_groups == "error":
             raise RuntimeError(
                 f"grouped_row_number: ~{n_groups} distinct groups exceeds "
@@ -295,15 +325,15 @@ def grouped_row_number(
             f"max_groups={max_groups}; falling back to "
             "Window.partitionBy (numerous small groups hash-partition "
             "fine; the range-shuffle plan is for few hot groups).",
-            stacklevel=3,
+            stacklevel=4,
         )
-        w = Window.partitionBy(key).orderBy(*[F.col(c) for c in order_cols])
+        w = Window.partitionBy("__gkey").orderBy(*[F.col(c) for c in order_cols])
         return frame.withColumn(
             pos_col, (F.row_number().over(w) - F.lit(1)).cast("long")
         )
 
     if num_groups_hint is not None and int(num_groups_hint) > max_groups:
-        return _too_many(int(num_groups_hint), df, gk)
+        return _too_many(int(num_groups_hint), df.withColumn("__gkey", gk)), None
     n = _num_partitions(df, num_partitions)
     part = (
         df.repartitionByRange(n, *[F.col(c) for c in group_cols + order_cols])
@@ -323,8 +353,8 @@ def grouped_row_number(
             # exact recheck only when the estimate crosses the cap
             exact = part.agg(F.countDistinct("__gkey").alias("g")).collect()[0]["g"]
             if exact > max_groups:
-                fb = _too_many(exact, part, F.col("__gkey"))
-                return fb.drop("__gkey", "__gpid", "__lpos")
+                fb = _too_many(exact, part)
+                return fb.drop("__gpid", "__lpos"), None
     # one small job: per-(partition, group-run) count and local start.
     stats = (
         part.groupBy("__gpid", "__gkey")
@@ -368,9 +398,9 @@ def grouped_row_number(
     out = (
         part.join(F.broadcast(adj_df), ["__gpid", "__gkey"], "left")
         .withColumn(pos_col, F.col("__lpos") + F.coalesce(F.col("__adj"), F.lit(0)))
-        .drop("__gpid", "__gkey", "__lpos", "__adj")
+        .drop("__gpid", "__lpos", "__adj")
     )
-    return out
+    return out, dict(seen)
 
 
 def ntile_global(
@@ -418,20 +448,19 @@ def ntile_global(
     return pos.withColumn(tile_col, tile.cast("int")).drop("__ntpos")
 
 
-def _ntile_expr(pos, cnt, n):
-    """SQL ntile bucket (1-based) from a 0-based position and the
-    total count, as pure column arithmetic: ``base = cnt div n`` rows
-    per bucket, the first ``rem = cnt mod n`` buckets one row larger;
-    with fewer rows than buckets each row gets its own bucket."""
-    base = F.floor(cnt / n)
-    rem = cnt % n
-    cut = rem * (base + 1)
-    return (
-        F.when(base == 0, pos + 1)
-        .when(pos < cut, F.floor(pos / (base + 1)) + 1)
-        .otherwise(rem + F.floor((pos - cut) / base) + 1)
-        .cast("int")
-    )
+#: exact SQL-ntile bucket from a 0-based position `__ntgpos` and the
+#: group total `__ntgc` — INTEGER `div` throughout (double-precision
+#: floor(x / y) can round the wrong way past ~2^40-row groups):
+#: base = cnt div n rows per bucket, the first rem = cnt mod n buckets
+#: one row larger; with fewer rows than buckets, pos+1 IS the bucket.
+_NTILE_SQL = """CAST(CASE
+  WHEN __ntgc < {n} THEN __ntgpos + 1
+  WHEN __ntgpos < (__ntgc % {n}) * (__ntgc div {n} + 1)
+    THEN __ntgpos div (__ntgc div {n} + 1) + 1
+  ELSE (__ntgc % {n})
+    + (__ntgpos - (__ntgc % {n}) * (__ntgc div {n} + 1)) div (__ntgc div {n})
+    + 1
+END AS INT)"""
 
 
 def ntile_by_group(
@@ -442,40 +471,49 @@ def ntile_by_group(
     tile_col: str = "tile",
     num_partitions: int | None = None,
     max_groups: int = 100_000,
+    on_many_groups: str = "window",
     num_groups_hint: int | None = None,
 ) -> DataFrame:
     """Per-group equi-depth binning with exact ``ntile(n) OVER
     (PARTITION BY group ORDER BY order)`` semantics, skew-free: the
-    rank comes from ``grouped_row_number`` (one range shuffle — a hot
-    group spans many partitions instead of one window task) and the
-    per-group counts arrive via a broadcast join of the O(groups)
-    count table (bounded by ``grouped_row_number``'s cardinality
-    guard, which falls back to the plain window — then per-group ntile
-    is the window plan anyway).  ``group_cols + order_cols`` must be a
-    total order.
+    rank comes from the grouped-row-number range shuffle (a hot group
+    spans many partitions instead of one window task) and the
+    per-group totals are the exact counts that stitch ALREADY
+    collected — no extra count job, and the broadcast size table is
+    genuinely bounded by the cardinality guard, because when the guard
+    chooses the window fallback (numerous small groups) the tile is
+    computed by ``F.ntile`` over that same window and NO per-group
+    structure is ever built.  ``group_cols + order_cols`` must be a
+    total order; ``on_many_groups="error"`` opts out of the fallback.
     """
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
-    pos = grouped_row_number(
+    out, counts = _grouped_row_number_impl(
         df,
         group_cols,
         order_cols,
         "__ntgpos",
         num_partitions,
-        max_groups=max_groups,
-        num_groups_hint=num_groups_hint,
+        max_groups,
+        on_many_groups,
+        num_groups_hint,
     )
-    gk = _group_key_expr(group_cols)
-    keyed = pos.withColumn("__ntgk", gk)
-    sizes = keyed.groupBy("__ntgk").agg(F.count(F.lit(1)).alias("__ntgc"))
-    out = (
-        keyed.join(F.broadcast(sizes), "__ntgk")
-        .withColumn(
-            tile_col, _ntile_expr(F.col("__ntgpos"), F.col("__ntgc"), F.lit(n))
+    if counts is None:
+        # window-fallback regime: same window computes the tile (the
+        # engine evaluates both functions in one pass over the sort)
+        w = Window.partitionBy("__gkey").orderBy(*[F.col(c) for c in order_cols])
+        return out.withColumn(tile_col, F.ntile(n).over(w)).drop(
+            "__gkey", "__ntgpos"
         )
-        .drop("__ntgk", "__ntgpos", "__ntgc")
+    spark = df.sparkSession
+    sizes = spark.createDataFrame(
+        list(counts.items()) or [("", 0)], "__gkey string, __ntgc long"
     )
-    return out
+    return (
+        out.join(F.broadcast(sizes), "__gkey", "left")
+        .withColumn(tile_col, F.expr(_NTILE_SQL.format(n=int(n))))
+        .drop("__gkey", "__ntgpos", "__ntgc")
+    )
 
 
 def allocate_mixture(weights: dict[str, float], total: int) -> dict[str, int]:

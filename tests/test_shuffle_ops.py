@@ -338,6 +338,30 @@ def test_ntile_by_group_matches_window(spark, orders):
         for r in ntile_by_group(df, ["g"], ["k"], 2, num_partitions=2).collect()
     }
     assert got2 == {1: 1, 2: 1, 3: 2, 4: 1, 5: 2}
+    # high-cardinality fallback regime: tile comes from F.ntile over the
+    # window — NO per-group broadcast structure — and must be identical
+    with pytest.warns(UserWarning):
+        fb = ntile_by_group(
+            orders.select("o_orderkey", "o_orderstatus", "o_totalprice"),
+            ["o_orderstatus"],
+            ["o_totalprice", "o_orderkey"],
+            4,
+            max_groups=1,
+        )
+    got_fb = {r["o_orderkey"]: r["tile"] for r in fb.collect()}
+    assert got_fb == ref
+    from pyspark_skyline_spark.plans.explain import formatted_plan
+
+    assert "Window" in formatted_plan(fb)
+    with pytest.raises(RuntimeError, match="distinct groups exceeds"):
+        ntile_by_group(
+            orders.select("o_orderkey", "o_orderstatus", "o_totalprice"),
+            ["o_orderstatus"],
+            ["o_totalprice", "o_orderkey"],
+            4,
+            max_groups=1,
+            on_many_groups="error",
+        )
 
 
 def test_ntile_global_edge_cases(spark):
