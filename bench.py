@@ -423,13 +423,27 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
-        # both raw pass times per query (execution order), not just the
-        # min: host contention shows up as pass1/pass2 divergence, so a
-        # future slow artifact is distinguishable from real plan drift
-        # without re-running anything
-        "passes": passes,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    # Both raw pass times per query (execution order), kept OUT of the
+    # final printed line: round 5 embedded them inline and the ~2x
+    # larger line overflowed the driver's stdout tail capture —
+    # BENCH_r05.json recorded parsed:null, losing the round's parsed
+    # totals. The pairs stay durable in a side file (and on stderr for
+    # log capture); the final line stays compact (min timings + total,
+    # well under the capture limit) so the driver artifact is always
+    # machine-readable. Host contention still shows as pass1/pass2
+    # divergence in the side file without re-running anything.
+    passes_blob = {"sf": payload["sf"], "cpus": int(cpus), "passes": passes}
+    print(f"# passes: {json.dumps(passes_blob)}", file=sys.stderr)
+    try:
+        side = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_passes.json"
+        )
+        with open(side, "w") as fh:
+            json.dump(passes_blob, fh, indent=1, sort_keys=True)
+    except OSError as exc:  # side artifact must never kill the bench
+        print(f"# passes side file failed: {exc}", file=sys.stderr)
     # untimed tail: ANN approximation quality at PRODUCTION parameters
     # (driver rows grade exhaustive mode; this tracks real-parameter
     # recall round-over-round)

@@ -84,21 +84,35 @@ def _num_partitions(df: DataFrame, num_partitions: int | None) -> int:
     return max(1, int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")))
 
 
-def _check_lpos_layout(pid: int, cnt: int, lo: int, hi: int, total: int) -> None:
+def _check_lpos_layout(
+    pid: int, cnt: int, lo: int, hi: int, total: int, total_sq: int
+) -> None:
     """Loud guard for the monotonically_increasing_id record-index
-    contract: within one task the masked counter must be exactly the
-    permutation 0..cnt-1.  min==0, max==cnt-1 AND sum==cnt(cnt-1)/2
-    together force that exactly (min/max alone would admit
-    duplicate-plus-gap drift like {0, 0, 2}).  If a Spark upgrade
-    changed the bit layout or Catalyst reordered the id below the
-    sort, positions would be garbage — fail the job instead."""
-    if lo != 0 or hi != cnt - 1 or total != cnt * (cnt - 1) // 2:
+    contract: within one task the masked counter should be exactly the
+    permutation 0..cnt-1.  Checks min==0, max==cnt-1,
+    sum==cnt(cnt-1)/2 AND sum-of-squares==(cnt-1)cnt(2cnt-1)/6.  This
+    is a strong HEURISTIC, not a proof of the permutation: min/max/sum
+    alone admit duplicate-plus-gap multisets like {0,0,3,3} (cnt=4),
+    which the square-sum rejects; matching all four still leaves
+    contrived multi-row compensations (four moments cannot pin a
+    multiset of size > 4), but every realistic drift mode — offset
+    shift, stride change, counter reset, Catalyst reordering the id
+    below the sort — breaks min/max or one of the two sums.  The
+    grouped variant's run-tiling check (contiguous [start, end] spans)
+    is exact.  On drift, fail the job instead of corrupting positions."""
+    if (
+        lo != 0
+        or hi != cnt - 1
+        or total != cnt * (cnt - 1) // 2
+        or total_sq != (cnt - 1) * cnt * (2 * cnt - 1) // 6
+    ):
         raise RuntimeError(
             "monotonically_increasing_id layout drift detected in "
             f"partition {pid}: local counters span [{lo}, {hi}] with "
-            f"sum {total} for {cnt} rows (expected exactly 0..{cnt - 1}, "
-            f"sum {cnt * (cnt - 1) // 2}). Spark's record-index "
-            "contract changed; row numbering would be corrupt."
+            f"sum {total}, square-sum {total_sq} for {cnt} rows "
+            f"(expected exactly 0..{cnt - 1}, sum {cnt * (cnt - 1) // 2}, "
+            f"square-sum {(cnt - 1) * cnt * (2 * cnt - 1) // 6}). Spark's "
+            "record-index contract changed; row numbering would be corrupt."
         )
 
 
@@ -148,12 +162,21 @@ def _global_row_number_with_total(
             F.min("__lpos").alias("lo"),
             F.max("__lpos").alias("hi"),
             F.sum("__lpos").alias("tot"),
+            # squares of 33-bit counters overflow a long past ~2 rows at
+            # the extreme; decimal(38,0) holds sum(< 2^66 each) for any
+            # partition size up to 2^33 (max total < 2^99 < 10^38)
+            F.sum(
+                F.col("__lpos").cast("decimal(19,0)")
+                * F.col("__lpos").cast("decimal(19,0)")
+            ).alias("totsq"),
         )
         .collect()
     )
     counts = {}
     for r in stats:
-        _check_lpos_layout(r["__gpid"], r["cnt"], r["lo"], r["hi"], r["tot"])
+        _check_lpos_layout(
+            r["__gpid"], r["cnt"], r["lo"], r["hi"], r["tot"], int(r["totsq"])
+        )
         counts[r["__gpid"]] = r["cnt"]
     acc = 0
     offsets = []
@@ -439,11 +462,16 @@ def ntile_global(
         # fewer rows than buckets: one row per bucket, pos+1 == tile
         tile = F.col("__ntpos") + F.lit(1)
     else:
+        # INTEGER `div`, same as _NTILE_SQL below: double-precision
+        # floor(x / y) can round the wrong way once x approaches 2^53
+        # (~2^44-row buckets) — this global form is the one pitched at
+        # 100 TB, so it uses the exact formulation, not just the
+        # grouped variant
         tile = F.when(
             F.col("__ntpos") < F.lit(cut),
-            F.floor(F.col("__ntpos") / F.lit(base + 1)) + F.lit(1),
+            F.expr(f"__ntpos div {base + 1}") + F.lit(1),
         ).otherwise(
-            F.lit(rem) + F.floor((F.col("__ntpos") - F.lit(cut)) / F.lit(base)) + F.lit(1)
+            F.lit(rem) + F.expr(f"(__ntpos - {cut}) div {base}") + F.lit(1)
         )
     return pos.withColumn(tile_col, tile.cast("int")).drop("__ntpos")
 
