@@ -37,11 +37,6 @@ _SKYLINE_QUERIES: dict[str, tuple[str, list[tuple[str, str]], str]] = {
         [("l_extendedprice", "min"), ("l_quantity", "max")],
         "MR_DIM",
     ),
-    "skyline_orders_price_date": (
-        "orders",
-        [("o_totalprice", "max"), ("o_orderdate", "min")],
-        "MR_DIM",
-    ),
     "skyline_customer_acctbal": (
         "customer",
         [("c_acctbal", "max"), ("c_custkey", "min")],
@@ -111,6 +106,17 @@ _EXTRA_SKYLINE_QUERIES: dict[str, tuple[str, list[tuple[str, str]], str]] = {
         "part",
         [("p_retailprice", "min"), ("p_size", "min")],
         "MR_ANGLE",
+    ),
+    # round-6 rotation: MR_DIM keeps two driver rows
+    # (skyline_lineitem_2d_mixed — also the K11 parser front door — and
+    # the grouped skyline_orders_by_status); this third MR_DIM row adds
+    # no algorithm/type coverage beyond them (max+timestamp dims are
+    # also exercised by skyline_events_value_ts). Freed the slot for
+    # the ntile/incremental-dedup families.
+    "skyline_orders_price_date": (
+        "orders",
+        [("o_totalprice", "max"), ("o_orderdate", "min")],
+        "MR_DIM",
     ),
 }
 

@@ -2400,7 +2400,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (tests/test_entry.py), just not by the driver's capped gate.
     "text_stats_documents": _q_text_stats,
     "lang_id_documents": _q_lang_id,
-    "winnow_fingerprints_documents": _q_winnow,
     "quality_documents": _q_quality,
     "minhash_pairs_documents": _q_minhash_pairs,
     "ngram_jaccard_documents": _q_ngram_jaccard,
@@ -2408,7 +2407,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_join_error_click_events": _q_range_join_error_click,
     "chunk_documents": _q_chunk_documents,
     "skyline_layers_orders": _q_skyline_layers_orders,
-    "sessionize_events": _q_sessionize_events,
     "k_skyband_part": _q_k_skyband_part,
     "cosine_topk_embeddings": _q_cosine_topk,
     # exhaustive-mode driver entry (exact oracle); approximation quality
@@ -2481,6 +2479,16 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_join_error_click_events": _q_stream_join_events,
     "bm25_documents": _q_bm25_documents,
     "split_dataset_orders": _q_split_dataset_orders,
+    # round-6 rotation: the round-5 ntile family gets hard-gate rows
+    # (equi-depth binning via the range-shuffled global/grouped row
+    # number — exact SQL ntile semantics without the single-task window
+    # wall) and the incremental-ledger dedup family is driver-graded
+    # for the first time (retired: skyline_orders_price_date,
+    # winnow_fingerprints_documents, sessionize_events — rationale at
+    # their extra entries).
+    "equi_depth_orders": _q_equi_depth_orders,
+    "equi_depth_by_status_orders": _q_equi_depth_by_status_orders,
+    "dedup_incremental_documents": _q_dedup_incremental_documents,
 }
 
 #: Retired from the driver's 50-entry gate as redundant with rows that
@@ -2513,7 +2521,7 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "column_quantiles_orders": _q_column_quantiles_orders,
     "rollup_orders": _q_rollup_orders,
     "pivot_events": _q_pivot_events,
-    "dedup_incremental_documents": _q_dedup_incremental_documents,
+    # dedup_incremental_documents moved to the driver gate (rotation #6)
     "stream_vocab_documents": _q_stream_vocab_documents,
     "contamination_report_documents": _q_contamination_report_documents,
     "heavy_hitters_events": _q_heavy_hitters_events,
@@ -2558,11 +2566,14 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # skyline registry in __spark_entry__.py.)
     "subword_count_documents": _q_subword_count,
     "rolling_stats_events": _q_rolling_stats_events,
-    # round-5 addition: rank-space (equi-depth) binning without the
-    # global-window scale wall; equi-width stays driver-graded via
-    # histogram_orders
-    "equi_depth_orders": _q_equi_depth_orders,
-    "equi_depth_by_status_orders": _q_equi_depth_by_status_orders,
+    # round-6 rotation out of the 50-cap (swapped for equi_depth x2 /
+    # dedup_incremental): winnowing fingerprints stay graded here and
+    # inside dedup_corpus_documents' fingerprint phase +
+    # fingerprint_documents; gaps-and-islands sessionization stays
+    # graded here and via the session-window stream extra
+    # (stream_session_stats_events) — the batch oracle is identical.
+    "winnow_fingerprints_documents": _q_winnow,
+    "sessionize_events": _q_sessionize_events,
 }
 
 
