@@ -596,7 +596,21 @@ def _q_stream_join_events(spark, sf_dir):
     """Watermarked stream-stream interval join through the REAL engine:
     errors joined to same-user clicks within the preceding 30 minutes.
     Inner joins emit every match of the replayed data (watermarks only
-    bound state), so the batch SQL interval join is an exact oracle."""
+    bound state), so the batch SQL interval join is an exact oracle.
+
+    State partitioning is sized to the STATE, not to the session's
+    batch-analytics shuffle default: a stream-stream join keeps FOUR
+    state stores per shuffle partition, and every micro-batch commits
+    every instance (including the 0-input watermark-advance batch
+    availableNow appends), so the fixed cost is
+    ``batches x partitions x 4`` store commits — profiled at ~325 ms
+    apiece on the HDFS-backed provider, which made 32 partitions cost
+    ~7.7 s for ~40k state rows while the join compute was <1 s.
+    Streaming state partitioning is an explicit, checkpoint-pinned knob
+    (it cannot AQE-coalesce and cannot change on restart), so sizing it
+    deliberately is the correct 100 TB practice too — there you'd size
+    UP for state volume; here 8 partitions carry ~5k state rows each.
+    """
     import os
     import uuid
 
@@ -624,14 +638,20 @@ def _q_stream_join_events(spark, sf_dir):
         ).alias("gap_us"),
     )
     name = f"ssj_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    old_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        # restore the session default for the batch rows that follow
+        spark.conf.set("spark.sql.shuffle.partitions", old_shuffle)
     return spark.table(name)
 
 
