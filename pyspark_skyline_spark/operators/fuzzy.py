@@ -61,6 +61,61 @@ from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["fuzzy_pairs"]
 
+#: auto-strategy budget: pick "qgram" only when its candidate join's
+#: exact fan-out (sum over grams of occurrence-count squared — the
+#: pre-filter row count of the gram self-join) stays within this
+#: factor of the total gram volume, i.e. each gram occurrence meets
+#: <= this many partners on average. Diverse-alphabet corpora sit at
+#: 1-5 partners; the degenerate 40-word fixture sits in the thousands
+#: — the regimes are orders of magnitude apart, so the exact cutoff
+#: is uncritical (both filters are exact; this only picks the faster
+#: plan).
+_AUTO_QGRAM_MAX_FANOUT = 32
+
+
+def _choose_strategy(vals: DataFrame, max_dist: int, q: int) -> str:
+    """One-scan probe for ``strategy="auto"``: over the distinct
+    strings that would enter the q-gram filter (length >=
+    ``q*(max_dist+1)``), build the positional gram table, group by
+    gram, and compute the EXACT fan-out of the Gravano candidate join
+    — ``sum(occ^2)`` (the join key is the gram alone; position/length
+    are post-join predicates, so occurrence multiplicity counts).
+    Returns ``"qgram"`` iff ``fanout <= _AUTO_QGRAM_MAX_FANOUT *
+    total_occurrences`` (and the long side is non-empty), else
+    ``"segment"``.
+
+    Cost: one explode + one gram-count shuffle over the distinct-string
+    table — the same gram table the qgram path builds anyway, and far
+    cheaper than guessing wrong (the fixture that motivated this went
+    quadratic: 30+ min vs 15 s at 200k strings). The segment filter is
+    the safe default: its ~len/(d+1)-char keys stay selective on any
+    alphabet, while the qgram filter wins only when grams are diverse.
+    """
+    long_side = vals.where(F.length("__s") >= q * (max_dist + 1))
+    occ = long_side.select(
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, length(__s) - {q} + 1),"
+                f" i -> substring(__s, i, {q}))"
+            )
+        ).alias("__g")
+    ).groupBy("__g").agg(F.count(F.lit(1)).alias("__c"))
+    row = occ.agg(
+        F.sum("__c").alias("tot"),
+        # occ^2 sums overflow a long only past ~3e9 occurrences of one
+        # gram; decimal(38,0) keeps the probe exact at any scale
+        F.sum(
+            F.col("__c").cast("decimal(19,0)") * F.col("__c").cast("decimal(19,0)")
+        ).alias("fanout"),
+    ).collect()[0]
+    if row["tot"] is None or row["tot"] == 0:
+        return "segment"
+    return (
+        "qgram"
+        if int(row["fanout"]) <= _AUTO_QGRAM_MAX_FANOUT * int(row["tot"])
+        else "segment"
+    )
+
 
 def fuzzy_pairs(
     df: DataFrame,
@@ -75,12 +130,26 @@ def fuzzy_pairs(
     ``levenshtein(s_a, s_b) <= max_dist``. NULL strings never match.
 
     ``strategy`` picks the long-string candidate filter: ``"segment"``
-    (default; PassJoin pigeonhole — robust on any alphabet) or
+    (default; PassJoin pigeonhole — robust on any alphabet),
     ``"qgram"`` (positional Gravano filter; ``q``/``max_gram_freq``
-    apply only here). Both are necessary conditions of the verified
-    predicate, so the result is identical — EXACT with the default
-    parameters (``max_gram_freq`` trades qgram recall for hot-gram
-    skew, documented below).
+    apply only here), or ``"auto"`` (one-scan probe; decision rule
+    below). All are necessary conditions of the verified predicate, so
+    the result is identical — EXACT with the default parameters
+    (``max_gram_freq`` trades qgram recall for hot-gram skew,
+    documented below).
+
+    .. versionchanged:: round 6
+        ``strategy="auto"``: computes the q-gram join's EXACT fan-out
+        (``sum(occ²)`` over the gram table — its pre-filter candidate
+        row count) in one aggregate over the distinct strings, and
+        picks ``"qgram"`` iff that fan-out is within
+        ``_AUTO_QGRAM_MAX_FANOUT`` (32) partners per gram occurrence;
+        otherwise ``"segment"``. The two failure modes are opposite
+        (qgram: cheap short keys, quadratic on small alphabets;
+        segment: longer keys + O(d²) banded probes, robust on any
+        alphabet) and the regimes sit orders of magnitude apart, so
+        the probe — costing about one qgram gram-count stage — always
+        pays for itself when it matters.
 
     .. versionchanged:: round 5
         Default strategy is ``"segment"``: on a 200k-name fixture with
@@ -113,8 +182,10 @@ def fuzzy_pairs(
         raise ValueError("max_dist must be >= 0")
     if q < 1:
         raise ValueError("q must be >= 1")
-    if strategy not in ("segment", "qgram"):
-        raise ValueError(f"strategy must be 'segment' or 'qgram', got {strategy!r}")
+    if strategy not in ("segment", "qgram", "auto"):
+        raise ValueError(
+            f"strategy must be 'segment', 'qgram' or 'auto', got {strategy!r}"
+        )
     for c in (id_col, str_col):
         if c not in df.columns:
             raise ValueError(f"column {c!r} not in DataFrame columns {df.columns}")
@@ -131,6 +202,8 @@ def fuzzy_pairs(
         .withColumn("__len", F.length("__s"))
         .localCheckpoint(eager=False)
     )
+    if strategy == "auto":
+        strategy = _choose_strategy(vals, max_dist, q)
     if strategy == "segment":
         # below d+1 chars a string has no full-length segment partition
         short_cut = max_dist + 1

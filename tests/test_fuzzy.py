@@ -82,8 +82,57 @@ def test_fuzzy_strategies_agree(spark):
         truth = _brute(rows, d)
         assert _spark_pairs(spark, rows, d, strategy="segment") == truth, d
         assert _spark_pairs(spark, rows, d, strategy="qgram") == truth, d
+        assert _spark_pairs(spark, rows, d, strategy="auto") == truth, d
     with pytest.raises(ValueError):
         _spark_pairs(spark, rows, 1, strategy="nope")
+
+
+def test_fuzzy_auto_strategy_probe(spark):
+    """strategy="auto" differential on BOTH fixture regimes (the
+    verdict-6 ask): the result must equal both fixed strategies
+    everywhere, and the probe must pick qgram on diverse-alphabet data
+    and segment on the small-alphabet composed-word shape that sent
+    the gram join quadratic at sf1."""
+    from pyspark_skyline_spark.operators.fuzzy import _choose_strategy
+
+    rng = random.Random(7)
+    # regime 1: diverse alphabet — grams nearly unique
+    diverse = []
+    for i in range(150):
+        s = "".join(rng.choice("abcdefghijklmnopqrstuvwxyz0123456789") for _ in range(14))
+        diverse.append((i, s))
+        if rng.random() < 0.3:  # plant a near-dup
+            t = list(s)
+            t[rng.randrange(len(t))] = rng.choice("abcxyz")
+            diverse.append((1000 + i, "".join(t)))
+    # regime 2: tiny vocab composed words — every gram ubiquitous
+    words = ["aa", "ab", "ba", "bb"]
+    smallalpha = [
+        (i, " ".join(rng.choice(words) for _ in range(rng.randint(3, 6))))
+        for i in range(150)
+    ]
+    for rows in (diverse, smallalpha):
+        for d in (1, 2):
+            truth = _brute(rows, d)
+            assert _spark_pairs(spark, rows, d, strategy="auto") == truth, d
+            assert _spark_pairs(spark, rows, d, strategy="segment") == truth, d
+            assert _spark_pairs(spark, rows, d, strategy="qgram") == truth, d
+
+    def probe(rows, d=2, q=3):
+        df = spark.createDataFrame(rows, "id long, s string")
+        vals = (
+            df.select(F.col("s").alias("__s"))
+            .where(F.col("__s").isNotNull())
+            .distinct()
+            .withColumn("__len", F.length("__s"))
+        )
+        return _choose_strategy(vals, d, q)
+
+    assert probe(diverse) == "qgram"
+    assert probe(smallalpha) == "segment"
+    # degenerate inputs: empty / all-short corpora fall to the robust default
+    assert probe([(0, "ab")]) == "segment"
+    assert probe([]) == "segment"
 
 
 def test_fuzzy_repetitive_strings_not_lost(spark):
