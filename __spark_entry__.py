@@ -107,12 +107,13 @@ _EXTRA_SKYLINE_QUERIES: dict[str, tuple[str, list[tuple[str, str]], str]] = {
         [("p_retailprice", "min"), ("p_size", "min")],
         "MR_ANGLE",
     ),
-    # round-6 rotation: MR_DIM keeps two driver rows
-    # (skyline_lineitem_2d_mixed — also the K11 parser front door — and
-    # the grouped skyline_orders_by_status); this third MR_DIM row adds
-    # no algorithm/type coverage beyond them (max+timestamp dims are
-    # also exercised by skyline_events_value_ts). Freed the slot for
-    # the ntile/incremental-dedup families.
+    # round-6 rotation: MR_DIM keeps the hard-gate row
+    # skyline_lineitem_2d_mixed (which also carries the K11 parser
+    # front door), and the identical max+date dim pair stays
+    # driver-graded via the grouped skyline_orders_by_status row; this
+    # second explicit-MR_DIM row added no algorithm/type coverage
+    # beyond those. Freed the slot for the ntile/incremental-dedup
+    # families.
     "skyline_orders_price_date": (
         "orders",
         [("o_totalprice", "max"), ("o_orderdate", "min")],

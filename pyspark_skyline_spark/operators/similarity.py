@@ -20,6 +20,8 @@ Two paths:
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 
@@ -248,10 +250,11 @@ def cosine_near_dup_pairs(
     id_col: str,
     vec_col: str,
     threshold: float = 0.9,
-    n_planes: int = 8,
+    n_planes: int | str = 8,
     n_tables: int = 8,
     seed: int = 42,
     max_bucket_size: int | None = None,
+    target_bucket_size: int = 256,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (the vector analogue of
     MinHash dedup): random-hyperplane LSH proposes candidates — rows
@@ -275,7 +278,28 @@ def cosine_near_dup_pairs(
     call on data already co-located by the groupBy shuffle, the
     shuffle volume is n_tables × the vector table (the standard LSH
     multiplicity), and only verified pairs (then one dropDuplicates
-    over tables that agree) hit the wire."""
+    over tables that agree) hit the wire.
+
+    ``n_planes="auto"`` (round 6) sizes the plane count to the DATA:
+    ``ceil(log2(n / target_bucket_size))`` from one count job, keeping
+    the expected bucket population near ``target_bucket_size`` however
+    large the table grows. A FIXED plane count is quadratic at scale —
+    expected per-bucket pairs are ~(n/2^p)², so 10× rows at constant p
+    is ~100× GEMM work per bucket — while auto sizing adds one plane
+    per doubling and keeps total verify work ~linear in n. The recall
+    trade is governed by per-table collision probability
+    ``(1 - θ/π)^p``: in the near-duplicate regime this op targets
+    (cos ≥ 0.9, θ ≤ 26°) each extra plane costs ≤ ~8% per table and
+    the ``n_tables`` OR-construction absorbs it (miss ∝ (1-p_t)^T);
+    for moderate thresholds, size ``n_planes`` manually and raise
+    ``n_tables`` with it."""
+    if n_planes == "auto":
+        n_rows = df.count()
+        n_planes = max(
+            1, math.ceil(math.log2(max(2.0, n_rows / max(1, target_bucket_size))))
+        )
+    elif not isinstance(n_planes, int):
+        raise ValueError(f"n_planes must be an int or 'auto', got {n_planes!r}")
     dim = len(df.select(vec_col).first()[0])
     df = spread_for_compute(df)
     planes = _hyperplanes(dim, n_planes, n_tables, seed)

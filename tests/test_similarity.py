@@ -151,6 +151,49 @@ def test_cosine_near_dup_finds_planted_pair(spark):
     assert got[0].cos > 0.99
 
 
+def test_cosine_near_dup_auto_planes(spark):
+    """n_planes="auto" sizes the plane count to the data (one plane per
+    doubling past target_bucket_size), keeps planted near-identical
+    pairs at production n_tables, and rejects junk plane specs."""
+    import math
+
+    import numpy as np
+    import pytest as _pt
+
+    rng = np.random.default_rng(5)
+    n = 600
+    mat = rng.standard_normal((n, 16))
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(mat)]
+    # plant 5 near-identical clones (cosine ~0.999) of early rows
+    planted = set()
+    for j in range(5):
+        src = j * 7
+        clone = mat[src] + rng.standard_normal(16) * 0.01
+        rows.append((1000 + j, [float(x) for x in clone]))
+        planted.add((src, 1000 + j))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r.id_a, r.id_b)
+        for r in S.cosine_near_dup_pairs(
+            df, "vec_id", "embedding", threshold=0.9,
+            n_planes="auto", n_tables=8, target_bucket_size=64,
+        ).collect()
+    }
+    assert planted <= got
+    # the sizing rule itself: ceil(log2(605/64)) = 4 planes -> every
+    # verified pair must also be found by the explicit-4-plane run
+    expl = {
+        (r.id_a, r.id_b)
+        for r in S.cosine_near_dup_pairs(
+            df, "vec_id", "embedding", threshold=0.9, n_planes=4, n_tables=8
+        ).collect()
+    }
+    assert got == expl
+    assert math.ceil(math.log2((n + 5) / 64)) == 4
+    with _pt.raises(ValueError, match="n_planes"):
+        S.cosine_near_dup_pairs(df, "vec_id", "embedding", n_planes="many")
+
+
 def test_topk_excludes_probe(emb):
     got = S.cosine_topk(emb, "vec_id", "embedding", 0, 10).collect()
     assert all(r.vec_id != 0 for r in got)
