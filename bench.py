@@ -384,12 +384,12 @@ def main() -> None:
         unknown = only - set(bench_queries)
         if unknown:
             sys.exit(f"unknown query names: {sorted(unknown)}")
+        # filter once — the loops below need no membership guards
+        bench_queries = {k: bench_queries[k] for k in sorted(only)}
 
     warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     if os.path.isdir(warm_dir) and os.path.abspath(warm_dir) != os.path.abspath(sf_dir):
         for name, fn in sorted(bench_queries.items()):
-            if only is not None and name not in only:
-                continue
             try:
                 fn(spark, warm_dir).count()
             except Exception as exc:  # warmup is best-effort
@@ -408,8 +408,6 @@ def main() -> None:
     errors: dict[str, str] = {}
     for _pass in range(2):
         for name, fn in sorted(bench_queries.items()):
-            if only is not None and name not in only:
-                continue
             if name in errors:
                 continue
             t0 = time.perf_counter()
@@ -445,11 +443,16 @@ def main() -> None:
     # well under the capture limit) so the driver artifact is always
     # machine-readable. Host contention still shows as pass1/pass2
     # divergence in the side file without re-running anything.
+    # The side file is keyed by sf and full-vs-subset so the documented
+    # back-to-back sf0.1/sf1 method never clobbers one scale's evidence
+    # with the other's, and a later --queries probe never overwrites
+    # the driver run's 50-row pairs.
     passes_blob = {"sf": payload["sf"], "cpus": int(cpus), "passes": passes}
     print(f"# passes: {json.dumps(passes_blob)}", file=sys.stderr)
     try:
         side = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "BENCH_passes.json"
+            os.path.dirname(os.path.abspath(__file__)),
+            f"BENCH_passes_sf{sf}{'_subset' if only is not None else ''}.json",
         )
         with open(side, "w") as fh:
             json.dump(passes_blob, fh, indent=1, sort_keys=True)

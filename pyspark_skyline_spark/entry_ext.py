@@ -602,14 +602,19 @@ def _q_stream_join_events(spark, sf_dir):
     batch-analytics shuffle default: a stream-stream join keeps FOUR
     state stores per shuffle partition, and every micro-batch commits
     every instance (including the 0-input watermark-advance batch
-    availableNow appends), so the fixed cost is
-    ``batches x partitions x 4`` store commits — profiled at ~325 ms
-    apiece on the HDFS-backed provider, which made 32 partitions cost
-    ~7.7 s for ~40k state rows while the join compute was <1 s.
-    Streaming state partitioning is an explicit, checkpoint-pinned knob
-    (it cannot AQE-coalesce and cannot change on restart), so sizing it
-    deliberately is the correct 100 TB practice too — there you'd size
-    UP for state volume; here 8 partitions carry ~5k state rows each.
+    availableNow appends), so the fixed cost scales with
+    ``batches x partitions x 4`` store instance commits. Profiled at
+    sf0.1 (~40k state rows, HDFS-backed provider): join compute <1 s,
+    but wall tracked the instance count — ~7.7 s at 32 partitions
+    (256 commits across 2 batches; per-instance commitTimeMs summed to
+    ~42 s/66 s per batch, overlapping imperfectly across the 32 task
+    threads because checkpoint file I/O and per-instance maintenance
+    partially serialize), ~2.9 s at 8 partitions (64 commits), ~2.4 s
+    at 4. Streaming state partitioning is an explicit,
+    checkpoint-pinned knob (it cannot AQE-coalesce and cannot change
+    on restart), so sizing it deliberately is the correct 100 TB
+    practice too — there you'd size UP for state volume; here 8
+    partitions carry ~5k state rows each.
     """
     import os
     import uuid

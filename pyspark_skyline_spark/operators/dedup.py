@@ -33,6 +33,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "near_dup_clusters",
     "dedup_corpus",
+    "dedup_corpus_exact_phase",
     "dedup_incremental",
     "dedup_incremental_neardup",
     "paragraph_dedup",
@@ -680,6 +681,25 @@ def near_dup_clusters(
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
 
 
+def dedup_corpus_exact_phase(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Phase 1 of :func:`dedup_corpus`, shared so the phase-attribution
+    tooling (``scripts/sf1_dedup_phases.py``) measures the SAME code
+    path the operator runs: group by the normalized-text fingerprint
+    (md5 of lowercased, whitespace-collapsed text), keep the min-id
+    representative per group, and return the surviving rows of ``df``.
+
+    The result is localCheckpointed: inside ``dedup_corpus`` it feeds
+    three independent subtrees (the near-dup sketch pipeline, the
+    cluster edge computation, and the final anti-join) — materialize
+    the scan+agg+semi-join once instead of letting each consumer
+    re-execute it.
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    with_fp = df.withColumn("__fp", F.md5(norm.cast("binary")))
+    reps = with_fp.groupBy("__fp").agg(F.min(F.col(id_col)).alias(id_col)).drop("__fp")
+    return df.join(reps, id_col, "semi").localCheckpoint(eager=False)
+
+
 def dedup_corpus(
     df: DataFrame,
     id_col: str,
@@ -704,14 +724,7 @@ def dedup_corpus(
     Fully deterministic, hence oracle-able end to end: exact SQL =
     fingerprint GROUP BY + all-pairs Jaccard + recursive-CTE min-label.
     """
-    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
-    with_fp = df.withColumn("__fp", F.md5(norm.cast("binary")))
-    reps = with_fp.groupBy("__fp").agg(F.min(F.col(id_col)).alias(id_col)).drop("__fp")
-    # survivors feeds three independent subtrees (the near-dup sketch
-    # pipeline, the cluster edge computation, and the final anti-join);
-    # materialize the scan+agg+semi-join once instead of letting each
-    # consumer re-execute it
-    survivors = df.join(reps, id_col, "semi").localCheckpoint(eager=False)
+    survivors = dedup_corpus_exact_phase(df, id_col, text_col)
 
     pairs = ngram_jaccard_pairs(survivors, id_col, text_col, shingle_k, threshold)
     clusters = near_dup_clusters(pairs)

@@ -161,10 +161,12 @@ def _global_row_number_with_total(
             F.count(F.lit(1)).alias("cnt"),
             F.min("__lpos").alias("lo"),
             F.max("__lpos").alias("hi"),
-            F.sum("__lpos").alias("tot"),
-            # squares of 33-bit counters overflow a long past ~2 rows at
-            # the extreme; decimal(38,0) holds sum(< 2^66 each) for any
-            # partition size up to 2^33 (max total < 2^99 < 10^38)
+            # both sums in decimal: a partition may legally hold up to
+            # 2^33 rows (the record-index width), where the counter sum
+            # reaches ~2^65 and the square sum ~2^99 — a long sum would
+            # wrap (non-ANSI) or throw (ANSI) and fake a drift error on
+            # healthy data; decimal(38,0) holds both exactly
+            F.sum(F.col("__lpos").cast("decimal(19,0)")).alias("tot"),
             F.sum(
                 F.col("__lpos").cast("decimal(19,0)")
                 * F.col("__lpos").cast("decimal(19,0)")
@@ -175,7 +177,7 @@ def _global_row_number_with_total(
     counts = {}
     for r in stats:
         _check_lpos_layout(
-            r["__gpid"], r["cnt"], r["lo"], r["hi"], r["tot"], int(r["totsq"])
+            r["__gpid"], r["cnt"], r["lo"], r["hi"], int(r["tot"]), int(r["totsq"])
         )
         counts[r["__gpid"]] = r["cnt"]
     acc = 0

@@ -34,7 +34,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import SparkSession, functions as F  # noqa: E402
 
 
-def run_phases(spark, sf_dir: str, shingle_k: int = 3, threshold: float = 0.5):
+def run_phases(spark, sf_dir: str):
+    # the SAME phase-1 code path and shingle/threshold constants the
+    # dedup_corpus_documents bench row runs — imported, not restated,
+    # so operator or parameter drift cannot silently make this tool
+    # attribute costs for a different pipeline
+    from pyspark_skyline_spark.entry_ext import _NJ_K, _NJ_T
     from pyspark_skyline_spark.operators import dedup as D
     from pyspark_skyline_spark.sources.tables import load_table
 
@@ -42,16 +47,13 @@ def run_phases(spark, sf_dir: str, shingle_k: int = 3, threshold: float = 0.5):
     out = {}
 
     t0 = time.perf_counter()
-    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
-    with_fp = df.withColumn("__fp", F.md5(norm.cast("binary")))
-    reps = with_fp.groupBy("__fp").agg(F.min("doc_id").alias("doc_id")).drop("__fp")
-    survivors = df.join(reps, "doc_id", "semi").localCheckpoint(eager=False)
+    survivors = D.dedup_corpus_exact_phase(df, "doc_id", "text")
     n_surv = survivors.count()
     out["exact_sec"] = round(time.perf_counter() - t0, 3)
     out["exact_survivors"] = n_surv
 
     t0 = time.perf_counter()
-    pairs = D.ngram_jaccard_pairs(survivors, "doc_id", "text", shingle_k, threshold)
+    pairs = D.ngram_jaccard_pairs(survivors, "doc_id", "text", _NJ_K, _NJ_T)
     pairs = pairs.localCheckpoint(eager=False)
     n_pairs = pairs.count()
     out["jaccard_sec"] = round(time.perf_counter() - t0, 3)
