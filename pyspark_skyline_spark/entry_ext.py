@@ -533,6 +533,36 @@ def _q_dedup_incremental_documents(spark, sf_dir):
     return D.dedup_incremental(new, ledger, "doc_id").select("doc_id", "fp")
 
 
+def _q_dedup_incremental_neardup_documents(spark, sf_dir):
+    """NEAR-dup incremental ingest vs a signature LEDGER: docs with
+    doc_id % 3 != 0 form the accepted corpus (stored as MinHash
+    signatures only — the ledger never carries text); docs with
+    doc_id % 3 == 0 arrive as today's batch and drop when their
+    signature-Jaccard estimate against any band-matched ledger doc
+    reaches the threshold. md5 hash mode: the signature computation,
+    band match, and estimate are all bit-reproducible in any engine
+    with md5, so the SQL oracle mirrors the op EXACTLY — there is no
+    approximation gap to bridge (the estimator's variance is part of
+    the op's contract, not noise)."""
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 3 == 0)
+    known = docs.filter(
+        (F.col("doc_id") % 3 != 0)
+        & F.col("text").isNotNull()
+        & F.col("text").rlike(r"\S")
+    )
+    ledger = D.minhash_signatures(
+        known, "doc_id", "text",
+        num_hashes=_MH_HASHES, shingle_k=_MH_K, hash_mode="md5",
+    ).withColumnRenamed("doc_id", "ledger_id")
+    out = D.dedup_incremental_neardup(
+        new, ledger, "doc_id", "text", ledger_id_col="ledger_id",
+        num_hashes=_MH_HASHES, bands=_MH_BANDS, shingle_k=_MH_K,
+        threshold=_MH_T, hash_mode="md5",
+    )
+    return out.select("doc_id", "source")
+
+
 def _q_stream_vocab_documents(spark, sf_dir):
     """COMPLETE output mode through the real engine (append and update
     are covered by the other stream rows): a streaming token-count
@@ -944,6 +974,59 @@ verified AS (
 SELECT id_a, id_b, jac FROM verified WHERE jac >= {_MH_T}
 """
 
+
+
+def _incr_neardup_oracle() -> str:
+    """Exact SQL mirror of ``_q_dedup_incremental_neardup_documents``:
+    both sides of the ledger comparison compute the SAME md5-mode
+    MinHash signatures (the sig construction is shared verbatim with
+    ``_minhash_oracle``), candidates come from any shared band, the
+    verify is the signature equality fraction, and survivors are the
+    new batch minus the dropped ids. Blank/NULL-text rows never enter
+    signature matching and therefore always survive — mirrored by the
+    regexp filter on both sides here and the final anti-membership
+    select over the UNfiltered new batch."""
+    h = _MH_HASHES
+    r = h // _MH_BANDS
+    base_hash = _HASH60.format(x="s")
+    seed_mix = _HASH60.format(x="(h::VARCHAR || '#' || j::VARCHAR)")
+
+    def sigs(name: str, pred: str) -> str:
+        return f"""{name} AS (
+  SELECT doc_id,
+         list_transform(range(0, {h}),
+           j -> list_min(list_transform(hs, h -> {seed_mix}))) AS sig
+  FROM (SELECT doc_id, list_transform({_SHINGLES}, s -> {base_hash}) AS hs
+        FROM documents
+        WHERE ({pred}) AND text IS NOT NULL AND regexp_matches(text, '\\S')))"""
+
+    def bands(name: str, src: str) -> str:
+        return f"""{name} AS (
+  SELECT doc_id, u.idx AS band_idx, u.key AS band_key
+  FROM (SELECT doc_id,
+               list_transform(range(0, {_MH_BANDS}),
+                 b -> {{'idx': b,
+                        'key': array_to_string(sig[b*{r}+1 : b*{r}+{r}], ',')}}) AS bl
+        FROM {src}), UNNEST(bl) AS t(u))"""
+
+    return f"""
+WITH {sigs("nsig", "doc_id % 3 = 0")},
+{sigs("lsig", "doc_id % 3 <> 0")},
+{bands("nbands", "nsig")},
+{bands("lbands", "lsig")},
+cand AS (
+  SELECT DISTINCT n.doc_id AS nid, l.doc_id AS lid
+  FROM nbands n JOIN lbands l
+    ON n.band_idx = l.band_idx AND n.band_key = l.band_key),
+dropped AS (
+  SELECT DISTINCT nid FROM cand
+  JOIN nsig a ON a.doc_id = nid
+  JOIN lsig b ON b.doc_id = lid
+  WHERE len(list_filter(range(0, {h}),
+            j -> a.sig[j+1] = b.sig[j+1]))::DOUBLE / {h} >= {_MH_T})
+SELECT doc_id, source FROM documents
+WHERE doc_id % 3 = 0 AND doc_id NOT IN (SELECT nid FROM dropped)
+"""
 
 
 def _skyline_layers_oracle(
@@ -1476,6 +1559,7 @@ wm AS (SELECT doc_id, pos0,
 SELECT DISTINCT doc_id, fp FROM wm WHERE pos0 <= greatest(n - 4, 0)
 """,
     "minhash_pairs_documents": _minhash_oracle(),
+    "dedup_incremental_neardup_documents": _incr_neardup_oracle(),
     "simhash_documents": _simhash_oracle(),
     "simhash_pairs_documents": _simhash_pairs_oracle(_SH_MAX_HAMMING),
     "chunk_documents": """
@@ -2419,7 +2503,7 @@ def _q_semantic_dedup_embeddings(spark, sf_dir):
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # NOTE: the driver grades at most 50 entries (round 1 registered 52
     # and the last 2 got no CORRECTNESS row), so this registry is held
-    # at exactly 50 = 6 skyline + 44 here (__spark_entry__.queries()
+    # at exactly 50 = 4 skyline + 46 here (__spark_entry__.queries()
     # asserts the total). Entries retired as redundant move to
     # _EXTRA_QUERIES below — still oracle-graded by pytest
     # (tests/test_entry.py), just not by the driver's capped gate.
@@ -2547,6 +2631,10 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_orders": _q_rollup_orders,
     "pivot_events": _q_pivot_events,
     # dedup_incremental_documents moved to the driver gate (rotation #6)
+    # round-6 addition: the NEAR-dup incremental ledger path (md5 mode
+    # — the signature estimate itself is bit-reproducible in SQL, so
+    # the oracle has no approximation gap)
+    "dedup_incremental_neardup_documents": _q_dedup_incremental_neardup_documents,
     "stream_vocab_documents": _q_stream_vocab_documents,
     "contamination_report_documents": _q_contamination_report_documents,
     "heavy_hitters_events": _q_heavy_hitters_events,
