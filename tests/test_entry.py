@@ -61,6 +61,31 @@ def test_registry_holds_exactly_driver_cap():
     assert set(entry_mod.extra_oracle_sql()) <= set(extras)
 
 
+def test_bench_final_line_fits_tail_capture():
+    """The driver parses the LAST stdout line of bench.py; round 5's
+    inline pass arrays overflowed its tail capture and BENCH_r05.json
+    recorded parsed:null. Pin the worst-case happy-path line (every
+    registry row at a 4-digit timing, full recall tail) comfortably
+    under 4 KB so a future registry rename/addition that bloats the
+    line fails here, not in the round artifact."""
+    import json as _json
+
+    recall_keys = (
+        "lsh_topk@10", "ivf_topk@10", "ivf_topk@10_clustered",
+        "near_dup_planted", "near_dup_all_pairs", "near_dup_truth_pairs",
+        "minhash_planted@J0.7", "semdedup_planted", "semdedup_bases_kept",
+    )
+    payload = {
+        "metric": "total wall-clock of headline queries",
+        "value": 99999.999,
+        "unit": "sec",
+        "queries": {n: 9999.999 for n in sorted(entry_mod.queries())},
+        "sf": 0.1,
+        "recall": {k: 0.999 for k in recall_keys},
+    }
+    assert len(_json.dumps(payload)) < 4096
+
+
 def _all_queries():
     out = dict(entry_mod.queries())
     out.update(entry_mod.extra_queries())
