@@ -242,6 +242,31 @@ def _q_cosine_near_dup(spark, sf_dir):
     ).select("id_a", "id_b")
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _state_partitions(spark, n: int = 8):
+    """Run a stateful streaming query with its state partition count
+    sized to the STATE instead of the session's batch-analytics shuffle
+    default. Stateful operators keep one-or-more state stores per
+    shuffle partition and every micro-batch (including the trailing
+    0-input watermark-advance batch) commits every instance, so at the
+    bench's state sizes (thousands of rows) wall time tracks the
+    instance count, not the compute — profiled in
+    ``_q_stream_join_events``'s docstring. Streaming state partitioning
+    is checkpoint-pinned and AQE-exempt, so explicit sizing is the
+    correct practice at 100 TB too (there you size UP for state
+    volume). Restores the session conf on exit for the batch rows that
+    follow."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def _q_stream_window_stats_orders(spark, sf_dir):
     # watermarked tumbling-window aggregation through the REAL streaming
     # engine (append mode): a single-file/single-batch stream leaves the
@@ -267,14 +292,15 @@ def _q_stream_window_stats_orders(spark, sf_dir):
     )
     out = windowed_stream_stats(stream, "ts", "v", "30 days", delay="1 day")
     name = f"wm_stats_{uuid.uuid4().hex[:8]}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_partitions(spark):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).select(
         "window_start",
         "window_end",
@@ -437,11 +463,12 @@ def _q_stream_skyline_orders(spark, sf_dir):
     from pyspark_skyline_spark.streaming.skyline_stream import stream_table_skyline
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    res = stream_table_skyline(
-        spark,
-        f"{sf_dir}/orders.parquet",
-        [("o_totalprice", "max"), ("o_orderdate", "min")],
-    )
+    with _state_partitions(spark):
+        res = stream_table_skyline(
+            spark,
+            f"{sf_dir}/orders.parquet",
+            [("o_totalprice", "max"), ("o_orderdate", "min")],
+        )
     return res.select("o_totalprice", "o_orderdate").dropDuplicates()
 
 
@@ -673,9 +700,7 @@ def _q_stream_join_events(spark, sf_dir):
         ).alias("gap_us"),
     )
     name = f"ssj_{uuid.uuid4().hex[:8]}"
-    old_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
+    with _state_partitions(spark):
         q = (
             joined.writeStream.format("memory")
             .queryName(name)
@@ -684,9 +709,6 @@ def _q_stream_join_events(spark, sf_dir):
             .start()
         )
         q.awaitTermination()
-    finally:
-        # restore the session default for the batch rows that follow
-        spark.conf.set("spark.sql.shuffle.partitions", old_shuffle)
     return spark.table(name)
 
 
@@ -875,14 +897,15 @@ def _q_windowed_stream_skyline(spark, sf_dir):
         partitions=8,
     )
     name = f"wsky_{uuid.uuid4().hex[:8]}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_partitions(spark):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     emissions = spark.table(name).drop("__sky_cell")
     reduced = skyline(emissions, dims, by=["window_start"])
     return reduced.select("window_start", "value", "event_id").dropDuplicates()
@@ -908,8 +931,9 @@ def _q_two_stage_skyline(spark, sf_dir):
         .option("pathGlobFilter", os.path.basename(path))
         .parquet(os.path.dirname(path))
     )
-    state, q = run_two_stage_skyline_stream(stream, dims, bounds, partitions=16)
-    q.awaitTermination()
+    with _state_partitions(spark):
+        state, q = run_two_stage_skyline_stream(stream, dims, bounds, partitions=16)
+        q.awaitTermination()
     return state.result().select("o_totalprice", "o_orderdate").dropDuplicates()
 
 
