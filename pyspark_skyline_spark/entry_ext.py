@@ -339,14 +339,15 @@ def _q_stream_session_stats_events(spark, sf_dir):
         stream.select("ts", "user_id"), "ts", "user_id", gap="4 hours", delay="1 hour"
     )
     name = f"wm_sess_{uuid.uuid4().hex[:8]}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_partitions(spark):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).select(
         "session_start",
         "session_end",
@@ -384,14 +385,15 @@ def _q_stream_sliding_stats_events(spark, sf_dir):
         window_duration="2 hours", slide="30 minutes", delay="1 hour",
     )
     name = f"wm_slide_{uuid.uuid4().hex[:8]}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_partitions(spark):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).select(
         "window_start",
         "window_end",
@@ -613,14 +615,15 @@ def _q_stream_vocab_documents(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
     name = f"svocab_{uuid.uuid4().hex[:8]}"
-    q = (
-        counts.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_partitions(spark):
+        q = (
+            counts.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.table(name)
         .orderBy(F.col("n").desc(), F.col("token").asc())
@@ -2439,14 +2442,15 @@ def _q_stream_enrich_events(spark, sf_dir):
         "event_id", "user_id", "c_name", F.round("c_acctbal", 2).alias("acctbal")
     )
     name = f"enr_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_partitions(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
