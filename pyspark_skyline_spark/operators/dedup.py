@@ -563,6 +563,25 @@ def ngram_jaccard_pairs(
     sets = ranked.select(
         "__id", F.transform("__rsh", lambda x: x["__h"]).alias("__sh")
     )
+    # BROADCAST the verify build side when it measurably fits: the
+    # sketch table is one row per distinct doc (8 bytes per shingle
+    # hash), while the candidate multiset can be ORDERS OF MAGNITUDE
+    # larger on low-diversity corpora where prefixes barely
+    # discriminate (a 31-word-vocabulary fixture produced 14.6M
+    # candidates from 50k docs; shuffling each candidate through two
+    # sort-merge joins with both array payloads was 70% of the
+    # operator's wall). Auto-broadcast won't fire — the sketch sits
+    # above the default 10 MB threshold — so measure it with one tiny
+    # agg over the already-materialized ranked table and hint
+    # explicitly under a 128 MB budget; past the budget (the 100 TB
+    # regime, where the sketch table is itself huge) the plan stays
+    # the shuffle join, which is then the right side to shuffle.
+    vstats = ranked.agg(
+        F.count(F.lit(1)).alias("rows"), F.sum("__n").alias("elems")
+    ).collect()[0]
+    sets_bytes = int((vstats["elems"] or 0) * 8 * 1.4 + (vstats["rows"] or 0) * 48)
+    if sets_bytes <= 128 * 1024 * 1024:
+        sets = F.broadcast(sets)
     sh_a = sets.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sh_a"))
     sh_b = sets.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__sh_b"))
     return (
