@@ -276,8 +276,24 @@ def minhash_lsh_pairs(
         .dropDuplicates()
     )
 
-    sh_a = base.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sh_a"))
-    sh_b = base.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__sh_b"))
+    # BROADCAST the verify build side when it measurably fits — same
+    # rationale and 128 MB budget as ngram_jaccard_pairs (the per-doc
+    # shingle table is one row per doc; LSH bucket candidates can be
+    # orders of magnitude more numerous on low-diversity corpora, and
+    # shuffling each candidate through two array-payload sort-merge
+    # joins dominates the verify). One aggregate over the
+    # already-materialized base measures the actual string bytes; past
+    # the budget the shuffle join stands (the 100 TB regime).
+    vstats = base.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.expr("aggregate(__sh, 0L, (a, x) -> a + length(x) + 24)")).alias(
+            "bytes"
+        ),
+    ).collect()[0]
+    est_bytes = int((vstats["bytes"] or 0) * 1.4 + (vstats["rows"] or 0) * 48)
+    vbase = F.broadcast(base) if est_bytes <= 128 * 1024 * 1024 else base
+    sh_a = vbase.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sh_a"))
+    sh_b = vbase.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__sh_b"))
     verified = (
         cand.join(sh_a, "id_a")
         .join(sh_b, "id_b")
