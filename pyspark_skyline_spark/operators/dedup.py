@@ -42,6 +42,17 @@ __all__ = [
 ]
 
 
+#: size budget for broadcasting a verify build side (the per-doc
+#: sketch/shingle table) in ngram_jaccard_pairs / minhash_lsh_pairs:
+#: candidates on low-diversity corpora outnumber docs by orders of
+#: magnitude, so under the budget the verify joins become map-side
+#: broadcast-hash probes instead of shuffling every candidate with
+#: both array payloads; past it (the 100 TB regime where the sketch
+#: table is itself huge) the shuffle join is the right plan. Module
+#: constant so tests can pin both regimes differential-equal.
+_VERIFY_BROADCAST_BUDGET = 128 * 1024 * 1024
+
+
 def spread_for_compute(df: DataFrame) -> DataFrame:
     """Round-robin repartition to the cluster's parallelism when the
     input has fewer partitions than cores.
@@ -291,7 +302,7 @@ def minhash_lsh_pairs(
         ),
     ).collect()[0]
     est_bytes = int((vstats["bytes"] or 0) * 1.4 + (vstats["rows"] or 0) * 48)
-    vbase = F.broadcast(base) if est_bytes <= 128 * 1024 * 1024 else base
+    vbase = F.broadcast(base) if est_bytes <= _VERIFY_BROADCAST_BUDGET else base
     sh_a = vbase.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sh_a"))
     sh_b = vbase.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__sh_b"))
     verified = (
@@ -596,7 +607,7 @@ def ngram_jaccard_pairs(
         F.count(F.lit(1)).alias("rows"), F.sum("__n").alias("elems")
     ).collect()[0]
     sets_bytes = int((vstats["elems"] or 0) * 8 * 1.4 + (vstats["rows"] or 0) * 48)
-    if sets_bytes <= 128 * 1024 * 1024:
+    if sets_bytes <= _VERIFY_BROADCAST_BUDGET:
         sets = F.broadcast(sets)
     sh_a = sets.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sh_a"))
     sh_b = sets.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__sh_b"))

@@ -250,6 +250,37 @@ def test_ngram_jaccard_matches_bruteforce_random(spark):
     assert got == want
 
 
+def test_verify_broadcast_regimes_agree(spark, monkeypatch):
+    """The size-gated verify broadcast (round 6) only changes the
+    physical join side, never the result: run ngram_jaccard_pairs and
+    minhash_lsh_pairs with the budget forced to 0 (shuffle-join regime,
+    the 100 TB plan) and at the default (broadcast regime for these
+    tiny corpora) and pin both equal; also pin that the default regime
+    actually planned a broadcast-hash verify join."""
+    import random
+
+    from pyspark_skyline_spark.plans.explain import formatted_plan
+
+    rng = random.Random(3)
+    vocab = ["aa", "bb", "cc", "dd"]
+    texts = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 10))))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+
+    def pairs(fn, **kw):
+        return {(r.id_a, r.id_b, round(r.jac, 9)) for r in fn(df, "doc_id", "text", **kw).collect()}
+
+    bc_ng = pairs(D.ngram_jaccard_pairs, threshold=0.5)
+    bc_mh = pairs(D.minhash_lsh_pairs, threshold=0.4)
+    plan = formatted_plan(D.ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.5))
+    assert "BroadcastHashJoin" in plan, plan
+    monkeypatch.setattr(D, "_VERIFY_BROADCAST_BUDGET", 0)
+    assert pairs(D.ngram_jaccard_pairs, threshold=0.5) == bc_ng
+    assert pairs(D.minhash_lsh_pairs, threshold=0.4) == bc_mh
+
+
 def test_minhash_bucket_cap_drops_giant_cluster_only(spark):
     """max_bucket_size: a 30-copy boilerplate cluster floods its buckets
     past the cap and drops out; an ordinary near-dup pair elsewhere
