@@ -190,18 +190,25 @@ def fuzzy_pairs(
         if c not in df.columns:
             raise ValueError(f"column {c!r} not in DataFrame columns {df.columns}")
 
+    from pyspark_skyline_spark.operators.dedup import spread_for_compute
+
     base = df.select(F.col(id_col).alias("__id"), F.col(str_col).alias("__s")).where(
         F.col("__s").isNotNull()
     )
     # the distinct-string table feeds four branches (index, probe,
     # short, boundary) — materialize it once; the checkpoint RDD is
-    # reclaimed by the context cleaner with the plan
-    vals = (
+    # reclaimed by the context cleaner with the plan.
+    # spread_for_compute: the distinct's post-shuffle partition count
+    # is sized by BYTES (AQE coalesces a 200k-name table to a handful
+    # of partitions), but everything downstream is compute-dense
+    # map-side work on those partitions — the segment/banded-substring
+    # explodes and the O(d²) probe enumeration ran on 4 of 32 cores at
+    # the sf1 fixture (8.4 s of a ~10 s operator) until respread
+    vals = spread_for_compute(
         base.select("__s")
         .distinct()
         .withColumn("__len", F.length("__s"))
-        .localCheckpoint(eager=False)
-    )
+    ).localCheckpoint(eager=False)
     if strategy == "auto":
         strategy = _choose_strategy(vals, max_dist, q)
     if strategy == "segment":
