@@ -450,9 +450,15 @@ def main() -> None:
     passes_blob = {"sf": payload["sf"], "cpus": int(cpus), "passes": passes}
     print(f"# passes: {json.dumps(passes_blob)}", file=sys.stderr)
     try:
+        import re as _re
+
+        # sanitize: an sf_dir without "sf" makes the parsed token a
+        # whole path — separators in the filename would silently lose
+        # the pass-pair evidence to the OSError guard below
+        sf_token = _re.sub(r"[^A-Za-z0-9_.-]", "_", str(sf))
         side = os.path.join(
             os.path.dirname(os.path.abspath(__file__)),
-            f"BENCH_passes_sf{sf}{'_subset' if only is not None else ''}.json",
+            f"BENCH_passes_sf{sf_token}{'_subset' if only is not None else ''}.json",
         )
         with open(side, "w") as fh:
             json.dump(passes_blob, fh, indent=1, sort_keys=True)
