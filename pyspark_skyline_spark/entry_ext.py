@@ -2564,7 +2564,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "skyline_orders_by_status": _q_skyline_by_status,
     "join_skyline_customer_nation": _q_join_skyline_customer_nation,
     "asof_error_click_events": _q_asof_error_click,
-    "stratified_sample_events": _q_stratified_sample_events,
     "vocab_topk_documents": _q_vocab_topk,
     "dedup_corpus_documents": _q_dedup_corpus,
     # round-3 additions: LLM-pipeline filtering + profiling, and the
@@ -2583,7 +2582,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # session/tumbling/windowed-skyline stream rows
     "json_extract_events": _q_json_extract_events,
     "upsert_orders": _q_upsert_orders,
-    "resample_events": _q_resample_events,
     # round-4 rotation: the strongest previously-ungraded families get
     # hard-gate rows (retired: skyline_part_angle, cosine_topk_ivf,
     # stream_session_stats — rationale at their extra entries).
@@ -2592,7 +2590,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # histogram grades the bit-exact unrounded edge arithmetic.
     "fuzzy_pairs_part": _q_fuzzy_pairs_part,
     "scd2_events": _q_scd2_events,
-    "histogram_orders": _q_histogram_orders,
     # round-4 rotation (second wave): the new training-data-layout +
     # sub-document-dedup families get hard-gate rows (retired:
     # global_top_orders, distinct_users_by_type, pack_batches_orders —
@@ -2626,6 +2623,19 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "equi_depth_orders": _q_equi_depth_orders,
     "equi_depth_by_status_orders": _q_equi_depth_by_status_orders,
     "dedup_incremental_documents": _q_dedup_incremental_documents,
+    # round-7 rotation: the never-driver-graded OLAP family gets a
+    # hard-gate row (cube — supersets rollup/grouping-sets coverage,
+    # which stay oracle-graded as extras), window FRAMES return to the
+    # gate via rolling_stats_events (rows-between rolling aggregates —
+    # the ranked-window rows grade ordering, not frames), and the
+    # incremental NEAR-dup ledger gets its first driver row — the
+    # md5-mode signature-Jaccard estimate is bit-reproducible in SQL,
+    # so the approximate path is exactly oracled (retired:
+    # histogram_orders, resample_events, stratified_sample_events —
+    # rationale at their extra entries).
+    "cube_orders": _q_cube_orders,
+    "rolling_stats_events": _q_rolling_stats_events,
+    "dedup_incremental_neardup_documents": _q_dedup_incremental_neardup_documents,
 }
 
 #: Retired from the driver's 50-entry gate as redundant with rows that
@@ -2658,11 +2668,8 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "column_quantiles_orders": _q_column_quantiles_orders,
     "rollup_orders": _q_rollup_orders,
     "pivot_events": _q_pivot_events,
-    # dedup_incremental_documents moved to the driver gate (rotation #6)
-    # round-6 addition: the NEAR-dup incremental ledger path (md5 mode
-    # — the signature estimate itself is bit-reproducible in SQL, so
-    # the oracle has no approximation gap)
-    "dedup_incremental_neardup_documents": _q_dedup_incremental_neardup_documents,
+    # dedup_incremental_documents moved to the driver gate (rotation #6);
+    # dedup_incremental_neardup_documents followed it there (rotation #7)
     "stream_vocab_documents": _q_stream_vocab_documents,
     "contamination_report_documents": _q_contamination_report_documents,
     "heavy_hitters_events": _q_heavy_hitters_events,
@@ -2683,7 +2690,8 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # graded by pytest (tests/test_witness.py)
     "representative_skyline_part": _q_representative_skyline_part,
     "char_entropy_documents": _q_char_entropy_documents,
-    "cube_orders": _q_cube_orders,
+    # cube_orders moved to the driver gate (rotation #7); rollup /
+    # grouping-sets are sub-lattices of the cube and stay graded here
     "grouping_sets_orders": _q_grouping_sets_orders,
     "correlations_lineitem": _q_correlations_lineitem,
     # round-4 rotation (second wave) out of the 50-cap (swapped for
@@ -2706,7 +2714,7 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # the stream window rows. (skyline_part_dim moved to the extra
     # skyline registry in __spark_entry__.py.)
     "subword_count_documents": _q_subword_count,
-    "rolling_stats_events": _q_rolling_stats_events,
+    # rolling_stats_events returned to the driver gate (rotation #7)
     # round-6 rotation out of the 50-cap (swapped for equi_depth x2 /
     # dedup_incremental): winnowing fingerprints stay graded here and
     # inside dedup_corpus_documents' fingerprint phase +
@@ -2715,6 +2723,19 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (stream_session_stats_events) — the batch oracle is identical.
     "winnow_fingerprints_documents": _q_winnow,
     "sessionize_events": _q_sessionize_events,
+    # round-7 rotation out of the 50-cap (swapped for cube_orders /
+    # rolling_stats_events / dedup_incremental_neardup_documents):
+    # the profile family keeps its driver row via
+    # column_profile_orders (histogram's bit-exact unrounded edge
+    # arithmetic stays graded here); the date/time family keeps
+    # scd2_events at the gate (dense-grid resample stays graded here
+    # and its sequence/fill machinery also underpins the stream window
+    # rows); the sampling family keeps split_dataset_orders at the
+    # gate (the shared hash-threshold sampler core stays graded here
+    # and via hash_sample_orders).
+    "histogram_orders": _q_histogram_orders,
+    "resample_events": _q_resample_events,
+    "stratified_sample_events": _q_stratified_sample_events,
 }
 
 
