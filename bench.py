@@ -448,6 +448,8 @@ def main() -> None:
     # with the other's, and a later --queries probe never overwrites
     # the driver run's 50-row pairs.
     passes_blob = {"sf": payload["sf"], "cpus": int(cpus), "passes": passes}
+    if only is not None:  # subset side files self-describe their scope
+        passes_blob["subset"] = sorted(only)
     print(f"# passes: {json.dumps(passes_blob)}", file=sys.stderr)
     try:
         import re as _re
@@ -456,9 +458,21 @@ def main() -> None:
         # whole path — separators in the filename would silently lose
         # the pass-pair evidence to the OSError guard below
         sf_token = _re.sub(r"[^A-Za-z0-9_.-]", "_", str(sf))
+        # subset runs are keyed by a short hash of the query list too:
+        # two different --queries probes at the same sf must not
+        # clobber each other's pass-pair evidence (only the full run
+        # owns the unsuffixed filename)
+        if only is not None:
+            import hashlib as _hl
+
+            subset_tag = "_subset_" + _hl.sha256(
+                ",".join(sorted(only)).encode()
+            ).hexdigest()[:8]
+        else:
+            subset_tag = ""
         side = os.path.join(
             os.path.dirname(os.path.abspath(__file__)),
-            f"BENCH_passes_sf{sf_token}{'_subset' if only is not None else ''}.json",
+            f"BENCH_passes_sf{sf_token}{subset_tag}.json",
         )
         with open(side, "w") as fh:
             json.dump(passes_blob, fh, indent=1, sort_keys=True)

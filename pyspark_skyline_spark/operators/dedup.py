@@ -52,6 +52,47 @@ __all__ = [
 #: constant so tests can pin both regimes differential-equal.
 _VERIFY_BROADCAST_BUDGET = 128 * 1024 * 1024
 
+#: broadcast-feasibility factor applied to block-manager stored bytes.
+#: Two opposite corrections roughly cancel: the hashed relation a
+#: broadcast builds adds table slots/pointers on top of the row bytes
+#: (~1.5-2x), but the checkpoint stores MORE than the broadcast
+#: projection carries (jaccard broadcasts only the 8-byte hashes out
+#: of the stored 16-byte (df, hash) structs; minhash broadcasts two
+#: of base's columns). Net factor ~1; measured at sf1 this keeps the
+#: broadcast/shuffle decisions identical to the round-6 aggregate
+#: probe on both operators (jaccard ranked 80 MB, minhash base 67 MB
+#: — both under the 128 MB budget, where broadcast measurably paid).
+_HASHED_RELATION_FACTOR = 1
+
+
+def _persisted_bytes(df: DataFrame) -> int | None:
+    """Actual stored footprint of a just-``localCheckpoint(eager=True)``'d
+    DataFrame, read from the driver's block-manager metadata — NO Spark
+    job.
+
+    Round 6 sized the verify-broadcast decision with a one-aggregate
+    probe job per invocation (an extra scheduling round trip, and for
+    minhash an O(corpus) interpreted-HOF length sum). The checkpoint
+    the pipeline materializes anyway already knows its own size: the
+    eager ``localCheckpoint`` persists the plan's internal RDD, whose
+    mem+disk bytes the block manager tracks per RDD id. Reading that is
+    a driver-side metadata lookup, so the size probe folds into the job
+    the operator was already paying for. Returns ``None`` when the
+    plan-internal accessors are unavailable (callers fall back to the
+    round-6 aggregate probe); the regime-differential pytest pins that
+    the default path still plans a broadcast-hash verify join, so a
+    silent fallback cannot rot undetected.
+    """
+    try:
+        rdd_id = df._jdf.queryExecution().analyzed().rdd().id()
+        jsc = df.sparkSession.sparkContext._jsc.sc()
+        for info in jsc.getRDDStorageInfo():
+            if info.id() == rdd_id:
+                return int(info.memSize()) + int(info.diskSize())
+    except Exception:
+        return None
+    return None
+
 
 def spread_for_compute(df: DataFrame) -> DataFrame:
     """Round-robin repartition to the cluster's parallelism when the
@@ -248,7 +289,7 @@ def minhash_lsh_pairs(
     base = df.select(
         F.col(id_col).alias("__id"),
         shingles(F.col(text_col), shingle_k).alias("__sh"),
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     sh_tbl = base.select("__id", F.explode("__sh").alias("__s"))
     hashed = sh_tbl.select("__id", hash64_expr(F.col("__s"), None, hash_mode).alias("__h"))
     mixed = hashed.select(
@@ -292,16 +333,22 @@ def minhash_lsh_pairs(
     # shingle table is one row per doc; LSH bucket candidates can be
     # orders of magnitude more numerous on low-diversity corpora, and
     # shuffling each candidate through two array-payload sort-merge
-    # joins dominates the verify). One aggregate over the
-    # already-materialized base measures the actual string bytes; past
-    # the budget the shuffle join stands (the 100 TB regime).
-    vstats = base.agg(
-        F.count(F.lit(1)).alias("rows"),
-        F.sum(F.expr("aggregate(__sh, 0L, (a, x) -> a + length(x) + 24)")).alias(
-            "bytes"
-        ),
-    ).collect()[0]
-    est_bytes = int((vstats["bytes"] or 0) * 1.4 + (vstats["rows"] or 0) * 48)
+    # joins dominates the verify). The size comes FREE from the
+    # block-manager metadata of the eager checkpoint the pipeline
+    # materializes anyway (round 6 paid an extra probe job + an
+    # O(corpus) HOF length sum here); past the budget the shuffle join
+    # stands (the 100 TB regime).
+    stored = _persisted_bytes(base)
+    if stored is None:  # metadata accessors unavailable: round-6 probe
+        vstats = base.agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(
+                F.expr("aggregate(__sh, 0L, (a, x) -> a + length(x) + 24)")
+            ).alias("bytes"),
+        ).collect()[0]
+        est_bytes = int((vstats["bytes"] or 0) * 1.4 + (vstats["rows"] or 0) * 48)
+    else:
+        est_bytes = stored * _HASHED_RELATION_FACTOR
     vbase = F.broadcast(base) if est_bytes <= _VERIFY_BROADCAST_BUDGET else base
     sh_a = vbase.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sh_a"))
     sh_b = vbase.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__sh_b"))
@@ -546,7 +593,10 @@ def ngram_jaccard_pairs(
     # corpus text, so this is the standard compute-sketches-once
     # materialization; localCheckpoint trades lineage-based recovery
     # for it (executor loss => job retry), the documented trade.
-    ranked = ranked.localCheckpoint(eager=False)
+    # Eager: the verify-broadcast size gate below reads this
+    # checkpoint's stored bytes from block-manager metadata, so the
+    # materialization job doubles as the size probe.
+    ranked = ranked.localCheckpoint(eager=True)
     # candidates: (id, size, prefix position+element) only — no payload
     pref = ranked.select(
         "__id",
@@ -598,15 +648,21 @@ def ngram_jaccard_pairs(
     # candidates from 50k docs; shuffling each candidate through two
     # sort-merge joins with both array payloads was 70% of the
     # operator's wall). Auto-broadcast won't fire — the sketch sits
-    # above the default 10 MB threshold — so measure it with one tiny
-    # agg over the already-materialized ranked table and hint
-    # explicitly under a 128 MB budget; past the budget (the 100 TB
-    # regime, where the sketch table is itself huge) the plan stays
-    # the shuffle join, which is then the right side to shuffle.
-    vstats = ranked.agg(
-        F.count(F.lit(1)).alias("rows"), F.sum("__n").alias("elems")
-    ).collect()[0]
-    sets_bytes = int((vstats["elems"] or 0) * 8 * 1.4 + (vstats["rows"] or 0) * 48)
+    # above the default 10 MB threshold — so read the size FREE from
+    # the block-manager metadata of the eager checkpoint above and
+    # hint explicitly under a 128 MB budget; past the budget (the
+    # 100 TB regime, where the sketch table is itself huge) the plan
+    # stays the shuffle join, which is then the right side to shuffle.
+    stored = _persisted_bytes(ranked)
+    if stored is None:  # metadata accessors unavailable: round-6 probe
+        vstats = ranked.agg(
+            F.count(F.lit(1)).alias("rows"), F.sum("__n").alias("elems")
+        ).collect()[0]
+        sets_bytes = int(
+            (vstats["elems"] or 0) * 8 * 1.4 + (vstats["rows"] or 0) * 48
+        )
+    else:
+        sets_bytes = stored * _HASHED_RELATION_FACTOR
     if sets_bytes <= _VERIFY_BROADCAST_BUDGET:
         sets = F.broadcast(sets)
     sh_a = sets.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sh_a"))

@@ -21,6 +21,7 @@ Two paths:
 from __future__ import annotations
 
 import math
+import numbers
 
 import numpy as np
 import pandas as pd
@@ -298,17 +299,25 @@ def cosine_near_dup_pairs(
         n_planes = max(
             1, math.ceil(math.log2(max(2.0, n_rows / max(1, target_bucket_size))))
         )
-    elif isinstance(n_planes, bool) or not isinstance(n_planes, int) or n_planes < 0:
+    elif (
+        isinstance(n_planes, bool)
+        or not isinstance(n_planes, numbers.Integral)
+        or n_planes < 0
+    ):
         # bool is an int subclass: n_planes=True would silently run a
         # 1-plane LSH (2 giant buckets — the quadratic regime auto
         # exists to avoid) instead of erroring like other junk specs;
         # negative counts would die inside numpy with a shape error.
+        # numbers.Integral (not plain int) so numpy integer scalars —
+        # the natural output of numpy-derived sizing — stay accepted.
         # n_planes=0 is ALLOWED and contractual: the exhaustive mode
         # (one bucket, all-pairs verify) the oracle-graded driver row
         # runs so the all-pairs threshold SQL applies exactly.
         raise ValueError(
             f"n_planes must be a non-negative int or 'auto', got {n_planes!r}"
         )
+    else:
+        n_planes = int(n_planes)
     dim = len(df.select(vec_col).first()[0])
     df = spread_for_compute(df)
     planes = _hyperplanes(dim, n_planes, n_tables, seed)

@@ -192,6 +192,19 @@ def test_cosine_near_dup_auto_planes(spark):
     assert math.ceil(math.log2((n + 5) / 64)) == 4
     with _pt.raises(ValueError, match="n_planes"):
         S.cosine_near_dup_pairs(df, "vec_id", "embedding", n_planes="many")
+    # numpy integer scalars are not `int` subclasses but must stay
+    # accepted (numbers.Integral): numpy-derived sizing is the natural
+    # caller; bool must still be rejected despite being an int subclass
+    np_planes = {
+        (r.id_a, r.id_b)
+        for r in S.cosine_near_dup_pairs(
+            df, "vec_id", "embedding", threshold=0.9,
+            n_planes=np.int64(4), n_tables=8,
+        ).collect()
+    }
+    assert np_planes == expl
+    with _pt.raises(ValueError, match="n_planes"):
+        S.cosine_near_dup_pairs(df, "vec_id", "embedding", n_planes=True)
 
 
 def test_topk_excludes_probe(emb):
