@@ -352,13 +352,18 @@ def minhash_lsh_pairs(
     vbase = F.broadcast(base) if est_bytes <= _VERIFY_BROADCAST_BUDGET else base
     sh_a = vbase.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sh_a"))
     sh_b = vbase.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__sh_b"))
+    # size-arithmetic Jaccard: elements are distinct per doc (the
+    # shingle sets), so |A∪B| = |A| + |B| - |A∩B| — array_union would
+    # rebuild and MATERIALIZE the union array per candidate (an O(n)
+    # allocation on the hottest path); size() is O(1) on array columns
+    inter = F.size(F.array_intersect("__sh_a", "__sh_b"))
     verified = (
         cand.join(sh_a, "id_a")
         .join(sh_b, "id_b")
         .withColumn(
             "jac",
-            F.size(F.array_intersect("__sh_a", "__sh_b")).cast("double")
-            / F.size(F.array_union("__sh_a", "__sh_b")),
+            inter.cast("double")
+            / (F.size("__sh_a") + F.size("__sh_b") - inter),
         )
         .filter(F.col("jac") >= threshold)
         .select("id_a", "id_b", "jac")
@@ -615,6 +620,21 @@ def ngram_jaccard_pairs(
     min_overlap = F.ceil(
         F.lit(t / (1.0 + t)) * (F.col("a.__n") + F.col("b.__n")) - F.lit(1e-9)
     )
+    # Tighter candidate pruning was ATTEMPTED and MEASURED OFF (round
+    # 7): aggregating all shared prefix elements per pair gives the
+    # tight PPJoin bound overlap <= c + min(|A|-i_last-1, |B|-j_last-1)
+    # (c = shared-prefix count, i/j_last = positions of the last shared
+    # element — sound because sorted order forces every unmatched
+    # shared element past the last match in both arrays). On the sf1
+    # low-diversity fixture it pruned ZERO of 14.6M candidates at
+    # t=0.5 and zero of 1.9M at t=0.8: the surviving candidates are
+    # near-miss pairs genuinely sharing most of their shingles, so no
+    # positional bound separates them — only the exact verify can —
+    # while the aggregate's wider exchange rows made dedup_corpus
+    # ~1.35x slower end to end. dropDuplicates keeps the slimmest
+    # possible exchange (16 bytes/row); the verify below is the
+    # irreducible cost and is kept cheap by the broadcast gate plus
+    # size-arithmetic Jaccard (no array_union materialization).
     cand = (
         a.join(
             b,
@@ -667,13 +687,18 @@ def ngram_jaccard_pairs(
         sets = F.broadcast(sets)
     sh_a = sets.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sh_a"))
     sh_b = sets.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__sh_b"))
+    # size-arithmetic Jaccard (|A∪B| = |A|+|B|-|A∩B|, elements distinct
+    # per doc): skips array_union's per-candidate O(n) allocation on
+    # the hottest path — 14.6M candidates each carry two ~200-element
+    # arrays here at sf1; size() is O(1) on array columns
+    inter = F.size(F.array_intersect("__sh_a", "__sh_b"))
     return (
         cand.join(sh_a, "id_a")
         .join(sh_b, "id_b")
         .withColumn(
             "jac",
-            F.size(F.array_intersect("__sh_a", "__sh_b")).cast("double")
-            / F.size(F.array_union("__sh_a", "__sh_b")),
+            inter.cast("double")
+            / (F.size("__sh_a") + F.size("__sh_b") - inter),
         )
         .filter(F.col("jac") >= threshold)
         .select("id_a", "id_b", "jac")
