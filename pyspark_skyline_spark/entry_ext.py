@@ -242,6 +242,22 @@ def _q_cosine_near_dup(spark, sf_dir):
     ).select("id_a", "id_b")
 
 
+def _q_cosine_near_dup_lsh(spark, sf_dir):
+    """LSH-MODE near-dup with an EXACT oracle (round 7): md5-parity
+    Rademacher planes over 1e-6-floored embeddings make every bucket
+    decision integer arithmetic any SQL engine reproduces bit-exactly
+    (the md5-signature-ledger pattern from the MinHash oracle applied
+    to hyperplane LSH — operators/similarity.py::_md5_planes). The
+    oracle rebuilds the same planes/buckets in DuckDB and verifies
+    cosine exactly, so the SCALE PATH (bucketed, never all-pairs) is
+    driver-graded, not just the exhaustive n_planes=0 special case."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.cosine_near_dup_pairs(
+        emb, "vec_id", "embedding", threshold=0.45,
+        n_planes=4, n_tables=8, plane_mode="md5",
+    ).select("id_a", "id_b")
+
+
 from contextlib import contextmanager
 
 
@@ -1549,6 +1565,46 @@ WHERE {dot_ab} / (a.nv * b.nv) >= {threshold}
 """
 
 
+def _cosine_near_dup_lsh_oracle(threshold: float, n_planes: int, n_tables: int) -> str:
+    # EXACT oracle for the LSH mode itself (plane_mode="md5"): the
+    # plane matrix is the parity of md5(t || '_' || p || '_' || i) and
+    # the projection runs on floor(v[i] * 1e6) BIGINTs, so bucket ids
+    # are integer-exact in both engines; candidates = co-bucketed in
+    # any table, verify = exact cosine (same fold as the exhaustive
+    # oracle). Mirrors operators/similarity.py::_md5_planes +
+    # _bucket_udf's integer path.
+    dot_ab = _FOLD.format(a="a.v", b="b.v")
+    dot_vv = _FOLD.format(a="v", b="v")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id, i, CAST(floor(v[i] * 1000000.0) AS BIGINT) AS qv
+      FROM e, range(1, 65) r(i)),
+c AS (SELECT t, p, i,
+             CASE WHEN ('0x' || substr(md5(CAST(t AS VARCHAR) || '_' ||
+                        CAST(p AS VARCHAR) || '_' ||
+                        CAST(i - 1 AS VARCHAR)), 1, 15))::BIGINT % 2 = 0
+                  THEN 1 ELSE -1 END AS cv
+      FROM range(0, {n_tables}) rt(t),
+           range(0, {n_planes}) rp(p),
+           range(1, 65) ri(i)),
+dots AS (SELECT q.vec_id, c.t, c.p, sum(q.qv * c.cv) AS dp
+         FROM q JOIN c USING (i) GROUP BY 1, 2, 3),
+buckets AS (SELECT vec_id, t,
+                   sum(CASE WHEN dp > 0 THEN (CAST(1 AS BIGINT) << p)
+                            ELSE 0 END) AS b
+            FROM dots GROUP BY 1, 2),
+cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+         FROM buckets x JOIN buckets y
+           ON x.t = y.t AND x.b = y.b AND x.vec_id < y.vec_id),
+n AS (SELECT vec_id, v, sqrt({dot_vv}) AS nv FROM e)
+SELECT id_a, id_b
+FROM cand
+JOIN n a ON a.vec_id = cand.id_a
+JOIN n b ON b.vec_id = cand.id_b
+WHERE {dot_ab} / (a.nv * b.nv) >= {threshold}
+"""
+
+
 _ORACLES: dict[str, str] = {
     "dedup_exact_events": "SELECT DISTINCT user_id, event_type, value FROM events",
     "text_stats_documents": r"""
@@ -1675,6 +1731,7 @@ SELECT node, CAST(min(r) AS BIGINT) AS cluster_id FROM reach GROUP BY node
     "cosine_topk_lsh_embeddings": _cosine_topk_oracle(),
     "cosine_topk_ivf_embeddings": _cosine_topk_oracle(),
     "cosine_near_dup_embeddings": _cosine_near_dup_oracle(0.45),
+    "cosine_near_dup_lsh_embeddings": _cosine_near_dup_lsh_oracle(0.45, 4, 8),
     "global_top_orders": """
 SELECT o_orderkey, o_totalprice FROM orders
 ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
@@ -2546,11 +2603,14 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "skyline_layers_orders": _q_skyline_layers_orders,
     "k_skyband_part": _q_k_skyband_part,
     "cosine_topk_embeddings": _q_cosine_topk,
-    # exhaustive-mode driver entry (exact oracle); approximation quality
-    # at real parameters is graded by the recall pytests. The IVF leg
-    # rotated to extras in round 4 (graded there + by the bench recall
-    # tail); exact + LSH stay at the hard gate.
-    "cosine_near_dup_embeddings": _q_cosine_near_dup,
+    # round-7: the LSH MODE itself is driver-graded — md5-Rademacher
+    # planes over floored-integer projections make the bucket relation
+    # bit-reproducible in SQL, so the scale path (bucketed, never
+    # all-pairs) gets the exact oracle the exhaustive special case had;
+    # the exhaustive n_planes=0 row rotated to extras (rationale at its
+    # entry), gaussian-mode recall stays graded by the planted pytest
+    # + the bench recall tail.
+    "cosine_near_dup_lsh_embeddings": _q_cosine_near_dup_lsh,
     "set_ops_customers": _q_set_ops_customers,
     "topk_orders_per_customer": _q_topk_orders,
     "agg_lineitem_pricing": _q_agg_pricing,
@@ -2646,9 +2706,15 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fingerprint_documents": _q_fingerprint,
     # simhash signature construction is graded inside simhash_pairs_documents
     "simhash_documents": _q_simhash,
-    # LSH bucketing is graded via cosine_near_dup_embeddings (same
+    # LSH bucketing is graded via cosine_near_dup_lsh_embeddings (same
     # hyperplane pipeline); exact rerank via cosine_topk_embeddings
     "cosine_topk_lsh_embeddings": _q_cosine_topk_lsh,
+    # round-7 rotation out of the 50-cap (swapped for the LSH-mode row
+    # above): the exhaustive n_planes=0 special case is subsumed — the
+    # all-pairs threshold semantics stay graded here by the same exact
+    # oracle, while the driver row now grades the bucketed scale path
+    # (the mode a 100 TB corpus actually runs)
+    "cosine_near_dup_embeddings": _q_cosine_near_dup,
     # connected-components clustering is graded inside dedup_corpus_documents
     "near_dup_clusters_documents": _q_near_dup_clusters,
     # the hash-threshold sampler core is graded via stratified_sample_events

@@ -221,6 +221,30 @@ def _hyperplanes(dim: int, n_planes: int, n_tables: int, seed: int = 42) -> np.n
     return rng.standard_normal((n_tables, n_planes, dim))
 
 
+def _md5_planes(dim: int, n_planes: int, n_tables: int) -> np.ndarray:
+    """Deterministic Rademacher (±1) hyperplanes, each entry the parity
+    of ``md5(f"{table}_{plane}_{dim}")`` — the same engine-portable md5
+    trick that makes the MinHash ledger oracle bit-reproducible
+    (``hash64_expr`` md5 mode): any SQL engine rebuilds the identical
+    matrix with ``md5(t || '_' || p || '_' || i)``. Sign random
+    projections with ±1 entries are a standard LSH family (Charikar's
+    SimHash with Rademacher instead of Gaussian directions); combined
+    with the integer quantization in ``_bucket_udf`` the whole bucket
+    assignment is exact integer arithmetic, so an LSH-mode near-dup
+    query can be graded by an EXACT SQL oracle instead of only the
+    exhaustive single-bucket mode. Returns int64, which also selects
+    the quantized-integer path in ``_bucket_udf``."""
+    import hashlib
+
+    c = np.empty((n_tables, n_planes, dim), dtype=np.int64)
+    for t in range(n_tables):
+        for p in range(n_planes):
+            for i in range(dim):
+                h = int(hashlib.md5(f"{t}_{p}_{i}".encode()).hexdigest()[:15], 16)
+                c[t, p, i] = 1 if h % 2 == 0 else -1
+    return c
+
+
 def _bucket_udf(planes: np.ndarray):
     """Packed sign-bit bucket ids for ALL LSH tables in one vectorized
     pandas_udf: one einsum of the Arrow batch against every hyperplane
@@ -228,10 +252,19 @@ def _bucket_udf(planes: np.ndarray):
     the slow path). Returns array<long>, one bucket per table."""
     _, n_planes, _ = planes.shape
     weights = 1 << np.arange(n_planes, dtype=np.int64)
+    integer_planes = np.issubdtype(planes.dtype, np.integer)
 
     @F.pandas_udf("array<long>")
     def buckets(s: pd.Series) -> pd.Series:
         m = np.vstack(s.to_numpy()).astype(np.float64)  # (n, dim)
+        if integer_planes:
+            # oracle-reproducible path (md5 Rademacher planes): project
+            # the 1e-6-quantized embedding with EXACT int64 arithmetic —
+            # floor(x * 1e6) and the ±1 dot products are bit-identical
+            # in any engine, so sign decisions can never straddle a
+            # float summation-order boundary the way a BLAS-ordered
+            # Gaussian projection could
+            m = np.floor(m * 1e6).astype(np.int64)
         bits = np.einsum("nd,tpd->ntp", m, planes) > 0  # (n, T, P)
         vals = (bits * weights).sum(axis=2).astype(np.int64)  # (n, T)
         return pd.Series(list(vals))
@@ -256,6 +289,7 @@ def cosine_near_dup_pairs(
     seed: int = 42,
     max_bucket_size: int | None = None,
     target_bucket_size: int = 256,
+    plane_mode: str = "gaussian",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (the vector analogue of
     MinHash dedup): random-hyperplane LSH proposes candidates — rows
@@ -293,7 +327,17 @@ def cosine_near_dup_pairs(
     (cos ≥ 0.9, θ ≤ 26°) each extra plane costs ≤ ~8% per table and
     the ``n_tables`` OR-construction absorbs it (miss ∝ (1-p_t)^T);
     for moderate thresholds, size ``n_planes`` manually and raise
-    ``n_tables`` with it."""
+    ``n_tables`` with it.
+
+    ``plane_mode="md5"`` (round 7) swaps the seeded Gaussian planes for
+    deterministic md5-parity Rademacher (±1) planes and projects a
+    1e-6-quantized (floored) copy of the embedding with exact int64
+    arithmetic (see ``_md5_planes``): every bucket decision is then
+    bit-reproducible in plain SQL, so the LSH mode itself — not just
+    the exhaustive ``n_planes=0`` special case — can be graded by an
+    exact DuckDB oracle. Same semantics (co-bucketed in any table AND
+    exact cosine ≥ threshold); quantization only perturbs bucket
+    boundaries, never the verified cosine."""
     if n_planes == "auto":
         n_rows = df.count()
         n_planes = max(
@@ -320,7 +364,12 @@ def cosine_near_dup_pairs(
         n_planes = int(n_planes)
     dim = len(df.select(vec_col).first()[0])
     df = spread_for_compute(df)
-    planes = _hyperplanes(dim, n_planes, n_tables, seed)
+    if plane_mode == "gaussian":
+        planes = _hyperplanes(dim, n_planes, n_tables, seed)
+    elif plane_mode == "md5":
+        planes = _md5_planes(dim, n_planes, n_tables)
+    else:
+        raise ValueError(f"plane_mode must be 'gaussian' or 'md5', got {plane_mode!r}")
     id_type = df.schema[id_col].dataType.simpleString()
     base = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"))
     with_buckets = base.select("__id", "__vec", *_bucket_exprs("__vec", planes))

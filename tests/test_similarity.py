@@ -207,6 +207,43 @@ def test_cosine_near_dup_auto_planes(spark):
         S.cosine_near_dup_pairs(df, "vec_id", "embedding", n_planes=True)
 
 
+def test_cosine_near_dup_md5_plane_mode(spark):
+    """plane_mode="md5" (the oracle-reproducible Rademacher mode):
+    output is a SUBSET of the exhaustive all-pairs run (LSH can only
+    drop candidates, never invent pairs), exact duplicates always
+    co-bucket (identical quantized vectors land in identical buckets
+    in every table), and junk plane modes are rejected."""
+    import numpy as np
+    import pytest as _pt
+
+    rng = np.random.default_rng(11)
+    mat = rng.standard_normal((300, 16))
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(mat)]
+    # plant 4 EXACT duplicates — cos = 1.0, must survive any bucketing
+    exact = set()
+    for j in range(4):
+        rows.append((2000 + j, [float(x) for x in mat[j * 3]]))
+        exact.add((j * 3, 2000 + j))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kw = dict(threshold=0.9, n_planes=4, n_tables=8)
+    md5_pairs = {
+        (r.id_a, r.id_b)
+        for r in S.cosine_near_dup_pairs(
+            df, "vec_id", "embedding", plane_mode="md5", **kw
+        ).collect()
+    }
+    allp = {
+        (r.id_a, r.id_b)
+        for r in S.cosine_near_dup_pairs(
+            df, "vec_id", "embedding", threshold=0.9, n_planes=0, n_tables=1
+        ).collect()
+    }
+    assert exact <= md5_pairs
+    assert md5_pairs <= allp
+    with _pt.raises(ValueError, match="plane_mode"):
+        S.cosine_near_dup_pairs(df, "vec_id", "embedding", plane_mode="sha9")
+
+
 def test_topk_excludes_probe(emb):
     got = S.cosine_topk(emb, "vec_id", "embedding", 0, 10).collect()
     assert all(r.vec_id != 0 for r in got)
