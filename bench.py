@@ -92,19 +92,29 @@ def sweep() -> None:
         # one-time JVM JIT/codegen costs (observed 5-6x inflation on
         # the first execution of a shape) that a warmed long-running
         # cluster never sees — same estimator as the main bench
-        dt, cnt = None, 0
+        # BOTH raw pass times are kept per shape (round 7): recording
+        # only the min hid host contention — r6's d7/1e7 point read
+        # 223.5 s while a quiet re-probe measured 12.3 s, and nothing
+        # in the artifact showed which. Pass divergence is the
+        # contention signal, same discipline as the main bench's
+        # passes side file.
+        dt, cnt, shape_passes = None, 0, []
         for _ in range(2):
             t0 = _t.perf_counter()
             cnt = skyline(df, dims, algo="auto").count()
             dt1 = round(_t.perf_counter() - t0, 2)
+            shape_passes.append(dt1)
             dt = dt1 if dt is None or dt1 < dt else dt
         df.unpersist()
         # drop accumulated shuffle/broadcast state between shapes: the
         # 12-shape sweep otherwise inflates late points with GC noise
         spark.sparkContext._jvm.System.gc()
         key = f"d{d}_n{n}" + ("_anticorr" if dist == "anticorr" else "")
-        results[key] = {"sec": dt, "skyline_size": cnt}
-        print(f"# d={d} N={n} {dist}: {dt}s, frontier {cnt}", file=sys.stderr)
+        results[key] = {"sec": dt, "passes": shape_passes, "skyline_size": cnt}
+        print(
+            f"# d={d} N={n} {dist}: {dt}s (passes {shape_passes}), frontier {cnt}",
+            file=sys.stderr,
+        )
     print(json.dumps({"metric": "baseline-grid sweep", "grid": results}))
     spark.stop()
 

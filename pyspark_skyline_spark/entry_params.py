@@ -1,0 +1,36 @@
+"""Shared query/oracle parameters for the registered driver queries.
+
+Split out of ``entry_ext.py`` in round 7 (pure code health, zero
+behavior change): the same constants parameterize BOTH each Spark
+query function and its DuckDB oracle SQL, so they live below both
+modules in the import graph.
+"""
+
+from __future__ import annotations
+
+# shared knobs (must match between Spark query and DuckDB oracle)
+_MH_HASHES, _MH_BANDS, _MH_K, _MH_T = 32, 8, 3, 0.4
+
+_NJ_K, _NJ_T = 3, 0.5
+
+_TOPK_K, _PROBE_ID = 10, 0
+
+_SAMPLE_FRAC, _SAMPLE_SEED = 0.1, 7
+
+_STRATA_FRACS = {"click": 0.05, "view": 0.02, "error": 1.0}
+
+_VOCAB_K = 50
+
+_SH_MAX_HAMMING = 3
+
+_CHUNK_TOKENS, _CHUNK_OVERLAP = 64, 16
+
+_N_BATCHES, _BATCH_SEED = 32, 7
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+_BM25_TERMS = ["spark", "join", "window"]
+
+_BATCH_PROBE_IDS = (0, 7, 19)
+
+_MIX_TARGETS = {"src1": 12, "src3": 3, "src7": 40, "src11": 7}
