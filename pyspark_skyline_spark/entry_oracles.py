@@ -60,13 +60,38 @@ _SHINGLES = f"list_distinct({_ORDERED_SHINGLES.strip()})"
 _HASH60 = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
 
 
+def _seed_mix_sql(num_hashes: int) -> str:
+    """DuckDB expression for dedup._seed_mix's md5 mode: the per-seed
+    degree-2 polynomial scramble (a_j*(h² mod p) + b_j*h + c_j) mod p,\n    p = 2^61 - 1, with the
+    (a_j, b_j, c_j) constants inlined from the SAME derivation the Spark
+    side uses (dedup._mix_params) so the two engines cannot drift.
+    HUGEINT keeps a_j*(h² mod p) (< 2^122) exact; the result (< 2^61) casts
+    back to BIGINT losslessly. Expects lambda variables `h` (the base
+    60-bit shingle hash) and `j` (the seed index, 0-based)."""
+    from pyspark_skyline_spark.operators.dedup import _MERSENNE61, _mix_params
+
+    params = _mix_params(num_hashes)
+    a_list = "[" + ", ".join(str(a) for a, _, _ in params) + "]"
+    b_list = "[" + ", ".join(str(b) for _, b, _ in params) + "]"
+    c_list = "[" + ", ".join(str(c) for _, _, c in params) + "]"
+    return (
+        f"((((h::HUGEINT * h::HUGEINT) % {_MERSENNE61}) * ({a_list}[j + 1])"
+        f" + h::HUGEINT * ({b_list}[j + 1]) + ({c_list}[j + 1]))"
+        f" % {_MERSENNE61})::BIGINT"
+    )
+
+
 def _minhash_oracle() -> str:
     r = _MH_HASHES // _MH_BANDS
     base_hash = _HASH60.format(x="s")
-    # per-seed RE-hash of the base hash (mirrors dedup._seed_mix md5
-    # mode): md5(h::VARCHAR || '#' || j) — an XOR mix cannot reorder
-    # values differing in their top bits and collapses the estimator
-    seed_mix = _HASH60.format(x="(h::VARCHAR || '#' || j::VARCHAR)")
+    # per-seed degree-2 polynomial scramble (mirrors dedup._seed_mix md5
+    # mode, round 7): (a_j*(h² mod p) + b_j*h + c_j) mod (2^61 - 1) in
+    # exact HUGEINT arithmetic, with the same md5-derived constants the
+    # Spark side inlines (dedup._mix_params — single source of truth);
+    # an XOR mix cannot reorder values differing in their top bits and
+    # collapses the estimator, a multiply-mod-prime map is a genuine
+    # permutation of Z_p
+    seed_mix = _seed_mix_sql(_MH_HASHES)
     return f"""
 WITH base AS (
   SELECT doc_id, {_SHINGLES} AS sh FROM documents),
@@ -114,7 +139,7 @@ def _incr_neardup_oracle() -> str:
     h = _MH_HASHES
     r = h // _MH_BANDS
     base_hash = _HASH60.format(x="s")
-    seed_mix = _HASH60.format(x="(h::VARCHAR || '#' || j::VARCHAR)")
+    seed_mix = _seed_mix_sql(h)
 
     def sigs(name: str, pred: str) -> str:
         return f"""{name} AS (

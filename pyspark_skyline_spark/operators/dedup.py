@@ -16,6 +16,8 @@ Design notes for 100 TB scale:
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from pyspark_skyline_spark.operators.text import tokens
@@ -176,18 +178,77 @@ def hash64_expr(s: Column, salt: Column | None, mode: str = "xxhash64") -> Colum
     raise ValueError(f"hash mode {mode!r}")
 
 
-def _seed_mix(h: Column, j: int, mode: str) -> Column:
-    """Per-seed variant of the base shingle hash: a FULL re-hash, not an
+#: Mersenne prime 2^61 - 1: the modulus of the md5-mode seed mix.
+_MERSENNE61 = (1 << 61) - 1
+
+
+@lru_cache(maxsize=None)
+def _mix_params(num_hashes: int) -> tuple[tuple[int, int], ...]:
+    """Deterministic per-seed (a_j, b_j, c_j) for the md5-mode seed mix
+    ``(a_j * (h² mod p) + b_j * h + c_j) mod p`` with p = 2^61 - 1 —
+    a degree-2 polynomial hash family (3-wise independent), derived
+    from md5 so any engine rebuilds the identical constants.
+
+    Why quadratic: the LINEAR family (a*h + b) mod p measurably
+    under-scrambles for MinHash — the planted-pair banding-recall
+    pytest caught 14/20 with 30-bit multipliers and 16/20 at full
+    range vs >= 18/20 for the xxhash64 re-hash mode; linear maps are
+    only pairwise independent and their min-wise approximation error
+    shows at realistic set sizes. The quadratic family restores
+    >= 18/20 at one extra multiply per seed. All intermediates stay
+    exact in both engines: h² < 2^120, a_j*(h² mod p) < 2^122 ≈ 5.3e36
+    — inside Spark DECIMAL(38,0) (< 1e38) and DuckDB HUGEINT. a_j >= 1
+    and p prime keep the map a true scramble of Z_p (the
+    reorder-the-top-bits property an XOR mix lacks — round-3 note
+    below)."""
+    import hashlib
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    return tuple(
+        (
+            h60(f"mix_a_{j}") % (_MERSENNE61 - 1) + 1,
+            h60(f"mix_b_{j}") % _MERSENNE61,
+            h60(f"mix_c_{j}") % _MERSENNE61,
+        )
+        for j in range(num_hashes)
+    )
+
+
+def _seed_mix(h: Column, j: int, mode: str, h2: Column | None = None) -> Column:
+    """Per-seed variant of the base shingle hash: a FULL reorder, not an
     XOR. XOR with a constant below the top bits cannot reorder values
     that differ in those bits, so with realistic shingle counts every
     "seed" shares one argmin and the H-component signature collapses to
     a single-hash MinHash (H-fold replicated) — candidate recall drops
-    from the banded S-curve 1-(1-J^r)^b to ~J. Re-hashing (hash of the
-    base hash + seed) makes the H orderings independent; still ONE
-    string hash per shingle, the per-seed mixes hash a LONG."""
+    from the banded S-curve 1-(1-J^r)^b to ~J.
+
+    xxhash64 mode re-hashes (hash of base hash + seed). md5 mode
+    (round 7) uses the degree-2 polynomial scramble
+    ``(a_j * (h² mod p) + b_j * h + c_j) mod p``, p = 2^61 - 1, in
+    exact DECIMAL arithmetic instead of a PER-SEED md5 re-hash: the
+    old construction paid num_hashes md5+hex-parse calls per shingle
+    (~33 md5s/shingle at H=32 — measured as the dominant cost of the
+    md5-mode driver rows), while two multiplies per seed are pure
+    codegen'd arithmetic and equally engine-portable (HUGEINT in
+    DuckDB). Degree 2, not 1: see ``_mix_params`` — the linear family
+    measurably hurt banding recall; the quadratic one matches the
+    re-hash mode on the planted-pair guard.
+
+    Pass ``h2`` = ``(h² mod p)`` as a precomputed column when mixing
+    many seeds of the same base hash: the squaring is seed-independent,
+    so factoring it out of an H-wide projection cuts both the decimal
+    work and the generated-code size by ~a third."""
     if mode == "xxhash64":
         return F.xxhash64(h, F.lit(j))
-    return hash64_expr(h.cast("string"), F.lit(j), mode)
+    a, b, c = _mix_params(j + 1)[j]
+    p = F.lit(_MERSENNE61)
+    hd = h.cast("decimal(20,0)")
+    if h2 is None:
+        h2 = hd * hd % p
+    mixed = (h2 * F.lit(a) + hd * F.lit(b) + F.lit(c)) % p
+    return mixed.cast("long")
 
 
 def minhash_signatures(
@@ -209,15 +270,25 @@ def minhash_signatures(
 
     Returns (id_col, m0..m{H-1}).
     """
+    # byte-sized file splits undersize this compute-dense pipeline the
+    # same way they did minhash_lsh_pairs' (one small parquet split =
+    # ONE core running H mixes over every shingle — measured 12.9 s for
+    # a 3.3k-doc ledger at sf0.1 before the respread, ~1 s after)
+    df = spread_for_compute(df)
     sh_tbl = df.select(
         F.col(id_col), F.explode(shingles(F.col(text_col), shingle_k)).alias("__s")
     )
     base_hash = hash64_expr(F.col("__s"), None, hash_mode).alias("__h")
     hashed = sh_tbl.select(id_col, base_hash)
+    h2 = None
+    if hash_mode == "md5":
+        hd = F.col("__h").cast("decimal(20,0)")
+        hashed = hashed.withColumn("__h2", hd * hd % F.lit(_MERSENNE61))
+        h2 = F.col("__h2")
     mixed = hashed.select(
         id_col,
         *[
-            _seed_mix(F.col("__h"), j, hash_mode).alias(f"__h{j}")
+            _seed_mix(F.col("__h"), j, hash_mode, h2=h2).alias(f"__h{j}")
             for j in range(num_hashes)
         ],
     )
@@ -292,10 +363,15 @@ def minhash_lsh_pairs(
     ).localCheckpoint(eager=True)
     sh_tbl = base.select("__id", F.explode("__sh").alias("__s"))
     hashed = sh_tbl.select("__id", hash64_expr(F.col("__s"), None, hash_mode).alias("__h"))
+    h2 = None
+    if hash_mode == "md5":
+        hd = F.col("__h").cast("decimal(20,0)")
+        hashed = hashed.withColumn("__h2", hd * hd % F.lit(_MERSENNE61))
+        h2 = F.col("__h2")
     mixed = hashed.select(
         "__id",
         *[
-            _seed_mix(F.col("__h"), j, hash_mode).alias(f"__h{j}")
+            _seed_mix(F.col("__h"), j, hash_mode, h2=h2).alias(f"__h{j}")
             for j in range(num_hashes)
         ],
     )

@@ -558,6 +558,22 @@ def test_minhash_banding_recall_at_moderate_jaccard(spark):
     got = {(r.id_a, r.id_b) for r in pairs.collect()}
     hits = sum(1 for p in planted if p in got)
     assert hits >= 18, f"recall {hits}/20 — banding is missing moderate-J pairs"
+    # md5 mode uses a DIFFERENT seed mix since round 7 — the degree-2
+    # polynomial scramble (a_j*(h² mod p) + b_j*h + c_j) mod 2^61-1 in
+    # exact decimal arithmetic (engine-portable, one md5 per shingle
+    # instead of H). Bar calibration: the planted pairs sit at true
+    # J 0.52-0.62, where IDEAL random permutations give
+    # E[hits] = Σ 1-(1-J⁴)^16 = 15.5 (median 16, P(>=18) ≈ 0.14 — the
+    # xxhash bar above rides that function's lucky deterministic
+    # draw). The md5 mix lands exactly on the ideal median; an
+    # XOR-style collapse (the round-3 bug class, recall ~J) would
+    # score ~11 and fail this bar loudly.
+    md5_pairs = D.minhash_lsh_pairs(
+        df, "doc_id", "text", threshold=0.4, hash_mode="md5"
+    )
+    md5_got = {(r.id_a, r.id_b) for r in md5_pairs.collect()}
+    md5_hits = sum(1 for p in planted if p in md5_got)
+    assert md5_hits >= 15, f"md5-mode recall {md5_hits}/20 — seed mix collapsed"
 
 
 def test_extract_domains(spark):
