@@ -511,8 +511,9 @@ def main() -> None:
     except OSError as exc:  # side artifact must never kill the bench
         print(f"# passes side file failed: {exc}", file=sys.stderr)
     # untimed tail: ANN approximation quality at PRODUCTION parameters
-    # (driver rows grade exhaustive mode; this tracks real-parameter
-    # recall round-over-round)
+    # (the drive-graded LSH rows are exactly oracled by construction —
+    # md5-plane / exhaustive modes — so this tracks the GAUSSIAN-mode
+    # real-parameter recall round-over-round)
     try:
         if only is not None:
             raise RuntimeError("skipped for --queries subset run")

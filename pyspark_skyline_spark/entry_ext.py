@@ -47,6 +47,9 @@ from pyspark_skyline_spark.entry_params import (
     _NJ_K,
     _NJ_T,
     _N_BATCHES,
+    _ND_LSH_PLANES,
+    _ND_LSH_T,
+    _ND_LSH_TABLES,
     _PROBE_ID,
     _SAMPLE_FRAC,
     _SAMPLE_SEED,
@@ -282,8 +285,8 @@ def _q_cosine_near_dup_lsh(spark, sf_dir):
     driver-graded, not just the exhaustive n_planes=0 special case."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.cosine_near_dup_pairs(
-        emb, "vec_id", "embedding", threshold=0.45,
-        n_planes=4, n_tables=8, plane_mode="md5",
+        emb, "vec_id", "embedding", threshold=_ND_LSH_T,
+        n_planes=_ND_LSH_PLANES, n_tables=_ND_LSH_TABLES, plane_mode="md5",
     ).select("id_a", "id_b")
 
 

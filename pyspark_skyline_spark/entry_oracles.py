@@ -11,25 +11,20 @@ from __future__ import annotations
 
 from pyspark_skyline_spark.operators import filtering as FL
 from pyspark_skyline_spark.operators import sample as SA
-from pyspark_skyline_spark.operators import similarity as S
 from pyspark_skyline_spark.operators import text as T
 from pyspark_skyline_spark.oracles import skyline_oracle_sql
 
 from pyspark_skyline_spark.entry_params import (
     _BATCH_PROBE_IDS,
-    _BATCH_SEED,
     _BM25_TERMS,
-    _CHUNK_OVERLAP,
-    _CHUNK_TOKENS,
     _EVENT_TYPES,
     _MH_BANDS,
     _MH_HASHES,
-    _MH_K,
     _MH_T,
-    _MIX_TARGETS,
-    _NJ_K,
+    _ND_LSH_PLANES,
+    _ND_LSH_T,
+    _ND_LSH_TABLES,
     _NJ_T,
-    _N_BATCHES,
     _PROBE_ID,
     _SAMPLE_FRAC,
     _SAMPLE_SEED,
@@ -706,7 +701,9 @@ SELECT node, CAST(min(r) AS BIGINT) AS cluster_id FROM reach GROUP BY node
     "cosine_topk_lsh_embeddings": _cosine_topk_oracle(),
     "cosine_topk_ivf_embeddings": _cosine_topk_oracle(),
     "cosine_near_dup_embeddings": _cosine_near_dup_oracle(0.45),
-    "cosine_near_dup_lsh_embeddings": _cosine_near_dup_lsh_oracle(0.45, 4, 8),
+    "cosine_near_dup_lsh_embeddings": _cosine_near_dup_lsh_oracle(
+        _ND_LSH_T, _ND_LSH_PLANES, _ND_LSH_TABLES
+    ),
     "global_top_orders": """
 SELECT o_orderkey, o_totalprice FROM orders
 ORDER BY o_totalprice DESC, o_orderkey LIMIT 25

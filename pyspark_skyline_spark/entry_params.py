@@ -34,3 +34,5 @@ _BM25_TERMS = ["spark", "join", "window"]
 _BATCH_PROBE_IDS = (0, 7, 19)
 
 _MIX_TARGETS = {"src1": 12, "src3": 3, "src7": 40, "src11": 7}
+
+_ND_LSH_T, _ND_LSH_PLANES, _ND_LSH_TABLES = 0.45, 4, 8

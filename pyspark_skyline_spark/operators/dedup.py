@@ -183,37 +183,44 @@ _MERSENNE61 = (1 << 61) - 1
 
 
 @lru_cache(maxsize=None)
-def _mix_params(num_hashes: int) -> tuple[tuple[int, int], ...]:
-    """Deterministic per-seed (a_j, b_j, c_j) for the md5-mode seed mix
-    ``(a_j * (h² mod p) + b_j * h + c_j) mod p`` with p = 2^61 - 1 —
-    a degree-2 polynomial hash family (3-wise independent), derived
-    from md5 so any engine rebuilds the identical constants.
+def _mix_param(j: int) -> tuple[int, int, int]:
+    """Deterministic seed-j constants (a_j, b_j, c_j) for the md5-mode
+    seed mix ``(a_j * (h² mod p) + b_j * h + c_j) mod p`` with
+    p = 2^61 - 1 — a degree-2 polynomial hash family (3-wise
+    independent), derived from md5 so any engine rebuilds the
+    identical constants. Keyed by the seed index ALONE so the Spark
+    side (one seed at a time) and the oracle side (the full list) can
+    never desynchronize.
 
     Why quadratic: the LINEAR family (a*h + b) mod p measurably
     under-scrambles for MinHash — the planted-pair banding-recall
-    pytest caught 14/20 with 30-bit multipliers and 16/20 at full
-    range vs >= 18/20 for the xxhash64 re-hash mode; linear maps are
-    only pairwise independent and their min-wise approximation error
-    shows at realistic set sizes. The quadratic family restores
-    >= 18/20 at one extra multiply per seed. All intermediates stay
-    exact in both engines: h² < 2^120, a_j*(h² mod p) < 2^122 ≈ 5.3e36
-    — inside Spark DECIMAL(38,0) (< 1e38) and DuckDB HUGEINT. a_j >= 1
-    and p prime keep the map a true scramble of Z_p (the
-    reorder-the-top-bits property an XOR mix lacks — round-3 note
-    below)."""
+    pytest caught it 2-4 hits below the ideal-permutation median;
+    linear maps are only pairwise independent and their min-wise
+    approximation error shows at realistic set sizes. The quadratic
+    family lands on the ideal median at one extra multiply per seed.
+    The 16-hex (64-bit) draw makes the mod-p reduction real so the
+    constants span all of Z_p (15 hex = 60 bits would silently cap
+    them below 2^60). All intermediates stay exact in both engines:
+    h² < 2^122, a_j*(h² mod p) < 2^122 ≈ 5.3e36 — inside Spark
+    DECIMAL(38,0) (< 1e38) and DuckDB HUGEINT. a_j >= 1 and p prime
+    keep the map a true scramble of Z_p (the reorder-the-top-bits
+    property an XOR mix lacks — round-3 note below)."""
     import hashlib
 
-    def h60(s: str) -> int:
-        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+    def h64(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:16], 16)
 
-    return tuple(
-        (
-            h60(f"mix_a_{j}") % (_MERSENNE61 - 1) + 1,
-            h60(f"mix_b_{j}") % _MERSENNE61,
-            h60(f"mix_c_{j}") % _MERSENNE61,
-        )
-        for j in range(num_hashes)
+    return (
+        h64(f"mix_a_{j}") % (_MERSENNE61 - 1) + 1,
+        h64(f"mix_b_{j}") % _MERSENNE61,
+        h64(f"mix_c_{j}") % _MERSENNE61,
     )
+
+
+def _mix_params(num_hashes: int) -> tuple[tuple[int, int, int], ...]:
+    """The first ``num_hashes`` seed-mix constant triples (oracle-side
+    convenience; see :func:`_mix_param`)."""
+    return tuple(_mix_param(j) for j in range(num_hashes))
 
 
 def _seed_mix(h: Column, j: int, mode: str, h2: Column | None = None) -> Column:
@@ -242,7 +249,7 @@ def _seed_mix(h: Column, j: int, mode: str, h2: Column | None = None) -> Column:
     work and the generated-code size by ~a third."""
     if mode == "xxhash64":
         return F.xxhash64(h, F.lit(j))
-    a, b, c = _mix_params(j + 1)[j]
+    a, b, c = _mix_param(j)
     p = F.lit(_MERSENNE61)
     hd = h.cast("decimal(20,0)")
     if h2 is None:
