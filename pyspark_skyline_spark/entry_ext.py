@@ -973,6 +973,31 @@ def _q_semantic_dedup_embeddings(spark, sf_dir):
     ).orderBy("vec_id")
 
 
+def _q_funnel_events(spark, sf_dir):
+    """Ordered funnel view→click→purchase per user (operators/funnel.py
+    ::funnel_steps): step k counts only events strictly after the
+    user's step-(k-1) time — pure filtered-min aggregates + user-key
+    joins, exactly mirrored by the chained-CTE oracle."""
+    from pyspark_skyline_spark.operators.funnel import funnel_steps
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_steps(
+        ev, "user_id", "ts", "event_type", steps=["view", "click", "purchase"]
+    )
+
+
+def _q_cohort_retention_events(spark, sf_dir):
+    """Weekly cohort retention (operators/funnel.py::cohort_retention):
+    users cohorted by ISO-week of first event, distinct-user counts per
+    weeks-since-cohort. All-integer outputs."""
+    from pyspark_skyline_spark.operators.funnel import cohort_retention
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events")
+    return cohort_retention(ev, "user_id", "ts", period="week")
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # NOTE: the driver grades at most 50 entries (round 1 registered 52
     # and the last 2 got no CORRECTNESS row), so this registry is held
@@ -1190,6 +1215,13 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "histogram_orders": _q_histogram_orders,
     "resample_events": _q_resample_events,
     "stratified_sample_events": _q_stratified_sample_events,
+    # round-7 additions past the 50-cap: ordered-funnel + cohort
+    # retention — the two product-analytics staples the standard
+    # categories were still missing; both pure relational plans with
+    # exact oracles (strict-ordering funnel semantics, all-integer
+    # retention counts)
+    "funnel_events": _q_funnel_events,
+    "cohort_retention_events": _q_cohort_retention_events,
 }
 
 

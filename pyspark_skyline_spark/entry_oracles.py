@@ -647,6 +647,36 @@ SELECT DISTINCT p_retailprice, p_size, cnt::BIGINT AS n_dominators FROM (
 WHERE cnt < 3
 """,
     # gaps-and-islands: lag marks session starts, running sum numbers them
+    "funnel_events": """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS step1_ts FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS step2_ts FROM events e
+  JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s1.step1_ts
+  GROUP BY e.user_id),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS step3_ts FROM events e
+  JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s2.step2_ts
+  GROUP BY e.user_id)
+SELECT s1.user_id, step1_ts, step2_ts, step3_ts,
+       (1 + CASE WHEN step2_ts IS NOT NULL THEN 1 ELSE 0 END
+          + CASE WHEN step3_ts IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS reached
+FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+""",
+    "cohort_retention_events": """
+WITH ev AS (
+  SELECT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS p
+  FROM events WHERE ts IS NOT NULL),
+first AS (SELECT user_id, min(p) AS cohort FROM ev GROUP BY user_id),
+activity AS (SELECT DISTINCT user_id, p FROM ev)
+SELECT cohort, (date_diff('day', cohort::DATE, p::DATE) // 7)::BIGINT AS period_k,
+       count(DISTINCT a.user_id)::BIGINT AS n_users
+FROM activity a JOIN first USING (user_id)
+GROUP BY 1, 2
+""",
     "sessionize_events": """
 WITH flagged AS (
   SELECT event_id, user_id, ts,
