@@ -270,7 +270,7 @@ def _q_cosine_near_dup(spark, sf_dir):
     # graded by the planted-pair pytest.
     emb = load_table(spark, sf_dir, "embeddings")
     return S.cosine_near_dup_pairs(
-        emb, "vec_id", "embedding", threshold=0.45, n_planes=0, n_tables=1
+        emb, "vec_id", "embedding", threshold=_ND_LSH_T, n_planes=0, n_tables=1
     ).select("id_a", "id_b")
 
 

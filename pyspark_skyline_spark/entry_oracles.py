@@ -730,7 +730,7 @@ SELECT node, CAST(min(r) AS BIGINT) AS cluster_id FROM reach GROUP BY node
     # oracles apply because the driver parameters disable pruning
     "cosine_topk_lsh_embeddings": _cosine_topk_oracle(),
     "cosine_topk_ivf_embeddings": _cosine_topk_oracle(),
-    "cosine_near_dup_embeddings": _cosine_near_dup_oracle(0.45),
+    "cosine_near_dup_embeddings": _cosine_near_dup_oracle(_ND_LSH_T),
     "cosine_near_dup_lsh_embeddings": _cosine_near_dup_lsh_oracle(
         _ND_LSH_T, _ND_LSH_PLANES, _ND_LSH_TABLES
     ),

@@ -62,17 +62,22 @@ def funnel_steps(
         .groupBy(user_col)
         .agg(F.min("__ts").alias("step1_ts"))
     )
+    # the step-(k-1) survivors ARE the previous iteration's aggregate —
+    # carrying it forward keeps the step-k gate subplan O(1) deep
+    # instead of re-filtering the accumulated left-join chain (an
+    # O(S²) plan relying on exchange reuse)
+    reached_prev = out
     for i, step in enumerate(steps[1:], start=2):
         prev = f"step{i - 1}_ts"
-        reached_prev = out.filter(F.col(prev).isNotNull()).select(user_col, prev)
         nxt = (
             ev.filter(F.col("__et") == step)
-            .join(reached_prev, user_col)
+            .join(reached_prev.select(user_col, prev), user_col)
             .filter(F.col("__ts") > F.col(prev))
             .groupBy(user_col)
             .agg(F.min("__ts").alias(f"step{i}_ts"))
         )
         out = out.join(nxt, user_col, "left")
+        reached_prev = nxt
     reached = F.lit(1)
     for i in range(2, len(steps) + 1):
         reached = reached + F.when(F.col(f"step{i}_ts").isNotNull(), 1).otherwise(0)
@@ -115,5 +120,10 @@ def cohort_retention(
             F.col(user_col),
         )
         .groupBy("cohort", "period_k")
-        .agg(F.countDistinct(user_col).cast("long").alias("n_users"))
+        # plain count, not countDistinct: activity is distinct on
+        # (user, period) and the period is uniquely determined by
+        # (cohort, period_k) — cohort + days_per·k exactly, both being
+        # period-truncated — so each user appears at most once per
+        # group and the two-phase distinct aggregate would be waste
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
     )
