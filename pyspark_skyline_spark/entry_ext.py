@@ -1012,7 +1012,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard_documents": _q_ngram_jaccard,
     "simhash_pairs_documents": _q_simhash_pairs,
     "range_join_error_click_events": _q_range_join_error_click,
-    "chunk_documents": _q_chunk_documents,
     "skyline_layers_orders": _q_skyline_layers_orders,
     "k_skyband_part": _q_k_skyband_part,
     "cosine_topk_embeddings": _q_cosine_topk,
@@ -1037,7 +1036,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "skyline_orders_by_status": _q_skyline_by_status,
     "join_skyline_customer_nation": _q_join_skyline_customer_nation,
     "asof_error_click_events": _q_asof_error_click,
-    "vocab_topk_documents": _q_vocab_topk,
     "dedup_corpus_documents": _q_dedup_corpus,
     # round-3 additions: LLM-pipeline filtering + profiling, and the
     # two streaming skyline topologies through the real state-store path
@@ -1094,7 +1092,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # winnow_fingerprints_documents, sessionize_events — rationale at
     # their extra entries).
     "equi_depth_orders": _q_equi_depth_orders,
-    "equi_depth_by_status_orders": _q_equi_depth_by_status_orders,
     "dedup_incremental_documents": _q_dedup_incremental_documents,
     # round-7 rotation: the never-driver-graded OLAP family gets a
     # hard-gate row (cube — supersets rollup/grouping-sets coverage,
@@ -1109,6 +1106,17 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cube_orders": _q_cube_orders,
     "rolling_stats_events": _q_rolling_stats_events,
     "dedup_incremental_neardup_documents": _q_dedup_incremental_neardup_documents,
+    # round-8 rotation: the two brand-new product-analytics operators
+    # (strict-ordering funnel, weekly cohort retention) are hard-gated —
+    # new operator families deserve driver rows — and the TPC-H-shaped
+    # multi-way broadcast-chain join gets its first driver row (the join
+    # rows previously at the gate grade range/as-of/stream joins, not
+    # the dim-chain broadcast pattern a star-schema workload lives on).
+    # Retired: equi_depth_by_status_orders, chunk_documents,
+    # vocab_topk_documents — rationale at their extra entries.
+    "funnel_events": _q_funnel_events,
+    "cohort_retention_events": _q_cohort_retention_events,
+    "multi_join_revenue": _q_multi_join_revenue,
 }
 
 #: Retired from the driver's 50-entry gate as redundant with rows that
@@ -1142,7 +1150,7 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-3 additions past the 50-cap: oracle-graded by pytest
     "tfidf_topk_documents": _q_tfidf_topk_documents,
     "ngram_counts_documents": _q_ngram_counts_documents,
-    "multi_join_revenue": _q_multi_join_revenue,
+    # multi_join_revenue moved to the driver gate (rotation #8)
     "hash_embed_documents": _q_hash_embed_documents,
     "column_quantiles_orders": _q_column_quantiles_orders,
     "rollup_orders": _q_rollup_orders,
@@ -1215,13 +1223,19 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "histogram_orders": _q_histogram_orders,
     "resample_events": _q_resample_events,
     "stratified_sample_events": _q_stratified_sample_events,
-    # round-7 additions past the 50-cap: ordered-funnel + cohort
-    # retention — the two product-analytics staples the standard
-    # categories were still missing; both pure relational plans with
-    # exact oracles (strict-ordering funnel semantics, all-integer
-    # retention counts)
-    "funnel_events": _q_funnel_events,
-    "cohort_retention_events": _q_cohort_retention_events,
+    # funnel_events / cohort_retention_events moved to the driver gate
+    # (rotation #8) — brand-new operator families get hard-gate rows.
+    # round-8 rotation out of the 50-cap (swapped for funnel / cohort /
+    # multi_join_revenue): grouped equi-depth binning stays graded here
+    # — sibling equi_depth_orders keeps the ntile family at the gate
+    # and the grouped variant shares the same stitch-count machinery;
+    # fixed-size chunking's substring/sequence primitives stay graded
+    # inside bm25/tfidf rows and pack_by_length's oracle; vocabulary
+    # top-k's TakeOrdered + token explode stay graded inside
+    # bm25_documents / tfidf_topk_documents.
+    "equi_depth_by_status_orders": _q_equi_depth_by_status_orders,
+    "chunk_documents": _q_chunk_documents,
+    "vocab_topk_documents": _q_vocab_topk,
 }
 
 
