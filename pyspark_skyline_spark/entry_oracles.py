@@ -535,20 +535,24 @@ WHERE {dot_ab} / (a.nv * b.nv) >= {threshold}
 """
 
 
-def _cosine_near_dup_lsh_oracle(threshold: float, n_planes: int, n_tables: int) -> str:
+def _cosine_near_dup_lsh_oracle(
+    threshold: float, n_planes: int, n_tables: int, dim: int = 64
+) -> str:
     # EXACT oracle for the LSH mode itself (plane_mode="md5"): the
     # plane matrix is the parity of md5(t || '_' || p || '_' || i) and
     # the projection runs on floor(v[i] * 1e6) BIGINTs, so bucket ids
     # are integer-exact in both engines; candidates = co-bucketed in
     # any table, verify = exact cosine (same fold as the exhaustive
     # oracle). Mirrors operators/similarity.py::_md5_planes +
-    # _bucket_udf's integer path.
+    # _bucket_udf's integer path. ``dim`` must match the embeddings
+    # fixture's vector length (the Spark side derives it from the
+    # data; _FOLD hardcodes the same 64 — keep the two in sync).
     dot_ab = _FOLD.format(a="a.v", b="b.v")
     dot_vv = _FOLD.format(a="v", b="v")
     return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 q AS (SELECT vec_id, i, CAST(floor(v[i] * 1000000.0) AS BIGINT) AS qv
-      FROM e, range(1, 65) r(i)),
+      FROM e, range(1, {dim + 1}) r(i)),
 c AS (SELECT t, p, i,
              CASE WHEN ('0x' || substr(md5(CAST(t AS VARCHAR) || '_' ||
                         CAST(p AS VARCHAR) || '_' ||
@@ -556,7 +560,7 @@ c AS (SELECT t, p, i,
                   THEN 1 ELSE -1 END AS cv
       FROM range(0, {n_tables}) rt(t),
            range(0, {n_planes}) rp(p),
-           range(1, 65) ri(i)),
+           range(1, {dim + 1}) ri(i)),
 dots AS (SELECT q.vec_id, c.t, c.p, sum(q.qv * c.cv) AS dp
          FROM q JOIN c USING (i) GROUP BY 1, 2, 3),
 buckets AS (SELECT vec_id, t,

@@ -81,9 +81,12 @@ def _persisted_bytes(df: DataFrame) -> int | None:
     a driver-side metadata lookup, so the size probe folds into the job
     the operator was already paying for. Returns ``None`` when the
     plan-internal accessors are unavailable (callers fall back to the
-    round-6 aggregate probe); the regime-differential pytest pins that
-    the default path still plans a broadcast-hash verify join, so a
-    silent fallback cannot rot undetected.
+    round-6 aggregate probe). Note the fallback also decides broadcast
+    on the test fixtures, so the regime-differential pytest alone
+    cannot tell this path from a permanently-broken one (the
+    regression would be performance-only: one extra probe job per
+    invocation) — a dedicated unit test therefore pins that this
+    accessor returns a positive size on a checkpointed DataFrame.
     """
     try:
         rdd_id = df._jdf.queryExecution().analyzed().rdd().id()
@@ -249,6 +252,11 @@ def _seed_mix(h: Column, j: int, mode: str, h2: Column | None = None) -> Column:
     work and the generated-code size by ~a third."""
     if mode == "xxhash64":
         return F.xxhash64(h, F.lit(j))
+    if mode != "md5":
+        # match hash64_expr's contract: a typo'd mode must raise, not
+        # silently get md5 semantics (callers pre-validate via the base
+        # hash today, but a future direct caller would be bitten)
+        raise ValueError(f"unknown hash_mode: {mode!r}")
     a, b, c = _mix_param(j)
     p = F.lit(_MERSENNE61)
     hd = h.cast("decimal(20,0)")

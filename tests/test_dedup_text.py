@@ -281,6 +281,27 @@ def test_verify_broadcast_regimes_agree(spark, monkeypatch):
     assert pairs(D.minhash_lsh_pairs, threshold=0.4) == bc_mh
 
 
+def test_persisted_bytes_reads_checkpoint_size(spark):
+    """Pin the block-manager metadata accessor itself (round-7 ADVICE):
+    the regime-differential test above cannot distinguish the
+    _persisted_bytes path from its aggregate-probe fallback (both
+    decide broadcast on these fixtures), so a break in the accessor
+    would regress silently to one extra probe job per invocation.
+    Assert it returns a positive int on an eagerly localCheckpoint'ed
+    DataFrame, and None on an unmaterialized plan."""
+    df = spark.range(1000).localCheckpoint(eager=True)
+    size = D._persisted_bytes(df)
+    assert isinstance(size, int) and size > 0, size
+    assert D._persisted_bytes(spark.range(10)) in (None, 0)
+
+
+def test_seed_mix_rejects_unknown_mode():
+    """_seed_mix must raise on a typo'd mode instead of silently
+    applying md5 semantics (round-7 ADVICE)."""
+    with pytest.raises(ValueError, match="hash_mode"):
+        D._seed_mix(F.lit(1), 0, "xxhash65")
+
+
 def test_minhash_bucket_cap_drops_giant_cluster_only(spark):
     """max_bucket_size: a 30-copy boilerplate cluster floods its buckets
     past the cap and drops out; an ordinary near-dup pair elsewhere
