@@ -218,6 +218,40 @@ def ann_recall(spark, sf_dir: str) -> dict:
             aug, "vec_id", "embedding", threshold=threshold, n_planes=4, n_tables=8
         ).collect()
     }
+    # DRIVER-ROW recall at the driver row's EXACT knobs (round-8 ask):
+    # cosine_near_dup_lsh_embeddings runs md5-mode LSH at the
+    # entry_params _ND_LSH_* settings, and its oracle mirrors the LSH
+    # exactly — so the CORRECTNESS gate can stay green while the
+    # bucketing's recall vs the exhaustive truth silently sags. Measure
+    # that recall here every round, at the exact same knobs (imported,
+    # not copied, so a knob change can't desync), against the NumPy
+    # all-pairs truth of the raw sf table. Deterministic (md5 planes):
+    # 0.931 at 4x16 on the sf0.1 embeddings' 144 true pairs.
+    from pyspark_skyline_spark.entry_params import (
+        _ND_LSH_PLANES,
+        _ND_LSH_T,
+        _ND_LSH_TABLES,
+    )
+
+    drv_cos = unit @ unit.T
+    drv_iu = np.triu_indices(len(ids), 1)
+    drv_hit = drv_cos[drv_iu] >= _ND_LSH_T
+    drv_truth = {
+        (int(min(a, b)), int(max(a, b)))
+        for a, b in zip(ids[drv_iu[0]][drv_hit], ids[drv_iu[1]][drv_hit])
+    }
+    drv_got = {
+        (int(r.id_a), int(r.id_b))
+        for r in S.cosine_near_dup_pairs(
+            emb, "vec_id", "embedding", threshold=_ND_LSH_T,
+            n_planes=_ND_LSH_PLANES, n_tables=_ND_LSH_TABLES,
+            plane_mode="md5",
+        ).collect()
+    }
+    drv_recall = (
+        round(len(drv_got & drv_truth) / len(drv_truth), 3) if drv_truth else 1.0
+    )
+
     # MinHash-LSH planted-pair recall at PRODUCTION parameters
     # (xxhash64 mode, 64 hashes x 16 bands): 20 pairs at shingle
     # Jaccard ~0.55-0.75 — the moderate-similarity regime where a
@@ -316,6 +350,8 @@ def ann_recall(spark, sf_dir: str) -> dict:
         "near_dup_planted": round(len(got_pairs & planted) / len(planted), 3),
         "near_dup_all_pairs": round(len(got_pairs & truth) / len(truth), 3) if truth else 1.0,
         "near_dup_truth_pairs": len(truth),
+        "near_dup_lsh_driver": drv_recall,
+        "near_dup_lsh_driver_truth_pairs": len(drv_truth),
         "minhash_planted@J0.7": round(mh_recall, 3),
         "semdedup_planted": round(sd_dropped / n_sd, 3),
         "semdedup_bases_kept": round(sd_bases_kept / n_sd, 3),

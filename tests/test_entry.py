@@ -112,6 +112,7 @@ def test_bench_final_line_fits_tail_capture():
         "lsh_topk@10", "ivf_topk@10", "ivf_topk@10_clustered",
         "near_dup_planted", "near_dup_all_pairs", "near_dup_truth_pairs",
         "minhash_planted@J0.7", "semdedup_planted", "semdedup_bases_kept",
+        "near_dup_lsh_driver", "near_dup_lsh_driver_truth_pairs",
     )
     payload = {
         "metric": "total wall-clock of headline queries",
