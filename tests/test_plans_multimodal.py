@@ -165,10 +165,43 @@ def test_range_join_is_hash_join_not_nested_loop(spark, sf_dir):
 def test_multi_join_revenue_plan_broadcasts_dimension_chain(spark, sf_dir):
     # the supplier->nation->region chain must broadcast (no SortMergeJoin,
     # no shuffle of the fact table for the join) and stay fully JVM-side
-    from pyspark_skyline_spark.entry_ext import ext_extra_queries
+    from pyspark_skyline_spark.entry_ext import ext_queries
 
-    df = ext_extra_queries()["multi_join_revenue"](spark, sf_dir)
+    df = ext_queries()["multi_join_revenue"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_plan_fingerprint_stable_and_strategy_sensitive(spark, sf_dir):
+    """The round-8 drift detector (plans/fingerprint.py) must be
+    INVARIANT to run-varying identifiers — two independent builds of
+    the same logical query allocate fresh expression ids but must hash
+    equal — and SENSITIVE to physical strategy: forcing the broadcast
+    side of a join to shuffle must change the fingerprint, and the
+    shape facts in plan_summary must say why (that's what makes a
+    PLANS_r{N}.json diff readable)."""
+    from pyspark_skyline_spark.plans.fingerprint import (
+        plan_fingerprint,
+        plan_summary,
+    )
+
+    def q(mode):
+        cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+        nat = F.broadcast(nat) if mode == "broadcast" else nat.hint(mode)
+        return (
+            cust.join(nat, cust.c_nationkey == nat.n_nationkey)
+            .groupBy("n_name")
+            .count()
+        )
+
+    fp_a, fp_b = plan_fingerprint(q("broadcast")), plan_fingerprint(q("broadcast"))
+    assert fp_a == fp_b  # fresh exprIds normalized away
+    no_bc = q("shuffle_hash")
+    assert plan_fingerprint(no_bc) != fp_a
+    s_bc, s_sh = plan_summary(q("broadcast")), plan_summary(no_bc)
+    assert s_bc["broadcast_joins"] >= 1
+    assert s_sh["broadcast_joins"] == 0
+    assert s_sh["exchanges"] > s_bc["exchanges"]
