@@ -395,6 +395,18 @@ def main() -> None:
         # full run vs 4.5 s steady-state alone). A long-running cluster
         # sizes this cache to its workload; so does the bench.
         .config("spark.sql.codegen.cache.maxEntries", "2000")
+        # the 2000-entry codegen cache keeps every generated class
+        # ALIVE, and the default 240 MB JIT code cache fills after ~a
+        # pass and a half of the 50-query suite — the JVM then silently
+        # stops compiling and hot loops run interpreted (measured
+        # round 8: minhash_pairs 2.8 s solo / 27-32 s late in the
+        # suite, with broad pass-2 degradation 2-7x on other rows).
+        # A long-running cluster sizes the code cache with the class
+        # cache — same legitimate pairing here.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g",
+        )
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
