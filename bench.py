@@ -212,10 +212,20 @@ def ann_recall(spark, sf_dir: str) -> dict:
             emb2.schema,
         )
     )
+    # production LSH knobs IMPORTED from entry_params (round-8 review:
+    # this block hardcoded 4x8 and silently desynced when the driver
+    # row moved to 16 tables)
+    from pyspark_skyline_spark.entry_params import (
+        _ND_LSH_PLANES,
+        _ND_LSH_T,
+        _ND_LSH_TABLES,
+    )
+
     got_pairs = {
         (int(r.id_a), int(r.id_b))
         for r in S.cosine_near_dup_pairs(
-            aug, "vec_id", "embedding", threshold=threshold, n_planes=4, n_tables=8
+            aug, "vec_id", "embedding", threshold=threshold,
+            n_planes=_ND_LSH_PLANES, n_tables=_ND_LSH_TABLES,
         ).collect()
     }
     # DRIVER-ROW recall at the driver row's EXACT knobs (round-8 ask):
@@ -227,13 +237,10 @@ def ann_recall(spark, sf_dir: str) -> dict:
     # not copied, so a knob change can't desync), against the NumPy
     # all-pairs truth of the raw sf table. Deterministic (md5 planes):
     # 0.931 at 4x16 on the sf0.1 embeddings' 144 true pairs.
-    from pyspark_skyline_spark.entry_params import (
-        _ND_LSH_PLANES,
-        _ND_LSH_T,
-        _ND_LSH_TABLES,
-    )
-
-    drv_cos = unit @ unit.T
+    # (gram for the augmented table was computed above; its raw-id
+    # block IS the raw-table gram — slice it instead of a second
+    # O(N^2 d) matmul)
+    drv_cos = gram[: len(ids), : len(ids)]
     drv_iu = np.triu_indices(len(ids), 1)
     drv_hit = drv_cos[drv_iu] >= _ND_LSH_T
     drv_truth = {

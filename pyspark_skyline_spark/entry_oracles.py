@@ -356,6 +356,15 @@ FROM documents
 _FOLD = "list_reduce(list_transform(range(1, 65), i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
 
 
+def _fold(dim: int) -> str:
+    """dim-parameterized dot-product fold (``_FOLD`` is the fixed-64
+    convenience form the embeddings-fixture oracles use)."""
+    return (
+        f"list_reduce(list_transform(range(1, {dim + 1}),"
+        " i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
+    )
+
+
 def _batch_topk_oracle() -> str:
     dot_vp = _FOLD.format(a="e.v", b="p.pvec")
     dot_vv = _FOLD.format(a="e.v", b="e.v")
@@ -546,9 +555,11 @@ def _cosine_near_dup_lsh_oracle(
     # oracle). Mirrors operators/similarity.py::_md5_planes +
     # _bucket_udf's integer path. ``dim`` must match the embeddings
     # fixture's vector length (the Spark side derives it from the
-    # data; _FOLD hardcodes the same 64 — keep the two in sync).
-    dot_ab = _FOLD.format(a="a.v", b="b.v")
-    dot_vv = _FOLD.format(a="v", b="v")
+    # data); both the bucketing AND the verify fold use it, so a
+    # non-64 fixture can't silently verify on truncated/NULL-summed
+    # vectors.
+    dot_ab = _fold(dim).format(a="a.v", b="b.v")
+    dot_vv = _fold(dim).format(a="v", b="v")
     return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 q AS (SELECT vec_id, i, CAST(floor(v[i] * 1000000.0) AS BIGINT) AS qv

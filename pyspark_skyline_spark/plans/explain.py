@@ -15,21 +15,21 @@ __all__ = [
     "assert_broadcast_join",
     "scan_read_schema",
     "count_exchanges",
+    "count_exchanges_in_plan",
     "assert_max_exchanges",
 ]
 
 
-def count_exchanges(df: DataFrame) -> int:
-    """Number of shuffle exchanges in the physical plan — the scale
-    cost model's first-order term (every exchange is a full
-    rewrite+network pass over its input at 100 TB). Broadcast
+def count_exchanges_in_plan(plan: str) -> int:
+    """Shuffle-exchange count of a formatted-plan STRING (shared by
+    the df-level audit below and the plan-fingerprint shape facts, so
+    the two can never disagree on what counts as a shuffle). Broadcast
     exchanges are excluded: they ship the SMALL side only and are the
     cheap alternative the audit wants to encourage. AQE reuse
     (ReusedExchange) is also excluded — a reused exchange is not a
     second shuffle."""
     import re
 
-    plan = formatted_plan(df)
     # formatted plans print each node twice (tree + detail section);
     # count only the "(N) Exchange" detail headers, one per node
     n = 0
@@ -37,6 +37,13 @@ def count_exchanges(df: DataFrame) -> int:
         if re.match(r"^\(\d+\) Exchange\b", ln.strip()):
             n += 1
     return n
+
+
+def count_exchanges(df: DataFrame) -> int:
+    """Number of shuffle exchanges in the physical plan — the scale
+    cost model's first-order term (every exchange is a full
+    rewrite+network pass over its input at 100 TB)."""
+    return count_exchanges_in_plan(formatted_plan(df))
 
 
 def assert_max_exchanges(df: DataFrame, budget: int) -> None:

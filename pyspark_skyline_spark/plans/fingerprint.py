@@ -52,10 +52,11 @@ _RULES: list[tuple[re.Pattern[str], str]] = [
     # locations, checkpoint dirs, stream sinks, temp dirs)
     (re.compile(r"(file|hdfs|s3a?|dbfs):/[^\s,\]\)]*"), "<uri>"),
     (re.compile(r"/[A-Za-z0-9_.\-/]*(?:parquet|checkpoint|tmp|warehouse)[A-Za-z0-9_.\-/]*"), "<path>"),
-    # LogicalRDD / ExistingRDD ids and localCheckpoint identities
-    (re.compile(r"ExistingRDD\[[^\]]*\]"), "ExistingRDD[<cols>]"),
-    # memory-sink stream tables get generated names
-    (re.compile(r"MemoryScan\[[^\]]*\]"), "MemoryScan[<cols>]"),
+    # memory-sink stream tables get generated names (the column lists
+    # inside ExistingRDD[...] / MemoryScan[...] brackets are KEPT — the
+    # #id rule above normalizes their exprIds, and erasing the whole
+    # bracket would blind the detector to schema drift on exactly the
+    # localCheckpoint scans it exists to cover)
     (re.compile(r"`[A-Za-z0-9_]*mem_[A-Za-z0-9_]*`"), "`<memtable>`"),
     # JVM object hex addresses occasionally leak into node details
     (re.compile(r"@[0-9a-f]{6,}"), "@addr"),
@@ -82,10 +83,12 @@ def plan_summary(df: DataFrame) -> dict:
     DIFF interpretable without reading either plan: shuffle-exchange
     count, broadcast-join count, sort-merge-join count, and whether any
     scan kept pushed filters."""
+    from pyspark_skyline_spark.plans.explain import count_exchanges_in_plan
+
     plan = normalized_plan(df)
     return {
         "fp": hashlib.sha256(plan.encode()).hexdigest()[:16],
-        "exchanges": len(re.findall(r"^\(\d+\) Exchange\b", plan, re.M)),
+        "exchanges": count_exchanges_in_plan(plan),
         "broadcast_joins": len(
             re.findall(r"^\(\d+\) Broadcast(Hash|NestedLoop)Join", plan, re.M)
         ),

@@ -59,10 +59,15 @@ def capture(spark, sf_dir: str) -> dict:
 
 
 def diff_rows(old: dict, new: dict) -> dict:
-    changed, added, removed = {}, [], []
+    changed, added, errored = {}, [], []
     for name, ns in new.items():
         os_ = old.get(name)
-        if os_ is None:
+        if "error" in ns:
+            # an errored row must NEVER read as "no drift" — without
+            # this, a builder that throws in two consecutive rounds has
+            # fp None on both sides and vanishes from the diff
+            errored.append(name)
+        elif os_ is None:
             added.append(name)
         elif os_.get("fp") != ns.get("fp"):
             delta = {
@@ -73,7 +78,12 @@ def diff_rows(old: dict, new: dict) -> dict:
             }
             changed[name] = delta or {"note": "same shape facts, expr-level change"}
     removed = sorted(set(old) - set(new))
-    return {"changed": changed, "added": sorted(added), "removed": removed}
+    return {
+        "changed": changed,
+        "added": sorted(added),
+        "removed": removed,
+        "errored": sorted(errored),
+    }
 
 
 def main() -> None:
@@ -109,7 +119,9 @@ def main() -> None:
             print(f"ADDED {d['added']}")
         if d["removed"]:
             print(f"REMOVED {d['removed']}")
-        if not (d["changed"] or d["added"] or d["removed"]):
+        if d["errored"]:
+            print(f"ERRORED {d['errored']}")
+        if not (d["changed"] or d["added"] or d["removed"] or d["errored"]):
             print("no plan drift")
 
     with open(out_path, "w") as f:

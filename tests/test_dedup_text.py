@@ -295,9 +295,11 @@ def test_persisted_bytes_reads_checkpoint_size(spark):
     assert D._persisted_bytes(spark.range(10)) in (None, 0)
 
 
-def test_seed_mix_rejects_unknown_mode():
+def test_seed_mix_rejects_unknown_mode(spark):
     """_seed_mix must raise on a typo'd mode instead of silently
-    applying md5 semantics (round-7 ADVICE)."""
+    applying md5 semantics (round-7 ADVICE). Takes the spark fixture:
+    F.lit needs an active SparkContext, and without requesting it this
+    test only passed when earlier tests in the file had created one."""
     with pytest.raises(ValueError, match="hash_mode"):
         D._seed_mix(F.lit(1), 0, "xxhash65")
 
