@@ -54,6 +54,7 @@ from pyspark_skyline_spark.entry_params import (
     _SAMPLE_FRAC,
     _SAMPLE_SEED,
     _SH_MAX_HAMMING,
+    _SS_K,
     _STRATA_FRACS,
     _TOPK_K,
     _VOCAB_K,
@@ -973,6 +974,21 @@ def _q_semantic_dedup_embeddings(spark, sf_dir):
     ).orderBy("vec_id")
 
 
+def _q_substring_spans_documents(spark, sf_dir):
+    """Substring-level duplication spans (round 8 —
+    operators/dedup.py::substring_dedup_spans): merged 1-based token
+    ranges covered by any corpus-duplicated _SS_K-token window. md5
+    hash mode makes the window keys bit-reproducible in DuckDB, so the
+    third dedup granularity (document / paragraph / substring) is
+    exactly oracled like the other two."""
+    from pyspark_skyline_spark.operators.dedup import substring_dedup_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return substring_dedup_spans(
+        docs, "doc_id", "text", k=_SS_K, hash_mode="md5"
+    )
+
+
 def _q_funnel_events(spark, sf_dir):
     """Ordered funnel view→click→purchase per user (operators/funnel.py
     ::funnel_steps): step k counts only events strictly after the
@@ -1236,6 +1252,11 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "equi_depth_by_status_orders": _q_equi_depth_by_status_orders,
     "chunk_documents": _q_chunk_documents,
     "vocab_topk_documents": _q_vocab_topk,
+    # round-8 addition past the 50-cap: substring-level dedup spans —
+    # the third dedup granularity (document / paragraph / substring),
+    # the duplicated-k-token-window rule LLM corpora are scrubbed with;
+    # exactly oracled via the md5 hash mode
+    "substring_spans_documents": _q_substring_spans_documents,
 }
 
 

@@ -28,6 +28,7 @@ from pyspark_skyline_spark.entry_params import (
     _PROBE_ID,
     _SAMPLE_FRAC,
     _SAMPLE_SEED,
+    _SS_K,
     _SH_MAX_HAMMING,
     _STRATA_FRACS,
     _TOPK_K,
@@ -530,6 +531,44 @@ FROM {table}"""
     return "\nUNION ALL\n".join(selects)
 
 
+def _substring_spans_oracle(k: int, min_count: int = 2) -> str:
+    # exact mirror of operators/dedup.py::substring_dedup_spans in md5
+    # mode: same tokenization (lower/trim/\s+ split), same 1-based
+    # k-token windows, same md5-15-hex window keys, same >= min_count
+    # duplicated rule, same gaps-and-islands merge (brk when the start
+    # exceeds the running max end + 1; first row coalesces to -10 on
+    # both sides).
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+  FROM documents),
+pos AS (
+  SELECT doc_id, t, unnest(range(1, len(t) - {k} + 2)) AS s
+  FROM toks WHERE len(t) >= {k}),
+win AS (
+  SELECT doc_id, s, s + {k - 1} AS e,
+         ('0x' || substr(md5(array_to_string(t[s:s+{k - 1}], ' ')), 1, 15))::BIGINT AS h
+  FROM pos),
+dup AS (SELECT h FROM win GROUP BY h HAVING count(*) >= {min_count}),
+spans AS (SELECT w.doc_id, w.s, w.e FROM win w JOIN dup USING (h)),
+marked AS (
+  SELECT doc_id, s, e,
+         CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -10) + 1
+              THEN 1 ELSE 0 END AS brk
+  FROM spans),
+isl AS (SELECT doc_id, s, e,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY s
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+        FROM marked)
+SELECT doc_id,
+       CAST(min(s) AS BIGINT) AS span_start,
+       CAST(max(e) AS BIGINT) AS span_end,
+       CAST(max(e) - min(s) + 1 AS BIGINT) AS span_tokens
+FROM isl GROUP BY doc_id, g
+"""
+
+
 def _cosine_near_dup_oracle(threshold: float) -> str:
     # all-pairs exact threshold join — valid because the driver entry
     # runs the LSH pipeline in its exhaustive (single-bucket) mode
@@ -745,6 +784,7 @@ SELECT node, CAST(min(r) AS BIGINT) AS cluster_id FROM reach GROUP BY node
     # oracles apply because the driver parameters disable pruning
     "cosine_topk_lsh_embeddings": _cosine_topk_oracle(),
     "cosine_topk_ivf_embeddings": _cosine_topk_oracle(),
+    "substring_spans_documents": _substring_spans_oracle(_SS_K),
     "cosine_near_dup_embeddings": _cosine_near_dup_oracle(_ND_LSH_T),
     "cosine_near_dup_lsh_embeddings": _cosine_near_dup_lsh_oracle(
         _ND_LSH_T, _ND_LSH_PLANES, _ND_LSH_TABLES

@@ -44,3 +44,7 @@ _MIX_TARGETS = {"src1": 12, "src3": 3, "src7": 40, "src11": 7}
 # 0.8 recall bar the row is graded against (bench tail key
 # near_dup_lsh_driver measures it every round at these knobs).
 _ND_LSH_T, _ND_LSH_PLANES, _ND_LSH_TABLES = 0.45, 4, 16
+
+# substring-dedup window length (round-8 operator): the duplicated
+# k-token-window rule for boilerplate/verbatim-overlap spans
+_SS_K = 8

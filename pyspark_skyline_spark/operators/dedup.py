@@ -38,6 +38,7 @@ __all__ = [
     "dedup_corpus_exact_phase",
     "dedup_incremental",
     "dedup_incremental_neardup",
+    "substring_dedup_spans",
     "paragraph_dedup",
     "paragraph_dedup_incremental",
     "spread_for_compute",
@@ -1252,3 +1253,94 @@ def paragraph_dedup_incremental(
     )
     new_hashes = winners.select(F.col("__ph").alias(ledger_hash_col))
     return docs, new_hashes
+
+
+def substring_dedup_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    hash_mode: str = "xxhash64",
+    min_count: int = 2,
+) -> DataFrame:
+    """SUBSTRING-level duplication spans: for each document, the merged
+    token ranges covered by some ``k``-token window that occurs at
+    least ``min_count`` times ANYWHERE in the corpus (within- or
+    cross-document). This is the third granularity of the dedup family
+    — document-level (``dedup_corpus``), paragraph-level
+    (``paragraph_dedup``), and now the sliding-window substring rule
+    used to strip boilerplate/verbatim overlap from LLM training
+    corpora (the "duplicated n-token window" criterion). Downstream
+    either drops the spans or drops documents whose duplicated
+    fraction is too high. Returns
+    ``(id_col, span_start, span_end, span_tokens)`` in 1-based token
+    coordinates; documents shorter than ``k`` tokens yield no windows
+    (whole-document duplication at that size is document-level dedup's
+    job).
+
+    Relational formulation, zero UDFs: slice-built ordered windows
+    (``ordered_shingles`` — zip_with, evaluates the token split once
+    per row), posexplode to an occurrence table (id, pos, window-hash),
+    a hash-aggregate to the duplicated-window keys (map-side partial
+    combine collapses a million-copy boilerplate window to one row per
+    partition BEFORE the shuffle — the skew-safe half of the plan),
+    a semi-join of occurrences against those keys (AQE broadcasts the
+    dup-key table when small; degrades to a shuffle join on corpora
+    where the duplicated vocabulary itself is huge), then per-document
+    gaps-and-islands (two window functions over output-sized data) to
+    merge overlapping/adjacent windows into maximal spans.
+
+    Scale shape: the occurrence table is ~n_tokens rows — linear — and
+    shuffles once for the semi-join; the dup-key aggregate rides the
+    same exchange. Windows are compared by 64-bit hash, not string
+    (`hash64_expr`): xxhash64 in production, md5 mode bit-reproducible
+    in any SQL engine so the operator is exactly oracle-able (same
+    pattern as the MinHash ledger rows). A hash collision can only
+    over-mark a span (never drop one) with probability ~n²/2⁶⁴.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    df = spread_for_compute(df)
+    toks = tokens(F.col(text_col))
+    occ = (
+        df.filter(F.size(toks) >= k)
+        .select(
+            F.col(id_col),
+            F.posexplode(ordered_shingles(F.col(text_col), k)).alias("__pos", "__w"),
+        )
+        .select(
+            id_col,
+            (F.col("__pos") + 1).alias("__s"),  # 1-based token start
+            hash64_expr(F.col("__w"), None, hash_mode).alias("__h"),
+        )
+    )
+    dup_keys = (
+        occ.groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= min_count)
+        .select("__h")
+    )
+    spans = occ.join(dup_keys, "__h", "leftsemi").select(
+        id_col, "__s", (F.col("__s") + (k - 1)).alias("__e")
+    )
+    w_ord = Window.partitionBy(id_col).orderBy("__s")
+    prev_max_e = F.max("__e").over(
+        w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = spans.withColumn(
+        "__brk",
+        F.when(F.col("__s") > F.coalesce(prev_max_e, F.lit(-10)) + 1, 1).otherwise(0),
+    )
+    isl = marked.withColumn(
+        "__g",
+        F.sum("__brk").over(w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return (
+        isl.groupBy(id_col, "__g")
+        .agg(
+            F.min("__s").cast("long").alias("span_start"),
+            F.max("__e").cast("long").alias("span_end"),
+            (F.max("__e") - F.min("__s") + 1).cast("long").alias("span_tokens"),
+        )
+        .drop("__g")
+    )

@@ -676,3 +676,61 @@ def test_char_entropy(spark):
 
     with _pytest.raises(ValueError):
         char_entropy(df, "nope")
+
+
+def test_substring_dedup_spans_semantics(spark):
+    """Planted cases for the round-8 substring-dedup operator: a
+    cross-doc duplicated 4-token run yields one merged span in each
+    doc; two disjoint duplicated runs in one doc yield two spans; an
+    internal within-doc repeat is caught; unique docs and docs shorter
+    than k yield nothing; hash modes agree."""
+    k = 4
+    shared = "alpha beta gamma delta epsilon"            # 5 tokens -> span of 5
+    docs = [
+        (1, f"unique one {shared} trailing words here"),  # span tokens 3..7
+        (2, f"{shared} and then different text follows"), # span tokens 1..5
+        (3, "x1 x2 x3 x4 middle gap y1 y2 y3 y4"),        # two runs, dup'd in doc 4
+        (4, "x1 x2 x3 x4 other stuff y1 y2 y3 y4"),
+        (5, "r1 r2 r3 r4 sep r1 r2 r3 r4"),               # within-doc repeat
+        (6, "totally unique document with no duplication at all"),
+        (7, "too short"),                                  # < k tokens
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def spans(mode):
+        return {
+            (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+            for r in D.substring_dedup_spans(
+                df, "doc_id", "text", k=k, hash_mode=mode
+            ).collect()
+        }
+
+    got = spans("md5")
+    assert got == spans("xxhash64")
+    assert got == {
+        (1, 3, 7, 5),
+        (2, 1, 5, 5),
+        (3, 1, 4, 4), (3, 7, 10, 4),
+        (4, 1, 4, 4), (4, 7, 10, 4),
+        (5, 1, 4, 4), (5, 6, 9, 4),
+    }, got
+
+
+def test_substring_dedup_spans_edge_cases(spark):
+    import pytest as _pytest
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert D.substring_dedup_spans(empty, "doc_id", "text", k=3).count() == 0
+    with _pytest.raises(ValueError, match="k must be"):
+        D.substring_dedup_spans(empty, "doc_id", "text", k=0)
+    # adjacent-but-not-overlapping duplicated windows merge: doc 1/2
+    # share tokens 1..6 -> windows at 1,2,3 (k=4) merge into one span
+    df = spark.createDataFrame(
+        [(1, "a b c d e f tail1"), (2, "a b c d e f tail2")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in D.substring_dedup_spans(df, "doc_id", "text", k=4).collect()
+    }
+    assert got == {(1, 1, 6), (2, 1, 6)}
