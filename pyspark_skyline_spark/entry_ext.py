@@ -989,6 +989,17 @@ def _q_substring_spans_documents(spark, sf_dir):
     )
 
 
+def _q_substring_scrub_documents(spark, sf_dir):
+    """Applied form of the substring spans (round 8 —
+    operators/dedup.py::substring_scrub): drop every token covered by
+    a corpus-duplicated _SS_K-token window and reassemble; one row per
+    input document. Exactly oracled in md5 mode."""
+    from pyspark_skyline_spark.operators.dedup import substring_scrub
+
+    docs = load_table(spark, sf_dir, "documents")
+    return substring_scrub(docs, "doc_id", "text", k=_SS_K, hash_mode="md5")
+
+
 def _q_funnel_events(spark, sf_dir):
     """Ordered funnel view→click→purchase per user (operators/funnel.py
     ::funnel_steps): step k counts only events strictly after the
@@ -1257,6 +1268,7 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # the duplicated-k-token-window rule LLM corpora are scrubbed with;
     # exactly oracled via the md5 hash mode
     "substring_spans_documents": _q_substring_spans_documents,
+    "substring_scrub_documents": _q_substring_scrub_documents,
 }
 
 

@@ -569,6 +569,51 @@ FROM isl GROUP BY doc_id, g
 """
 
 
+def _substring_scrub_oracle(k: int, min_count: int = 2) -> str:
+    # mirror of operators/dedup.py::substring_scrub (md5 mode): the
+    # spans pipeline of _substring_spans_oracle, then per-doc token
+    # reassembly skipping covered 1-based positions; docs without
+    # spans (including sub-k docs) pass through with their normalized
+    # token text.
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+  FROM documents),
+pos AS (
+  SELECT doc_id, t, unnest(range(1, len(t) - {k} + 2)) AS s
+  FROM toks WHERE len(t) >= {k}),
+win AS (
+  SELECT doc_id, s, s + {k - 1} AS e,
+         ('0x' || substr(md5(array_to_string(t[s:s+{k - 1}], ' ')), 1, 15))::BIGINT AS h
+  FROM pos),
+dup AS (SELECT h FROM win GROUP BY h HAVING count(*) >= {min_count}),
+spans AS (SELECT w.doc_id, w.s, w.e FROM win w JOIN dup USING (h)),
+marked AS (
+  SELECT doc_id, s, e,
+         CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -10) + 1
+              THEN 1 ELSE 0 END AS brk
+  FROM spans),
+isl AS (SELECT doc_id, s, e,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY s
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+        FROM marked),
+merged AS (SELECT doc_id, min(s) AS ss, max(e) AS ee FROM isl GROUP BY doc_id, g),
+tok AS (SELECT doc_id, unnest(t) AS tk, generate_subscripts(t, 1) AS i FROM toks),
+kept AS (
+  SELECT tok.doc_id, tok.tk, tok.i FROM tok
+  WHERE NOT EXISTS (SELECT 1 FROM merged m
+                    WHERE m.doc_id = tok.doc_id AND tok.i BETWEEN m.ss AND m.ee)),
+agg AS (SELECT doc_id, string_agg(tk, ' ' ORDER BY i) AS txt, count(*) AS nk
+        FROM kept GROUP BY doc_id)
+SELECT t.doc_id,
+       coalesce(a.txt, '') AS text_scrubbed,
+       CAST(len(t.t) AS BIGINT) AS n_tokens,
+       CAST(len(t.t) - coalesce(a.nk, 0) AS BIGINT) AS n_dropped
+FROM toks t LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def _cosine_near_dup_oracle(threshold: float) -> str:
     # all-pairs exact threshold join — valid because the driver entry
     # runs the LSH pipeline in its exhaustive (single-bucket) mode
@@ -785,6 +830,7 @@ SELECT node, CAST(min(r) AS BIGINT) AS cluster_id FROM reach GROUP BY node
     "cosine_topk_lsh_embeddings": _cosine_topk_oracle(),
     "cosine_topk_ivf_embeddings": _cosine_topk_oracle(),
     "substring_spans_documents": _substring_spans_oracle(_SS_K),
+    "substring_scrub_documents": _substring_scrub_oracle(_SS_K),
     "cosine_near_dup_embeddings": _cosine_near_dup_oracle(_ND_LSH_T),
     "cosine_near_dup_lsh_embeddings": _cosine_near_dup_lsh_oracle(
         _ND_LSH_T, _ND_LSH_PLANES, _ND_LSH_TABLES

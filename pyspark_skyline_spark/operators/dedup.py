@@ -39,6 +39,7 @@ __all__ = [
     "dedup_incremental",
     "dedup_incremental_neardup",
     "substring_dedup_spans",
+    "substring_scrub",
     "paragraph_dedup",
     "paragraph_dedup_incremental",
     "spread_for_compute",
@@ -1343,4 +1344,58 @@ def substring_dedup_spans(
             (F.max("__e") - F.min("__s") + 1).cast("long").alias("span_tokens"),
         )
         .drop("__g")
+    )
+
+
+def substring_scrub(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    hash_mode: str = "xxhash64",
+    min_count: int = 2,
+    out_col: str = "text_scrubbed",
+) -> DataFrame:
+    """Apply ``substring_dedup_spans``: drop every token covered by a
+    corpus-duplicated ``k``-token window and reassemble the document
+    from the surviving tokens. Returns
+    ``(id_col, out_col, n_tokens, n_dropped)`` — one row per input
+    document (documents with no duplicated spans pass through intact).
+
+    Semantics: ALL occurrences of duplicated content are removed (the
+    boilerplate-scrub rule — repeated headers/footers/licenses vanish
+    everywhere). Keep-one-copy dedup at sub-document granularity is
+    ``paragraph_dedup``'s job; at whole-document granularity,
+    ``dedup_corpus``. Output text is normalized-token text (the
+    lowercased whitespace tokenization every dedup operator here
+    shares), joined by single spaces.
+
+    Plan: the spans pipeline (see ``substring_dedup_spans``) collapses
+    to a per-doc span ARRAY (spans per doc are few — output-sized), a
+    left join back to the corpus on the id (plain equi-join on the
+    primary key; AQE broadcasts the span table when small), then one
+    ``filter`` higher-order function with the element INDEX lambda
+    drops covered tokens JVM-side — no explode of the corpus tokens,
+    no UDF; per-token cost is O(spans-per-doc)."""
+    spans = substring_dedup_spans(
+        df, id_col, text_col, k=k, hash_mode=hash_mode, min_count=min_count
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
+    )
+    toks = tokens(F.col(text_col))
+    covered = lambda t, i: F.exists(  # noqa: E731 — HOF lambda
+        F.coalesce(F.col("__spans"), F.array()),
+        lambda s: ((i + 1) >= s.getField("span_start"))
+        & ((i + 1) <= s.getField("span_end")),
+    )
+    kept = F.filter(toks, lambda t, i: ~covered(t, i))
+    return (
+        df.join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.array_join(kept, " ").alias(out_col),
+            F.size(toks).cast("long").alias("n_tokens"),
+            (F.size(toks) - F.size(kept)).cast("long").alias("n_dropped"),
+        )
     )

@@ -734,3 +734,27 @@ def test_substring_dedup_spans_edge_cases(spark):
         for r in D.substring_dedup_spans(df, "doc_id", "text", k=4).collect()
     }
     assert got == {(1, 1, 6), (2, 1, 6)}
+
+
+def test_substring_scrub_applies_spans(spark):
+    """substring_scrub drops ALL occurrences of duplicated windows and
+    reassembles normalized-token text; clean docs and sub-k docs pass
+    through intact (one output row per input doc)."""
+    k = 4
+    docs = [
+        (1, "HEADER one two three body alpha beta"),
+        (2, "header one two three other content here"),
+        (3, "nothing shared with anyone at all"),
+        (4, "tiny doc"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.text_scrubbed, r.n_tokens, r.n_dropped)
+        for r in D.substring_scrub(df, "doc_id", "text", k=k).collect()
+    }
+    # docs 1/2 share the 4-token window "header one two three"
+    assert got[1] == ("body alpha beta", 7, 4)
+    assert got[2] == ("other content here", 7, 4)
+    assert got[3] == ("nothing shared with anyone at all", 6, 0)
+    assert got[4] == ("tiny doc", 2, 0)
+    assert len(got) == 4
