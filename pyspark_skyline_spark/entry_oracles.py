@@ -570,35 +570,20 @@ FROM isl GROUP BY doc_id, g
 
 
 def _substring_scrub_oracle(k: int, min_count: int = 2) -> str:
-    # mirror of operators/dedup.py::substring_scrub (md5 mode): the
-    # spans pipeline of _substring_spans_oracle, then per-doc token
-    # reassembly skipping covered 1-based positions; docs without
-    # spans (including sub-k docs) pass through with their normalized
-    # token text.
+    # mirror of operators/dedup.py::substring_scrub (md5 mode):
+    # COMPOSES _substring_spans_oracle (one source of truth for the
+    # spans pipeline — a one-sided fix can't desync the two oracles),
+    # then per-doc token reassembly skipping covered 1-based
+    # positions; docs without spans (including sub-k docs) pass
+    # through with their normalized token text. NULL text is
+    # coalesced to '' on BOTH sides (operator + oracle).
     return rf"""
 WITH toks AS (
-  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+  SELECT doc_id, regexp_split_to_array(lower(trim(coalesce(text, ''))), '\s+') AS t
   FROM documents),
-pos AS (
-  SELECT doc_id, t, unnest(range(1, len(t) - {k} + 2)) AS s
-  FROM toks WHERE len(t) >= {k}),
-win AS (
-  SELECT doc_id, s, s + {k - 1} AS e,
-         ('0x' || substr(md5(array_to_string(t[s:s+{k - 1}], ' ')), 1, 15))::BIGINT AS h
-  FROM pos),
-dup AS (SELECT h FROM win GROUP BY h HAVING count(*) >= {min_count}),
-spans AS (SELECT w.doc_id, w.s, w.e FROM win w JOIN dup USING (h)),
-marked AS (
-  SELECT doc_id, s, e,
-         CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s
-              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -10) + 1
-              THEN 1 ELSE 0 END AS brk
-  FROM spans),
-isl AS (SELECT doc_id, s, e,
-               sum(brk) OVER (PARTITION BY doc_id ORDER BY s
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
-        FROM marked),
-merged AS (SELECT doc_id, min(s) AS ss, max(e) AS ee FROM isl GROUP BY doc_id, g),
+merged AS (
+  SELECT doc_id, span_start AS ss, span_end AS ee
+  FROM ({_substring_spans_oracle(k, min_count)})),
 tok AS (SELECT doc_id, unnest(t) AS tk, generate_subscripts(t, 1) AS i FROM toks),
 kept AS (
   SELECT tok.doc_id, tok.tk, tok.i FROM tok
@@ -829,12 +814,15 @@ SELECT node, CAST(min(r) AS BIGINT) AS cluster_id FROM reach GROUP BY node
     # oracles apply because the driver parameters disable pruning
     "cosine_topk_lsh_embeddings": _cosine_topk_oracle(),
     "cosine_topk_ivf_embeddings": _cosine_topk_oracle(),
-    "substring_spans_documents": _substring_spans_oracle(_SS_K),
-    "substring_scrub_documents": _substring_scrub_oracle(_SS_K),
     "cosine_near_dup_embeddings": _cosine_near_dup_oracle(_ND_LSH_T),
     "cosine_near_dup_lsh_embeddings": _cosine_near_dup_lsh_oracle(
         _ND_LSH_T, _ND_LSH_PLANES, _ND_LSH_TABLES
     ),
+    # substring-dedup rows (round 8): exact oracles via the md5 hash
+    # mode — the window keys are bit-reproducible in DuckDB, like the
+    # MinHash ledger rows
+    "substring_spans_documents": _substring_spans_oracle(_SS_K),
+    "substring_scrub_documents": _substring_scrub_oracle(_SS_K),
     "global_top_orders": """
 SELECT o_orderkey, o_totalprice FROM orders
 ORDER BY o_totalprice DESC, o_orderkey LIMIT 25

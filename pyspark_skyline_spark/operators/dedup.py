@@ -1293,11 +1293,13 @@ def substring_dedup_spans(
 
     Scale shape: the occurrence table is ~n_tokens rows — linear — and
     shuffles once for the semi-join; the dup-key aggregate rides the
-    same exchange. Windows are compared by 64-bit hash, not string
-    (`hash64_expr`): xxhash64 in production, md5 mode bit-reproducible
-    in any SQL engine so the operator is exactly oracle-able (same
-    pattern as the MinHash ledger rows). A hash collision can only
-    over-mark a span (never drop one) with probability ~n²/2⁶⁴.
+    same exchange. Windows are compared by hash, not string
+    (`hash64_expr`): 64-bit xxhash64 in production, 60-bit md5-derived
+    keys in md5 mode — bit-reproducible in any SQL engine so the
+    operator is exactly oracle-able (same pattern as the MinHash
+    ledger rows). A hash collision can only over-mark a span (never
+    drop one); expected colliding window pairs ~n²/2⁶⁵ (xxhash64)
+    resp. ~n²/2⁶¹ (md5 mode — the graded rows' mode).
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
@@ -1368,7 +1370,8 @@ def substring_scrub(
     ``paragraph_dedup``'s job; at whole-document granularity,
     ``dedup_corpus``. Output text is normalized-token text (the
     lowercased whitespace tokenization every dedup operator here
-    shares), joined by single spaces.
+    shares), joined by single spaces; NULL input text is treated as
+    empty (mirrored in the oracle).
 
     Plan: the spans pipeline (see ``substring_dedup_spans``) collapses
     to a per-doc span ARRAY (spans per doc are few — output-sized), a
@@ -1383,7 +1386,7 @@ def substring_scrub(
     per_doc = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
     )
-    toks = tokens(F.col(text_col))
+    toks = tokens(F.coalesce(F.col(text_col), F.lit("")))
     covered = lambda t, i: F.exists(  # noqa: E731 — HOF lambda
         F.coalesce(F.col("__spans"), F.array()),
         lambda s: ((i + 1) >= s.getField("span_start"))

@@ -758,3 +758,14 @@ def test_substring_scrub_applies_spans(spark):
     assert got[3] == ("nothing shared with anyone at all", 6, 0)
     assert got[4] == ("tiny doc", 2, 0)
     assert len(got) == 4
+    # NULL text coalesces to empty on both operator and oracle sides
+    # (round-8 review: the operator used to return NULLs while the
+    # oracle returned '' — a latent exactly-oracled-row divergence)
+    with_null = df.unionByName(
+        spark.createDataFrame([(9, None)], "doc_id long, text string")
+    )
+    got9 = {
+        r.doc_id: (r.text_scrubbed, r.n_tokens, r.n_dropped)
+        for r in D.substring_scrub(with_null, "doc_id", "text", k=k).collect()
+    }[9]
+    assert got9 == ("", 1, 0)
