@@ -989,6 +989,17 @@ def _q_substring_spans_documents(spark, sf_dir):
     )
 
 
+def _q_unigram_nll_documents(spark, sf_dir):
+    """Corpus-fit unigram LM quality score (round 8 —
+    operators/text.py::unigram_nll): per-doc mean -ln p(token) under
+    the add-one-smoothed corpus unigram model. Exact-arithmetic plan
+    (ln agrees to ~1e-12 across engines, inside compare rounding)."""
+    from pyspark_skyline_spark.operators.text import unigram_nll
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_nll(docs, "doc_id", "text")
+
+
 def _q_substring_scrub_documents(spark, sf_dir):
     """Applied form of the substring spans (round 8 —
     operators/dedup.py::substring_scrub): drop every token covered by
@@ -1269,6 +1280,9 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # exactly oracled via the md5 hash mode
     "substring_spans_documents": _q_substring_spans_documents,
     "substring_scrub_documents": _q_substring_scrub_documents,
+    # round-8 addition: corpus-fit unigram-LM quality score (the
+    # CCNet-style perplexity-filter proxy) — exactly oracled
+    "unigram_nll_documents": _q_unigram_nll_documents,
 }
 
 

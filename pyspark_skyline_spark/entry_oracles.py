@@ -823,6 +823,20 @@ SELECT node, CAST(min(r) AS BIGINT) AS cluster_id FROM reach GROUP BY node
     # MinHash ledger rows
     "substring_spans_documents": _substring_spans_oracle(_SS_K),
     "substring_scrub_documents": _substring_scrub_oracle(_SS_K),
+    # round-8: corpus-fit add-one unigram LM score; exact arithmetic
+    # except ln (engines agree to ~1e-12, inside compare rounding)
+    "unigram_nll_documents": r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+  FROM documents),
+vocab AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+tot AS (SELECT sum(c) AS n, count(*) AS v FROM vocab)
+SELECT tok.doc_id,
+       avg(-ln((vocab.c + 1.0) / (tot.n + tot.v))) AS avg_nll,
+       CAST(count(*) AS BIGINT) AS n_tokens
+FROM tok JOIN vocab USING (t) CROSS JOIN tot
+GROUP BY tok.doc_id
+""",
     "global_top_orders": """
 SELECT o_orderkey, o_totalprice FROM orders
 ORDER BY o_totalprice DESC, o_orderkey LIMIT 25

@@ -29,6 +29,7 @@ __all__ = [
     "tfidf_topk_terms",
     "bm25_scores",
     "hash_embed",
+    "unigram_nll",
     "LANG_MARKERS",
 ]
 
@@ -556,3 +557,55 @@ def char_entropy(
         ).alias("entropy")
     )
     return df.select(id_col).join(ent, id_col, "left")
+
+
+def unigram_nll(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document average negative log-likelihood under the corpus's
+    own add-one-smoothed unigram language model — the classic cheap
+    LM-quality proxy (the CCNet-style recipe scores documents with a
+    small LM and filters the high-perplexity tail; a corpus-fit
+    unigram model is its zero-dependency degenerate case). Low
+    ``avg_nll`` = common, fluent-ish vocabulary; high = rare tokens,
+    noise, or wrong-language text. Returns
+    ``(id_col, avg_nll, n_tokens)`` for every document with at least
+    one token.
+
+    Model: ``p(t) = (c_t + 1) / (N + V)`` with ``c_t`` the corpus
+    count, ``N`` total tokens, ``V`` distinct tokens;
+    ``avg_nll = mean(-ln p(t))`` over the document's tokens.
+
+    Plan: one token explode (linear), one hash-aggregate to the
+    unigram table (map-side combine — the skew-safe shape for Zipfian
+    token counts), a two-scalar aggregate over that small table for
+    (N, V) broadcast via a 1-row cross join, an equi-join of token
+    occurrences against the unigram table (AQE broadcasts real-world
+    vocabularies — a few million rows — under the threshold; shuffle
+    join past it), and the per-doc mean. Everything is exact
+    arithmetic but the ``ln``; identical SQL runs in any engine, so
+    the operator is oracle-able (float agreement to ~1e-12, far
+    inside the compare rounding)."""
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__t")
+    )
+    vocab = tok.groupBy("__t").agg(F.count(F.lit(1)).alias("__c"))
+    tot = vocab.agg(
+        F.sum("__c").alias("__n"), F.count(F.lit(1)).alias("__v")
+    )
+    scored = (
+        tok.join(vocab, "__t")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            id_col,
+            (-F.log((F.col("__c") + 1.0) / (F.col("__n") + F.col("__v")))).alias(
+                "__nll"
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.avg("__nll").alias("avg_nll"),
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+    )

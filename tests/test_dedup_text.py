@@ -769,3 +769,29 @@ def test_substring_scrub_applies_spans(spark):
         for r in D.substring_scrub(with_null, "doc_id", "text", k=k).collect()
     }[9]
     assert got9 == ("", 1, 0)
+
+
+def test_unigram_nll_matches_hand_model(spark):
+    """unigram_nll == hand-computed add-one unigram NLL on a tiny
+    corpus; common-vocabulary docs score lower than rare-vocabulary
+    ones (the quality-filter property)."""
+    import math
+
+    texts = {1: "a a b", 2: "a b c", 3: "zzz qqq"}
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    # corpus model
+    from collections import Counter
+    all_toks = [t for s in texts.values() for t in s.split()]
+    c = Counter(all_toks)
+    N, V = len(all_toks), len(c)
+    def nll(doc):
+        ts = texts[doc].split()
+        return sum(-math.log((c[t] + 1) / (N + V)) for t in ts) / len(ts)
+    got = {
+        r.doc_id: (r.avg_nll, r.n_tokens)
+        for r in T.unigram_nll(df, "doc_id", "text").collect()
+    }
+    for d in texts:
+        assert abs(got[d][0] - nll(d)) < 1e-9, d
+        assert got[d][1] == len(texts[d].split())
+    assert got[3][0] > got[1][0]  # rare vocab scores worse
