@@ -365,6 +365,51 @@ def ann_recall(spark, sf_dir: str) -> dict:
     }
 
 
+#: recall keys kept on the FINAL printed line (the full tail lives in
+#: the passes side file + stderr): the driver-row LSH recall at the
+#: gate row's exact knobs, the MinHash planted-pair recall guarding the
+#: round-3 estimator fix, and the SemDeDup planted-clone recall — the
+#: three quality numbers a reader must see round-over-round. Round 8's
+#: full 11-key tail pushed the line to 2047 chars, past the driver's
+#: 2000-char tail capture, and the round artifact arrived unparseable.
+_INLINE_RECALL = ("near_dup_lsh_driver", "minhash_planted@J0.7", "semdedup_planted")
+
+
+def _fmt_secs(v: float):
+    """Adaptive timing precision for the FINAL printed line (the side
+    file keeps raw 3-decimal pass pairs): 2 decimals under 100 s, 1
+    decimal under 1000 s, whole seconds past that — full precision
+    where it matters, bounded width where a runaway timing would
+    otherwise blow the line past the driver's 2000-char tail capture."""
+    if v < 100:
+        return round(v, 2)
+    if v < 1000:
+        return round(v, 1)
+    return int(round(v))
+
+
+def _calibration_sec(spark, cpus: int) -> float:
+    """Fixed CPU-saturating probe (2e8 xxhash64 + sum across all
+    cores), constant regardless of sf or registry: its wall-clock
+    depends only on the HOST, so a contended driver run self-labels —
+    the round-8 driver bench ran ~1.45x slow and cost a full
+    adjudication (judge re-run vs committed clean run) that a
+    calibration pair would have settled at a glance. Emitted as
+    "calib": [pre, post] on the final line; pre/post divergence
+    additionally flags a contention window that OPENED mid-run."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    t0 = _t.perf_counter()
+    # top-30-bits of each hash: full-range 64-bit xxhash values would
+    # overflow the ANSI long sum (1.2e9 x 2^30 ~ 1.3e18, inside int64)
+    spark.range(0, 1_200_000_000, 1, cpus).select(
+        F.sum(F.shiftrightunsigned(F.xxhash64("id"), 34))
+    ).collect()
+    return round(_t.perf_counter() - t0, 2)
+
+
 def main() -> None:
     if "--sweep" in sys.argv:
         sweep()
@@ -418,6 +463,27 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    # the code-cache flag above only takes effect because PySpark's
+    # launch_gateway forwards conf at JVM launch; a pre-existing gateway
+    # in this process (or a spark-submit wrapper that owns the JVM args)
+    # silently drops it and the round-8 JIT degradation (2-7x late-suite
+    # slowdowns once the 240 MB default code cache fills) returns with
+    # no signal. Verify against the LIVE JVM's RuntimeMXBean args.
+    jvm_args = str(
+        spark._jvm.java.lang.management.ManagementFactory.getRuntimeMXBean()
+        .getInputArguments()
+        .toString()
+    )
+    codecache_missing = "ReservedCodeCacheSize" not in jvm_args
+    if codecache_missing:
+        print(
+            "# WARNING: -XX:ReservedCodeCacheSize absent from the live JVM "
+            "(pre-existing gateway or external launcher?) — the codegen "
+            "class cache will exhaust the default 240 MB code cache and "
+            "late-suite queries degrade 2-7x; timings below are suspect",
+            file=sys.stderr,
+        )
+
     import __spark_entry__ as entry
 
     # session warmup (codegen caches, parquet footers, Python workers) so
@@ -468,6 +534,11 @@ def main() -> None:
             except Exception as exc:  # warmup is best-effort
                 print(f"# warmup {name} failed: {exc}", file=sys.stderr)
 
+    # host-speed calibration bracket: warm the probe's plan once, then
+    # time it before pass 1 and again after pass 2 (see _calibration_sec)
+    _calibration_sec(spark, int(cpus))
+    calib_pre = _calibration_sec(spark, int(cpus))
+
     # two timed passes, keep the per-query minimum: single executions on
     # a 32-thread single-JVM local mode are noisy (JIT tiers, GC, AQE
     # stage-size decisions); the min is the standard steady-state
@@ -513,28 +584,67 @@ def main() -> None:
         # one JVM GC between passes flushes what ContextCleaner queued
         spark.sparkContext._jvm.System.gc()
 
-    total = round(sum(timings.values()), 3)
+    calib_post = _calibration_sec(spark, int(cpus))
+
+    total = round(sum(timings.values()), 2)
+    # FINAL-LINE BUDGET: the driver parses the LAST stdout line and its
+    # tail capture is 2000 chars (round 8's 2047-char line arrived with
+    # its head cut off — parsed:null). Everything here is width-bounded:
+    # short metric string, adaptive-precision timings (_fmt_secs),
+    # calib as a bare [pre, post] pair, only the 3 headline recall keys
+    # inline (full tail -> side file + stderr), error strings capped.
+    # tests/test_entry.py::test_bench_final_line_fits_tail_capture pins
+    # the worst case under 1900.
     payload = {
-        "metric": "total wall-clock of headline queries",
-        "value": total,
+        "metric": "total",
+        "value": _fmt_secs(total),
         "unit": "sec",
-        "queries": timings,
+        "queries": {k: _fmt_secs(v) for k, v in timings.items()},
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "calib": [calib_pre, calib_post],
     }
+    if codecache_missing:
+        payload["codecache"] = "MISSING"
+    # untimed tail: ANN approximation quality at PRODUCTION parameters
+    # (the driver-graded LSH rows are exactly oracled by construction —
+    # md5-plane / exhaustive modes — so this tracks the GAUSSIAN-mode
+    # real-parameter recall round-over-round)
+    recall_full: dict | None = None
+    try:
+        if only is not None:
+            raise RuntimeError("skipped for --queries subset run")
+        recall_full = ann_recall(spark, sf_dir)
+        print(f"# recall: {json.dumps(recall_full)}", file=sys.stderr)
+        payload["recall"] = {
+            k: recall_full[k] for k in _INLINE_RECALL if k in recall_full
+        }
+    except Exception as exc:  # quality probe must never kill the bench
+        print(f"# recall probe failed: {exc}", file=sys.stderr)
     # Both raw pass times per query (execution order), kept OUT of the
     # final printed line: round 5 embedded them inline and the ~2x
     # larger line overflowed the driver's stdout tail capture —
     # BENCH_r05.json recorded parsed:null, losing the round's parsed
     # totals. The pairs stay durable in a side file (and on stderr for
-    # log capture); the final line stays compact (min timings + total,
-    # well under the capture limit) so the driver artifact is always
-    # machine-readable. Host contention still shows as pass1/pass2
-    # divergence in the side file without re-running anything.
+    # log capture), along with the full recall tail and raw-precision
+    # timings; the final line stays compact so the driver artifact is
+    # always machine-readable. Host contention still shows as
+    # pass1/pass2 divergence (and the calib bracket) without re-running.
     # The side file is keyed by sf and full-vs-subset so the documented
     # back-to-back sf0.1/sf1 method never clobbers one scale's evidence
     # with the other's, and a later --queries probe never overwrites
     # the driver run's 50-row pairs.
-    passes_blob = {"sf": payload["sf"], "cpus": int(cpus), "passes": passes}
+    run_id = f"{int(time.time())}-{os.getpid()}"
+    passes_blob = {
+        "sf": payload["sf"],
+        "cpus": int(cpus),
+        "run": run_id,
+        "calib": [calib_pre, calib_post],
+        "passes": passes,
+    }
+    if recall_full is not None:
+        passes_blob["recall_full"] = recall_full
+    if errors:  # full error messages live here and on stderr
+        passes_blob["errors"] = errors
     if only is not None:  # subset side files self-describe their scope
         passes_blob["subset"] = sorted(only)
     print(f"# passes: {json.dumps(passes_blob)}", file=sys.stderr)
@@ -557,27 +667,35 @@ def main() -> None:
             ).hexdigest()[:8]
         else:
             subset_tag = ""
-        side = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)),
-            f"BENCH_passes_sf{sf_token}{subset_tag}.json",
-        )
+        here = os.path.dirname(os.path.abspath(__file__))
+        side = os.path.join(here, f"BENCH_passes_sf{sf_token}{subset_tag}.json")
+        # NEVER silently clobber a previous run's pass-pair evidence:
+        # round 8's judge probe overwrote the driver's uncommitted side
+        # file at this fixed path and the pairs had to be reconstructed.
+        # An existing file from a DIFFERENT run is archived (run-keyed)
+        # under bench_runs/ before the fixed "latest" path is rewritten.
+        if os.path.exists(side):
+            try:
+                with open(side) as fh:
+                    old_run = json.load(fh).get("run") or f"mtime{int(os.path.getmtime(side))}"
+            except (OSError, ValueError):
+                old_run = f"mtime{int(os.path.getmtime(side))}"
+            archive_dir = os.path.join(here, "bench_runs")
+            os.makedirs(archive_dir, exist_ok=True)
+            base = os.path.basename(side)[: -len(".json")]
+            os.replace(side, os.path.join(archive_dir, f"{base}_run{old_run}.json"))
         with open(side, "w") as fh:
             json.dump(passes_blob, fh, indent=1, sort_keys=True)
     except OSError as exc:  # side artifact must never kill the bench
         print(f"# passes side file failed: {exc}", file=sys.stderr)
-    # untimed tail: ANN approximation quality at PRODUCTION parameters
-    # (the drive-graded LSH rows are exactly oracled by construction —
-    # md5-plane / exhaustive modes — so this tracks the GAUSSIAN-mode
-    # real-parameter recall round-over-round)
-    try:
-        if only is not None:
-            raise RuntimeError("skipped for --queries subset run")
-        payload["recall"] = ann_recall(spark, sf_dir)
-        print(f"# recall: {json.dumps(payload['recall'])}", file=sys.stderr)
-    except Exception as exc:  # quality probe must never kill the bench
-        print(f"# recall probe failed: {exc}", file=sys.stderr)
     if errors:
-        payload["errors"] = errors
+        # names only on the final line (width-bounded by construction:
+        # each errored row also LEAVES the queries dict, so per error
+        # the line SHRINKS by ~10 chars net and can never outgrow the
+        # happy-path worst case the guard test pins by more than the
+        # 12-char '"errors":[]' scaffold); full messages are on stderr
+        # and in the side file
+        payload["errors"] = sorted(errors)
     print(json.dumps(payload))
     spark.stop()
 

@@ -538,7 +538,16 @@ def _q_ngram_counts_documents(spark, sf_dir):
 def _q_multi_join_revenue(spark, sf_dir):
     """TPC-H Q5-shaped multi-way join (standard-SQL breadth evidence:
     the optimizer broadcasts the dimension chain supplier→nation→region
-    and aggregates map-side): revenue by nation for one region."""
+    and aggregates map-side): revenue by nation for one region.
+
+    Revenue is computed in EXACT integer units of 1e-4 dollars
+    (price cents × discounted percent): floor(x*100 + 0.5) is the same
+    IEEE sequence in both engines, and the integer sum is
+    order-independent — no float fold-order drift and no rounding step,
+    so the round-3 HALF_UP-vs-half-even landmine (a double revenue sum
+    landing exactly on .xx5) is impossible by construction, not just
+    improbable. Long bounds: ≤1e9/row × rows — overflows (ANSI-checked)
+    only past ~9e9 matched rows per nation, far beyond any SF here."""
     li = load_table(spark, sf_dir, "lineitem")
     su = load_table(spark, sf_dir, "supplier")
     na = load_table(spark, sf_dir, "nation")
@@ -549,13 +558,17 @@ def _q_multi_join_revenue(spark, sf_dir):
         .filter(F.col("r_name") == "ASIA")
         .select("s_suppkey", "n_name")
     )
+    price_cents = F.floor(F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5)).cast(
+        "long"
+    )
+    disc_pct = F.floor(F.col("l_discount") * F.lit(100.0) + F.lit(0.5)).cast("long")
     return (
         li.join(F.broadcast(dims), li["l_suppkey"] == dims["s_suppkey"])
         .groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 2
-            ).alias("revenue"),
+            F.sum(price_cents * (F.lit(100) - disc_pct))
+            .cast("long")
+            .alias("revenue_x10000"),
             F.count(F.lit(1)).cast("long").alias("n_items"),
         )
     )
@@ -1043,12 +1056,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # asserts the total). Entries retired as redundant move to
     # _EXTRA_QUERIES below — still oracle-graded by pytest
     # (tests/test_entry.py), just not by the driver's capped gate.
-    "text_stats_documents": _q_text_stats,
     "lang_id_documents": _q_lang_id,
-    "quality_documents": _q_quality,
     "minhash_pairs_documents": _q_minhash_pairs,
     "ngram_jaccard_documents": _q_ngram_jaccard,
-    "simhash_pairs_documents": _q_simhash_pairs,
     "range_join_error_click_events": _q_range_join_error_click,
     "skyline_layers_orders": _q_skyline_layers_orders,
     "k_skyband_part": _q_k_skyband_part,
@@ -1155,6 +1165,19 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "funnel_events": _q_funnel_events,
     "cohort_retention_events": _q_cohort_retention_events,
     "multi_join_revenue": _q_multi_join_revenue,
+    # round-9 rotation: the round-8 substring-dedup family — the third
+    # dedup granularity (document / paragraph / substring), the
+    # duplicated-k-token-window rule LLM corpora are actually scrubbed
+    # with — is hard-gated in both its analysis (spans) and applied
+    # (scrub) forms, and the corpus-fit unigram-LM quality score (the
+    # CCNet-style perplexity-filter proxy, the quality family's
+    # strongest row) gets its first driver row. All three were
+    # judge-re-oracled clean at sf0.1 in round 8. Retired:
+    # simhash_pairs_documents, text_stats_documents, quality_documents
+    # — rationale at their extra entries.
+    "substring_spans_documents": _q_substring_spans_documents,
+    "substring_scrub_documents": _q_substring_scrub_documents,
+    "unigram_nll_documents": _q_unigram_nll_documents,
 }
 
 #: Retired from the driver's 50-entry gate as redundant with rows that
@@ -1274,15 +1297,22 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "equi_depth_by_status_orders": _q_equi_depth_by_status_orders,
     "chunk_documents": _q_chunk_documents,
     "vocab_topk_documents": _q_vocab_topk,
-    # round-8 addition past the 50-cap: substring-level dedup spans —
-    # the third dedup granularity (document / paragraph / substring),
-    # the duplicated-k-token-window rule LLM corpora are scrubbed with;
-    # exactly oracled via the md5 hash mode
-    "substring_spans_documents": _q_substring_spans_documents,
-    "substring_scrub_documents": _q_substring_scrub_documents,
-    # round-8 addition: corpus-fit unigram-LM quality score (the
-    # CCNet-style perplexity-filter proxy) — exactly oracled
-    "unigram_nll_documents": _q_unigram_nll_documents,
+    # substring_spans / substring_scrub / unigram_nll moved to the
+    # driver gate (rotation #9) — the substring dedup granularity and
+    # the unigram-LM quality score are the strongest rows their
+    # families have produced.
+    # round-9 rotation out of the 50-cap (swapped for the three above):
+    # the SimHash signature+Hamming-band pipeline stays graded here and
+    # via simhash_documents, while minhash_pairs + ngram_jaccard keep
+    # the similarity-pair family at the gate (two of the three
+    # candidate generators, including the banded-LSH scale path);
+    # text_stats' count/length aggregates are a strict subset of what
+    # lang_id / repetition_stats / bm25 / unigram_nll exercise at the
+    # gate; quality_flags' token/punct ratios likewise stay graded
+    # inside repetition_stats (gate) and the retained extras oracle.
+    "simhash_pairs_documents": _q_simhash_pairs,
+    "text_stats_documents": _q_text_stats,
+    "quality_documents": _q_quality,
 }
 
 

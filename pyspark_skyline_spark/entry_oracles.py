@@ -1140,9 +1140,15 @@ SELECT ngram, CAST(count(*) AS BIGINT) AS n FROM g
 WHERE ngram <> ''
 GROUP BY ngram ORDER BY n DESC, ngram ASC LIMIT 40
 """,
+    # revenue in exact integer 1e-4-dollar units (cents × discounted
+    # percent): floor(x*100 + 0.5) is bit-identical IEEE arithmetic in
+    # both engines and the integer sum is fold-order-independent — no
+    # rounding step, so no HALF_UP/half-even divergence is possible
     "multi_join_revenue": """
 SELECT n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                * (100 - CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT)))
+            AS BIGINT) AS revenue_x10000,
        CAST(count(*) AS BIGINT) AS n_items
 FROM lineitem
 JOIN supplier ON l_suppkey = s_suppkey

@@ -99,30 +99,78 @@ def test_registry_tallies_match_documented_counts():
     assert skyline_extras <= extra_oracled
 
 
+def test_coverage_doc_tallies_match_registries():
+    """COVERAGE.md's tally PROSE drifted from the live registries in
+    rounds 5-8 — twice in rounds where a registry-only pinning test
+    was green (it checked the registries, not the document). Grep the
+    two load-bearing cells (the bold headline tally and the canonical
+    per-registry breakdown) for strings COMPOSED from the live
+    registries, so any rotation/addition that changes a count fails
+    here until COVERAGE.md is updated in the same commit."""
+    from pyspark_skyline_spark.entry_ext import ext_extra_queries
+
+    qs = entry_mod.queries()
+    extras = entry_mod.extra_queries()
+    oracled = set(entry_mod.extra_oracle_sql())
+    ext_extras = ext_extra_queries()
+    n_sky = len(extras) - len(ext_extras)
+    n_ext_oracled = len(oracled & set(ext_extras))
+    n_rows_only = len(extras) - len(oracled)
+    cov_path = os.path.join(os.path.dirname(ENTRY_PATH), "COVERAGE.md")
+    with open(cov_path) as fh:
+        cov = fh.read().replace("\n", " ")
+    headline = (
+        f"Exactly {len(qs)} driver-registered queries, all {len(qs)} "
+        f"oracle-checked, plus {len(extras)} pytest-graded extras "
+        f"({len(oracled)} oracle-checked + {n_rows_only} rows-only: "
+        f"{len(qs) + len(extras)} graded queries total)."
+    )
+    canonical = (
+        f"Canonical tally: {len(qs)} driver rows (all oracled) + "
+        f"{len(extras)} extras total = {len(ext_extras)} entry_ext extras "
+        f"({n_ext_oracled} oracled + {n_rows_only} rows-only) + "
+        f"{n_sky} skyline extras (all oracled)."
+    )
+    assert headline in cov, f"COVERAGE.md headline tally must read: {headline}"
+    assert canonical in cov, f"COVERAGE.md canonical tally must read: {canonical}"
+
+
 def test_bench_final_line_fits_tail_capture():
-    """The driver parses the LAST stdout line of bench.py; round 5's
-    inline pass arrays overflowed its tail capture and BENCH_r05.json
-    recorded parsed:null. Pin the worst-case happy-path line (every
-    registry row at a 4-digit timing, full recall tail) comfortably
-    under 4 KB so a future registry rename/addition that bloats the
-    line fails here, not in the round artifact."""
+    """The driver parses the LAST stdout line of bench.py and its tail
+    capture is 2000 CHARS (judge-measured in round 8, when the line hit
+    2047 and BENCH_r08.json recorded parsed:null — round 5 failed the
+    same way at a larger size; the old guard asserted <4096, a bar that
+    never matched the real capture). Build the worst-case happy-path
+    line exactly as bench.py does — its real _fmt_secs/_INLINE_RECALL,
+    every live registry row at the widest timing _fmt_secs can emit,
+    3-digit calibration pair — and pin it under 1900 (100 chars of
+    real slack; the errors path can only add the 12-char scaffold,
+    since each errored row leaves the queries dict and inline errors
+    are names-only)."""
+    import importlib.util as _ilu
     import json as _json
 
-    recall_keys = (
-        "lsh_topk@10", "ivf_topk@10", "ivf_topk@10_clustered",
-        "near_dup_planted", "near_dup_all_pairs", "near_dup_truth_pairs",
-        "minhash_planted@J0.7", "semdedup_planted", "semdedup_bases_kept",
-        "near_dup_lsh_driver", "near_dup_lsh_driver_truth_pairs",
+    bench_path = os.path.join(os.path.dirname(ENTRY_PATH), "bench.py")
+    bspec = _ilu.spec_from_file_location("bench_mod", bench_path)
+    bench = _ilu.module_from_spec(bspec)
+    bspec.loader.exec_module(bench)
+
+    # widest encodings _fmt_secs can produce per magnitude regime
+    worst_timing = max(
+        (bench._fmt_secs(v) for v in (99.99, 999.99, 99999.0)),
+        key=lambda x: len(_json.dumps(x)),
     )
     payload = {
-        "metric": "total wall-clock of headline queries",
-        "value": 99999.999,
+        "metric": "total",
+        "value": bench._fmt_secs(99999.0),
         "unit": "sec",
-        "queries": {n: 9999.999 for n in sorted(entry_mod.queries())},
+        "queries": {n: worst_timing for n in sorted(entry_mod.queries())},
         "sf": 0.1,
-        "recall": {k: 0.999 for k in recall_keys},
+        "calib": [999.99, 999.99],
+        "recall": {k: 0.999 for k in bench._INLINE_RECALL},
     }
-    assert len(_json.dumps(payload)) < 4096
+    line = _json.dumps(payload)
+    assert len(line) < 1900, f"bench final line would be {len(line)} chars"
 
 
 def _all_queries():
