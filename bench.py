@@ -389,7 +389,7 @@ def _fmt_secs(v: float):
 
 
 def _calibration_sec(spark, cpus: int) -> float:
-    """Fixed CPU-saturating probe (2e8 xxhash64 + sum across all
+    """Fixed CPU-saturating probe (1.2e9 xxhash64 + sum across all
     cores), constant regardless of sf or registry: its wall-clock
     depends only on the HOST, so a contended driver run self-labels —
     the round-8 driver bench ran ~1.45x slow and cost a full

@@ -73,24 +73,49 @@ def run_phases(spark, sf_dir: str):
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # --no-coalesce: disable AQE post-shuffle partition coalescing, the
+    # round-8 variance suspect (the candidate join's downstream verify
+    # work hangs off AQE-coalesced exchanges; if the sf1 spread is AQE
+    # re-plan instability rather than host noise, it vanishes here)
+    coalesce = "--no-coalesce" not in sys.argv
+    n_passes = 2
+    if "--passes" in sys.argv:
+        n_passes = int(sys.argv[sys.argv.index("--passes") + 1])
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("sf1-dedup-phases")
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", str(coalesce).lower())
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    # per-pass host-speed calibration (same fixed probe as bench.py):
+    # a pass whose phases inflate WITH its calib is host contention; a
+    # pass whose phases inflate at flat calib is a plan/AQE effect
+    import importlib.util as _ilu
+
+    bspec = _ilu.spec_from_file_location(
+        "bench_mod", os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "bench.py")
+    )
+    bench = _ilu.module_from_spec(bspec)
+    bspec.loader.exec_module(bench)
+    bench._calibration_sec(spark, int(cpus))  # warm the probe's plan
     passes = []
-    for i in range(2):
-        res = run_phases(spark, sf_dir)
+    for i in range(n_passes):
+        res = {"calib": bench._calibration_sec(spark, int(cpus))}
+        res.update(run_phases(spark, sf_dir))
         passes.append(res)
         print(f"# pass{i}: {json.dumps(res)}", file=sys.stderr)
     best = min(passes, key=lambda r: r["exact_sec"] + r["jaccard_sec"] + r["components_sec"])
-    print(json.dumps({"sf_dir": sf_dir, "cpus": int(cpus), "min": best, "passes": passes}))
+    print(json.dumps({
+        "sf_dir": sf_dir, "cpus": int(cpus),
+        "aqe_coalesce": coalesce, "min": best, "passes": passes,
+    }))
     spark.stop()
 
 
