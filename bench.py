@@ -18,6 +18,15 @@ import time
 import pandas as pd
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+# the Python WORKER fleet resolves imports from PYTHONPATH, not the
+# driver's sys.path: without this, running bench from any cwd but the
+# repo root breaks every row whose closure imports the package on
+# executors (ModuleNotFoundError from the applyInPandas rows)
+os.environ["PYTHONPATH"] = (
+    os.path.dirname(os.path.abspath(__file__))
+    + os.pathsep
+    + os.environ.get("PYTHONPATH", "")
+).rstrip(os.pathsep)
 
 
 def _anticorrelated(rng, n: int, d: int):

@@ -1013,6 +1013,18 @@ def _q_unigram_nll_documents(spark, sf_dir):
     return unigram_nll(docs, "doc_id", "text")
 
 
+def _q_bigram_nll_documents(spark, sf_dir):
+    """Corpus-fit BIGRAM LM quality score (round 9 —
+    operators/text.py::bigram_nll): per-doc mean -ln p(token | prev)
+    under the add-one-smoothed corpus bigram model — catches
+    plausible-vocabulary/implausible-order text the unigram row
+    cannot. Exact-arithmetic plan (ln agrees to ~1e-12)."""
+    from pyspark_skyline_spark.operators.text import bigram_nll
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_nll(docs, "doc_id", "text")
+
+
 def _q_substring_scrub_documents(spark, sf_dir):
     """Applied form of the substring spans (round 8 —
     operators/dedup.py::substring_scrub): drop every token covered by
@@ -1313,6 +1325,10 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_pairs_documents": _q_simhash_pairs,
     "text_stats_documents": _q_text_stats,
     "quality_documents": _q_quality,
+    # round-9 addition past the 50-cap: bigram LM quality score — one
+    # model order up from the gate-graded unigram_nll row (word-order
+    # sensitivity the unigram model lacks); exactly oracled
+    "bigram_nll_documents": _q_bigram_nll_documents,
 }
 
 

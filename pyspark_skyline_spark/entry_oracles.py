@@ -837,6 +837,31 @@ SELECT tok.doc_id,
 FROM tok JOIN vocab USING (t) CROSS JOIN tot
 GROUP BY tok.doc_id
 """,
+    # bigram positions are 1-based list slices i -> (toks[i], toks[i+1]);
+    # ctx(w) = occurrences of w WITH a successor = prev-side bigram
+    # counts, and V counts the distinct UNIGRAM vocabulary — identical
+    # definitions to the Spark operator. NULL text drops everywhere in
+    # both engines (NULL token array -> empty range / dropped explode),
+    # matching unigram_nll's convention.
+    "bigram_nll_documents": r"""
+WITH arr AS (
+  SELECT doc_id,
+         regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+  FROM documents),
+bg AS (
+  SELECT doc_id, toks[i] AS prev, toks[i] || ' ' || toks[i + 1] AS b
+  FROM arr, unnest(range(1, len(toks))) AS r(i)),
+bgc AS (SELECT b, count(*) AS c FROM bg GROUP BY b),
+ctx AS (SELECT prev, count(*) AS cc FROM bg GROUP BY prev),
+vocab AS (
+  SELECT count(DISTINCT t) AS v FROM (
+    SELECT unnest(toks) AS t FROM arr))
+SELECT bg.doc_id,
+       avg(-ln((bgc.c + 1.0) / (ctx.cc + vocab.v))) AS avg_nll,
+       CAST(count(*) AS BIGINT) AS n_bigrams
+FROM bg JOIN bgc USING (b) JOIN ctx USING (prev) CROSS JOIN vocab
+GROUP BY bg.doc_id
+""",
     "global_top_orders": """
 SELECT o_orderkey, o_totalprice FROM orders
 ORDER BY o_totalprice DESC, o_orderkey LIMIT 25

@@ -609,3 +609,73 @@ def unigram_nll(
         F.avg("__nll").alias("avg_nll"),
         F.count(F.lit(1)).cast("long").alias("n_tokens"),
     )
+
+
+def bigram_nll(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document average negative log-likelihood under the corpus's
+    own add-one-smoothed BIGRAM language model — one order up from
+    ``unigram_nll`` toward the CCNet-style perplexity filter: a
+    document full of individually-common tokens in implausible ORDER
+    (shuffled text, keyword stuffing, boilerplate collage) scores high
+    here while the unigram model cannot see anything wrong. Returns
+    ``(id_col, avg_nll, n_bigrams)`` for every document with >= 2
+    tokens (a bigram model conditions on a predecessor, so
+    single-token documents have no scored positions and are absent —
+    same convention as dropping the un-conditioned first token).
+
+    Model: ``p(w_i | w_{i-1}) = (c(w_{i-1} w_i) + 1) / (ctx(w_{i-1}) + V)``
+    with ``c`` the corpus bigram count, ``ctx(w)`` the count of ``w``
+    as a bigram context (occurrences of ``w`` with a successor), ``V``
+    the distinct-unigram vocabulary size;
+    ``avg_nll = mean(-ln p)`` over the document's bigram positions.
+
+    Plan (all linear, no all-pairs, same skew-safe shape as
+    ``unigram_nll``): bigrams come from a ``zip_with`` over two slices
+    of the per-doc token array (tokens are whitespace-split, so the
+    single-space join byte cannot collide), ONE explode of that array;
+    the bigram-count and context-count tables are map-side-combined
+    hash aggregates (Zipfian repeats collapse before the shuffle); V
+    rides a broadcast 1-row cross join; occurrences equi-join the two
+    count tables (AQE broadcasts real vocabularies under the
+    threshold, shuffle join past it); one per-doc mean. Exact
+    arithmetic but the ``ln`` (engine agreement ~1e-12), so the
+    operator is exactly oracle-able like its unigram sibling."""
+    # NO null-coalescing, matching unigram_nll: a NULL text tokenizes
+    # to NULL, the slices/explode drop it, and it contributes nothing
+    # to the vocabulary (coalescing to '' would instead mint an
+    # empty-string token and silently inflate V)
+    toks = tokens(F.col(text_col))
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1),
+        lambda a, b: F.struct(
+            a.alias("__prev"), F.concat_ws(" ", a, b).alias("__bg")
+        ),
+    )
+    occ = df.select(F.col(id_col), F.explode(pairs).alias("__p")).select(
+        id_col, F.col("__p.__prev").alias("__prev"), F.col("__p.__bg").alias("__bg")
+    )
+    bg_counts = occ.groupBy("__bg").agg(F.count(F.lit(1)).alias("__c"))
+    ctx_counts = occ.groupBy("__prev").agg(F.count(F.lit(1)).alias("__cc"))
+    vocab = df.select(F.explode(tokens(F.col(text_col))).alias("__t")).agg(
+        F.count_distinct(F.col("__t")).alias("__v")
+    )
+    scored = (
+        occ.join(bg_counts, "__bg")
+        .join(ctx_counts, "__prev")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            id_col,
+            (-F.log((F.col("__c") + 1.0) / (F.col("__cc") + F.col("__v")))).alias(
+                "__nll"
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.avg("__nll").alias("avg_nll"),
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+    )

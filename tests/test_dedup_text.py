@@ -795,3 +795,43 @@ def test_unigram_nll_matches_hand_model(spark):
         assert abs(got[d][0] - nll(d)) < 1e-9, d
         assert got[d][1] == len(texts[d].split())
     assert got[3][0] > got[1][0]  # rare vocab scores worse
+
+
+def test_bigram_nll_matches_hand_model(spark):
+    """bigram_nll == hand-computed add-one bigram NLL on a tiny corpus;
+    a shuffled-order doc built from COMMON vocabulary scores worse than
+    its in-order twin (the word-order sensitivity unigram_nll lacks);
+    single-token and empty/NULL docs produce no row."""
+    import math
+    from collections import Counter
+
+    texts = {1: "a b c d", 2: "a b c d", 3: "d a c b", 4: "x", 5: None}
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    toks = {d: (t or "").split() for d, t in texts.items()}
+    bgs = [
+        (ts[i], ts[i + 1])
+        for ts in toks.values()
+        for i in range(len(ts) - 1)
+    ]
+    c = Counter(bgs)
+    ctx = Counter(b[0] for b in bgs)
+    vocab = len({t for ts in toks.values() for t in ts})
+
+    def nll(doc):
+        ts = toks[doc]
+        ps = [(ts[i], ts[i + 1]) for i in range(len(ts) - 1)]
+        return sum(
+            -math.log((c[p] + 1) / (ctx[p[0]] + vocab)) for p in ps
+        ) / len(ps)
+
+    got = {
+        r.doc_id: (r.avg_nll, r.n_bigrams)
+        for r in T.bigram_nll(df, "doc_id", "text").collect()
+    }
+    assert set(got) == {1, 2, 3}  # no bigrams -> no row (docs 4, 5)
+    for d in (1, 2, 3):
+        assert abs(got[d][0] - nll(d)) < 1e-9, d
+        assert got[d][1] == len(toks[d]) - 1
+    # doc 3 uses the exact same unigrams as 1/2 but in an order the
+    # corpus never repeats -> higher bigram NLL
+    assert got[3][0] > got[1][0]
