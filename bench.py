@@ -374,49 +374,52 @@ def ann_recall(spark, sf_dir: str) -> dict:
     }
 
 
-#: recall keys kept on the FINAL printed line (the full tail lives in
-#: the passes side file + stderr): the driver-row LSH recall at the
-#: gate row's exact knobs, the MinHash planted-pair recall guarding the
-#: round-3 estimator fix, and the SemDeDup planted-clone recall — the
-#: three quality numbers a reader must see round-over-round. Round 8's
-#: full 11-key tail pushed the line to 2047 chars, past the driver's
-#: 2000-char tail capture, and the round artifact arrived unparseable.
-_INLINE_RECALL = ("near_dup_lsh_driver", "minhash_planted@J0.7", "semdedup_planted")
+# shared with scripts/sf1_dedup_phases.py and the line-width guard test
+# via the package (single definition, no file-loader duplication)
+from pyspark_skyline_spark.benchtools import (  # noqa: E402
+    INLINE_RECALL as _INLINE_RECALL,
+    calibration_sec as _calibration_sec,
+    fmt_secs as _fmt_secs,
+)
 
 
-def _fmt_secs(v: float):
-    """Adaptive timing precision for the FINAL printed line (the side
-    file keeps raw 3-decimal pass pairs): 2 decimals under 100 s, 1
-    decimal under 1000 s, whole seconds past that — full precision
-    where it matters, bounded width where a runaway timing would
-    otherwise blow the line past the driver's 2000-char tail capture."""
-    if v < 100:
-        return round(v, 2)
-    if v < 1000:
-        return round(v, 1)
-    return int(round(v))
+def _persist_passes(passes_blob: dict, side: str) -> None:
+    """Write the pass-pair side file, NEVER silently clobbering a
+    previous run's evidence: round 8's judge probe overwrote the
+    driver's uncommitted side file at this fixed path and the pairs had
+    to be reconstructed. A pre-existing file from a DIFFERENT run is
+    archived (run-keyed) under bench_runs/ first; a file from THIS run
+    is rewritten in place (the bench persists once before the recall
+    tail and again after it). Archive failure must not stop the
+    current run's write — the guard would otherwise destroy the new
+    evidence to protect the old."""
+    import re as _re
 
-
-def _calibration_sec(spark, cpus: int) -> float:
-    """Fixed CPU-saturating probe (1.2e9 xxhash64 + sum across all
-    cores), constant regardless of sf or registry: its wall-clock
-    depends only on the HOST, so a contended driver run self-labels —
-    the round-8 driver bench ran ~1.45x slow and cost a full
-    adjudication (judge re-run vs committed clean run) that a
-    calibration pair would have settled at a glance. Emitted as
-    "calib": [pre, post] on the final line; pre/post divergence
-    additionally flags a contention window that OPENED mid-run."""
-    import time as _t
-
-    from pyspark.sql import functions as F
-
-    t0 = _t.perf_counter()
-    # top-30-bits of each hash: full-range 64-bit xxhash values would
-    # overflow the ANSI long sum (1.2e9 x 2^30 ~ 1.3e18, inside int64)
-    spark.range(0, 1_200_000_000, 1, cpus).select(
-        F.sum(F.shiftrightunsigned(F.xxhash64("id"), 34))
-    ).collect()
-    return round(_t.perf_counter() - t0, 2)
+    if os.path.exists(side):
+        old_run = None
+        try:
+            with open(side) as fh:
+                blob = json.load(fh)
+            if isinstance(blob, dict):
+                old_run = blob.get("run")
+        except (OSError, ValueError):
+            old_run = None
+        if old_run != passes_blob.get("run"):
+            if not old_run:
+                old_run = f"mtime{int(os.path.getmtime(side))}"
+            # sanitize: the value lands in a filename
+            old_run = _re.sub(r"[^A-Za-z0-9_.-]", "_", str(old_run))
+            try:
+                archive_dir = os.path.join(os.path.dirname(side), "bench_runs")
+                os.makedirs(archive_dir, exist_ok=True)
+                base = os.path.basename(side)[: -len(".json")]
+                os.replace(
+                    side, os.path.join(archive_dir, f"{base}_run{old_run}.json")
+                )
+            except OSError as exc:
+                print(f"# passes archive failed (continuing): {exc}", file=sys.stderr)
+    with open(side, "w") as fh:
+        json.dump(passes_blob, fh, indent=1, sort_keys=True)
 
 
 def main() -> None:
@@ -614,34 +617,19 @@ def main() -> None:
     }
     if codecache_missing:
         payload["codecache"] = "MISSING"
-    # untimed tail: ANN approximation quality at PRODUCTION parameters
-    # (the driver-graded LSH rows are exactly oracled by construction —
-    # md5-plane / exhaustive modes — so this tracks the GAUSSIAN-mode
-    # real-parameter recall round-over-round)
-    recall_full: dict | None = None
-    try:
-        if only is not None:
-            raise RuntimeError("skipped for --queries subset run")
-        recall_full = ann_recall(spark, sf_dir)
-        print(f"# recall: {json.dumps(recall_full)}", file=sys.stderr)
-        payload["recall"] = {
-            k: recall_full[k] for k in _INLINE_RECALL if k in recall_full
-        }
-    except Exception as exc:  # quality probe must never kill the bench
-        print(f"# recall probe failed: {exc}", file=sys.stderr)
     # Both raw pass times per query (execution order), kept OUT of the
     # final printed line: round 5 embedded them inline and the ~2x
     # larger line overflowed the driver's stdout tail capture —
     # BENCH_r05.json recorded parsed:null, losing the round's parsed
     # totals. The pairs stay durable in a side file (and on stderr for
-    # log capture), along with the full recall tail and raw-precision
-    # timings; the final line stays compact so the driver artifact is
-    # always machine-readable. Host contention still shows as
-    # pass1/pass2 divergence (and the calib bracket) without re-running.
-    # The side file is keyed by sf and full-vs-subset so the documented
-    # back-to-back sf0.1/sf1 method never clobbers one scale's evidence
-    # with the other's, and a later --queries probe never overwrites
-    # the driver run's 50-row pairs.
+    # log capture), along with raw-precision timings and (re-persisted
+    # below) the full recall tail; the final line stays compact so the
+    # driver artifact is always machine-readable. Host contention still
+    # shows as pass1/pass2 divergence (and the calib bracket) without
+    # re-running. The side file is keyed by sf and full-vs-subset so
+    # the documented back-to-back sf0.1/sf1 method never clobbers one
+    # scale's evidence with the other's, and a later --queries probe
+    # never overwrites the driver run's 50-row pairs.
     run_id = f"{int(time.time())}-{os.getpid()}"
     passes_blob = {
         "sf": payload["sf"],
@@ -650,53 +638,58 @@ def main() -> None:
         "calib": [calib_pre, calib_post],
         "passes": passes,
     }
-    if recall_full is not None:
-        passes_blob["recall_full"] = recall_full
     if errors:  # full error messages live here and on stderr
         passes_blob["errors"] = errors
     if only is not None:  # subset side files self-describe their scope
         passes_blob["subset"] = sorted(only)
     print(f"# passes: {json.dumps(passes_blob)}", file=sys.stderr)
+    import re as _re
+
+    # sanitize: an sf_dir without "sf" makes the parsed token a whole
+    # path — separators in the filename would break the side-file write
+    sf_token = _re.sub(r"[^A-Za-z0-9_.-]", "_", str(sf))
+    # subset runs are keyed by a short hash of the query list too: two
+    # different --queries probes at the same sf must not clobber each
+    # other's pass-pair evidence (only the full run owns the unsuffixed
+    # filename)
+    if only is not None:
+        import hashlib as _hl
+
+        subset_tag = "_subset_" + _hl.sha256(
+            ",".join(sorted(only)).encode()
+        ).hexdigest()[:8]
+    else:
+        subset_tag = ""
+    side = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        f"BENCH_passes_sf{sf_token}{subset_tag}.json",
+    )
+    # persist the pass pairs BEFORE the minutes-long recall tail runs:
+    # an interruption during the untimed recall probes must not lose
+    # the completed timed passes (round-9 review finding — the very
+    # evidence-loss class rounds 5/8 were hardened against)
     try:
-        import re as _re
-
-        # sanitize: an sf_dir without "sf" makes the parsed token a
-        # whole path — separators in the filename would silently lose
-        # the pass-pair evidence to the OSError guard below
-        sf_token = _re.sub(r"[^A-Za-z0-9_.-]", "_", str(sf))
-        # subset runs are keyed by a short hash of the query list too:
-        # two different --queries probes at the same sf must not
-        # clobber each other's pass-pair evidence (only the full run
-        # owns the unsuffixed filename)
-        if only is not None:
-            import hashlib as _hl
-
-            subset_tag = "_subset_" + _hl.sha256(
-                ",".join(sorted(only)).encode()
-            ).hexdigest()[:8]
-        else:
-            subset_tag = ""
-        here = os.path.dirname(os.path.abspath(__file__))
-        side = os.path.join(here, f"BENCH_passes_sf{sf_token}{subset_tag}.json")
-        # NEVER silently clobber a previous run's pass-pair evidence:
-        # round 8's judge probe overwrote the driver's uncommitted side
-        # file at this fixed path and the pairs had to be reconstructed.
-        # An existing file from a DIFFERENT run is archived (run-keyed)
-        # under bench_runs/ before the fixed "latest" path is rewritten.
-        if os.path.exists(side):
-            try:
-                with open(side) as fh:
-                    old_run = json.load(fh).get("run") or f"mtime{int(os.path.getmtime(side))}"
-            except (OSError, ValueError):
-                old_run = f"mtime{int(os.path.getmtime(side))}"
-            archive_dir = os.path.join(here, "bench_runs")
-            os.makedirs(archive_dir, exist_ok=True)
-            base = os.path.basename(side)[: -len(".json")]
-            os.replace(side, os.path.join(archive_dir, f"{base}_run{old_run}.json"))
-        with open(side, "w") as fh:
-            json.dump(passes_blob, fh, indent=1, sort_keys=True)
+        _persist_passes(passes_blob, side)
     except OSError as exc:  # side artifact must never kill the bench
         print(f"# passes side file failed: {exc}", file=sys.stderr)
+    # untimed tail: ANN approximation quality at PRODUCTION parameters
+    # (the driver-graded LSH rows are exactly oracled by construction —
+    # md5-plane / exhaustive modes — so this tracks the GAUSSIAN-mode
+    # real-parameter recall round-over-round)
+    try:
+        if only is not None:
+            raise RuntimeError("skipped for --queries subset run")
+        recall_full = ann_recall(spark, sf_dir)
+        print(f"# recall: {json.dumps(recall_full)}", file=sys.stderr)
+        payload["recall"] = {
+            k: recall_full[k] for k in _INLINE_RECALL if k in recall_full
+        }
+        passes_blob["recall_full"] = recall_full
+        # re-persist with the recall tail (same run id -> rewritten in
+        # place, no self-archiving)
+        _persist_passes(passes_blob, side)
+    except Exception as exc:  # quality probe must never kill the bench
+        print(f"# recall probe failed: {exc}", file=sys.stderr)
     if errors:
         # names only on the final line (width-bounded by construction:
         # each errored row also LEAVES the queries dict, so per error

@@ -1,0 +1,56 @@
+"""Shared benchmarking primitives (bench-only tooling, not part of the
+query-operator surface): the final-line timing formatter, the inline
+recall-key whitelist, and the fixed host-speed calibration probe. Live
+here — importable as a package module — so bench.py, the sf1 phase
+script, and the line-width guard test share ONE definition instead of
+three ``spec_from_file_location`` loaders re-executing bench.py's
+module-level side effects (round-9 review finding)."""
+
+from __future__ import annotations
+
+import time
+
+#: recall keys kept on bench's FINAL printed line (the full tail lives
+#: in the passes side file + stderr): the driver-row LSH recall at the
+#: gate row's exact knobs, the MinHash planted-pair recall guarding the
+#: round-3 estimator fix, and the SemDeDup planted-clone recall — the
+#: three quality numbers a reader must see round-over-round. Round 8's
+#: full 11-key tail pushed the line to 2047 chars, past the driver's
+#: 2000-char tail capture, and the round artifact arrived unparseable.
+INLINE_RECALL = ("near_dup_lsh_driver", "minhash_planted@J0.7", "semdedup_planted")
+
+
+def fmt_secs(v: float):
+    """Adaptive timing precision for bench's FINAL printed line (the
+    side file keeps raw 3-decimal pass pairs): 2 decimals under 100 s,
+    1 decimal under 1000 s, whole seconds past that — full precision
+    where it matters, bounded width where a runaway timing would
+    otherwise blow the line past the driver's 2000-char tail capture."""
+    if v < 100:
+        return round(v, 2)
+    if v < 1000:
+        return round(v, 1)
+    return int(round(v))
+
+
+def calibration_sec(spark, cpus: int) -> float:
+    """Fixed CPU-saturating probe (1.2e9 xxhash64 + sum across all
+    cores), constant regardless of sf or registry: its wall-clock
+    depends only on the HOST, so a contended bench run self-labels —
+    the round-8 driver bench ran ~1.45x slow and cost a full
+    adjudication (judge re-run vs committed clean run) that a
+    calibration pair would have settled at a glance. Emitted as
+    "calib": [pre, post] on bench's final line; pre/post divergence
+    additionally flags a contention window that OPENED mid-run. Warm
+    the probe's plan once before trusting a reading (first execution
+    pays codegen). Quiet-host reference on the round-9 box: ~0.28-0.41 s
+    at 32 cores."""
+    from pyspark.sql import functions as F
+
+    t0 = time.perf_counter()
+    # top-30-bits of each hash: full-range 64-bit xxhash values would
+    # overflow the ANSI long sum (1.2e9 x 2^30 ~ 1.3e18, inside int64)
+    spark.range(0, 1_200_000_000, 1, cpus).select(
+        F.sum(F.shiftrightunsigned(F.xxhash64("id"), 34))
+    ).collect()
+    return round(time.perf_counter() - t0, 2)

@@ -80,7 +80,10 @@ def main() -> None:
     coalesce = "--no-coalesce" not in sys.argv
     n_passes = 2
     if "--passes" in sys.argv:
-        n_passes = int(sys.argv[sys.argv.index("--passes") + 1])
+        idx = sys.argv.index("--passes") + 1
+        if idx >= len(sys.argv) or not sys.argv[idx].isdigit() or int(sys.argv[idx]) < 1:
+            sys.exit("usage: sf1_dedup_phases.py [--passes N>=1] [--no-coalesce]")
+        n_passes = int(sys.argv[idx])
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("sf1-dedup-phases")
@@ -93,21 +96,16 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
-    # per-pass host-speed calibration (same fixed probe as bench.py):
-    # a pass whose phases inflate WITH its calib is host contention; a
-    # pass whose phases inflate at flat calib is a plan/AQE effect
-    import importlib.util as _ilu
+    # per-pass host-speed calibration (same fixed probe as bench.py,
+    # shared via the package): a pass whose phases inflate WITH its
+    # calib is host contention; a pass whose phases inflate at flat
+    # calib is a plan/AQE effect
+    from pyspark_skyline_spark.benchtools import calibration_sec
 
-    bspec = _ilu.spec_from_file_location(
-        "bench_mod", os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "bench.py")
-    )
-    bench = _ilu.module_from_spec(bspec)
-    bspec.loader.exec_module(bench)
-    bench._calibration_sec(spark, int(cpus))  # warm the probe's plan
+    calibration_sec(spark, int(cpus))  # warm the probe's plan
     passes = []
     for i in range(n_passes):
-        res = {"calib": bench._calibration_sec(spark, int(cpus))}
+        res = {"calib": calibration_sec(spark, int(cpus))}
         res.update(run_phases(spark, sf_dir))
         passes.append(res)
         print(f"# pass{i}: {json.dumps(res)}", file=sys.stderr)

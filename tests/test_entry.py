@@ -141,36 +141,72 @@ def test_bench_final_line_fits_tail_capture():
     2047 and BENCH_r08.json recorded parsed:null — round 5 failed the
     same way at a larger size; the old guard asserted <4096, a bar that
     never matched the real capture). Build the worst-case happy-path
-    line exactly as bench.py does — its real _fmt_secs/_INLINE_RECALL,
-    every live registry row at the widest timing _fmt_secs can emit,
-    3-digit calibration pair — and pin it under 1900 (100 chars of
-    real slack; the errors path can only add the 12-char scaffold,
-    since each errored row leaves the queries dict and inline errors
-    are names-only)."""
-    import importlib.util as _ilu
+    line exactly as bench.py does — the real fmt_secs/INLINE_RECALL
+    (shared via pyspark_skyline_spark.benchtools), every live registry
+    row at the widest timing fmt_secs can emit, 3-digit calibration
+    pair — and pin it under 1900 (100 chars of real slack; the errors
+    path can only add the 12-char scaffold, since each errored row
+    leaves the queries dict and inline errors are names-only)."""
     import json as _json
 
-    bench_path = os.path.join(os.path.dirname(ENTRY_PATH), "bench.py")
-    bspec = _ilu.spec_from_file_location("bench_mod", bench_path)
-    bench = _ilu.module_from_spec(bspec)
-    bspec.loader.exec_module(bench)
+    from pyspark_skyline_spark.benchtools import INLINE_RECALL, fmt_secs
 
-    # widest encodings _fmt_secs can produce per magnitude regime
+    # widest encodings fmt_secs can produce per magnitude regime
     worst_timing = max(
-        (bench._fmt_secs(v) for v in (99.99, 999.99, 99999.0)),
+        (fmt_secs(v) for v in (99.99, 999.99, 99999.0)),
         key=lambda x: len(_json.dumps(x)),
     )
     payload = {
         "metric": "total",
-        "value": bench._fmt_secs(99999.0),
+        "value": fmt_secs(99999.0),
         "unit": "sec",
         "queries": {n: worst_timing for n in sorted(entry_mod.queries())},
         "sf": 0.1,
         "calib": [999.99, 999.99],
-        "recall": {k: 0.999 for k in bench._INLINE_RECALL},
+        "recall": {k: 0.999 for k in INLINE_RECALL},
     }
     line = _json.dumps(payload)
     assert len(line) < 1900, f"bench final line would be {len(line)} chars"
+
+
+def test_persist_passes_archives_other_runs_only(tmp_path):
+    """bench._persist_passes contract (round-9 review findings): a
+    DIFFERENT run's file is archived under bench_runs/ before the
+    fixed path is rewritten; the SAME run rewrites in place with no
+    self-archive; a corrupt/non-dict existing file falls back to an
+    mtime-keyed archive instead of raising (json.load(...).get on a
+    bare 'null' used to AttributeError straight through the bench's
+    final print)."""
+    import importlib.util as _ilu
+    import json as _json
+
+    bspec = _ilu.spec_from_file_location(
+        "bench_mod", os.path.join(os.path.dirname(ENTRY_PATH), "bench.py")
+    )
+    bench = _ilu.module_from_spec(bspec)
+    bspec.loader.exec_module(bench)
+    side = str(tmp_path / "BENCH_passes_sfX.json")
+    runs_dir = tmp_path / "bench_runs"
+
+    bench._persist_passes({"run": "r1", "passes": {}}, side)
+    assert _json.load(open(side))["run"] == "r1"
+    assert not runs_dir.exists()  # nothing to archive on first write
+
+    bench._persist_passes({"run": "r1", "passes": {"a": [1.0]}}, side)
+    assert not runs_dir.exists()  # same run rewrites in place
+    assert _json.load(open(side))["passes"] == {"a": [1.0]}
+
+    bench._persist_passes({"run": "r2/../evil", "passes": {}}, side)
+    archived = list(runs_dir.glob("*.json"))
+    assert len(archived) == 1 and "_runr1.json" in archived[0].name
+    assert _json.load(open(archived[0]))["passes"] == {"a": [1.0]}
+
+    with open(side, "w") as fh:  # valid JSON, not a dict
+        fh.write("null")
+    bench._persist_passes({"run": "r3", "passes": {}}, side)
+    archived = sorted(p.name for p in runs_dir.glob("*.json"))
+    assert len(archived) == 2 and any("_runmtime" in n for n in archived)
+    assert _json.load(open(side))["run"] == "r3"
 
 
 def _all_queries():
