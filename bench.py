@@ -380,46 +380,8 @@ from pyspark_skyline_spark.benchtools import (  # noqa: E402
     INLINE_RECALL as _INLINE_RECALL,
     calibration_sec as _calibration_sec,
     fmt_secs as _fmt_secs,
+    persist_passes as _persist_passes,
 )
-
-
-def _persist_passes(passes_blob: dict, side: str) -> None:
-    """Write the pass-pair side file, NEVER silently clobbering a
-    previous run's evidence: round 8's judge probe overwrote the
-    driver's uncommitted side file at this fixed path and the pairs had
-    to be reconstructed. A pre-existing file from a DIFFERENT run is
-    archived (run-keyed) under bench_runs/ first; a file from THIS run
-    is rewritten in place (the bench persists once before the recall
-    tail and again after it). Archive failure must not stop the
-    current run's write — the guard would otherwise destroy the new
-    evidence to protect the old."""
-    import re as _re
-
-    if os.path.exists(side):
-        old_run = None
-        try:
-            with open(side) as fh:
-                blob = json.load(fh)
-            if isinstance(blob, dict):
-                old_run = blob.get("run")
-        except (OSError, ValueError):
-            old_run = None
-        if old_run != passes_blob.get("run"):
-            if not old_run:
-                old_run = f"mtime{int(os.path.getmtime(side))}"
-            # sanitize: the value lands in a filename
-            old_run = _re.sub(r"[^A-Za-z0-9_.-]", "_", str(old_run))
-            try:
-                archive_dir = os.path.join(os.path.dirname(side), "bench_runs")
-                os.makedirs(archive_dir, exist_ok=True)
-                base = os.path.basename(side)[: -len(".json")]
-                os.replace(
-                    side, os.path.join(archive_dir, f"{base}_run{old_run}.json")
-                )
-            except OSError as exc:
-                print(f"# passes archive failed (continuing): {exc}", file=sys.stderr)
-    with open(side, "w") as fh:
-        json.dump(passes_blob, fh, indent=1, sort_keys=True)
 
 
 def main() -> None:
@@ -685,11 +647,21 @@ def main() -> None:
             k: recall_full[k] for k in _INLINE_RECALL if k in recall_full
         }
         passes_blob["recall_full"] = recall_full
-        # re-persist with the recall tail (same run id -> rewritten in
-        # place, no self-archiving)
-        _persist_passes(passes_blob, side)
     except Exception as exc:  # quality probe must never kill the bench
         print(f"# recall probe failed: {exc}", file=sys.stderr)
+    else:
+        # re-persist with the recall tail (same run id -> atomically
+        # rewritten in place, no self-archiving). Its own guard with an
+        # accurate label: a disk failure here is a SIDE-FILE problem,
+        # not a recall failure — mislabeling it sent an operator
+        # re-running the minutes-long recall tail for nothing.
+        try:
+            _persist_passes(passes_blob, side)
+        except OSError as exc:
+            print(
+                f"# passes re-persist with recall_full failed: {exc}",
+                file=sys.stderr,
+            )
     if errors:
         # names only on the final line (width-bounded by construction:
         # each errored row also LEAVES the queries dict, so per error

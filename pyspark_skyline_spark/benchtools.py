@@ -8,6 +8,10 @@ module-level side effects (round-9 review finding)."""
 
 from __future__ import annotations
 
+import json
+import os
+import re
+import sys
 import time
 
 #: recall keys kept on bench's FINAL printed line (the full tail lives
@@ -54,3 +58,56 @@ def calibration_sec(spark, cpus: int) -> float:
         F.sum(F.shiftrightunsigned(F.xxhash64("id"), 34))
     ).collect()
     return round(time.perf_counter() - t0, 2)
+
+
+def persist_passes(passes_blob: dict, side: str) -> None:
+    """Write the bench pass-pair side file, NEVER silently destroying
+    evidence — neither a previous run's nor this run's:
+
+    - a pre-existing file from a DIFFERENT run is archived under
+      bench_runs/ first (round 8's judge probe overwrote the driver's
+      uncommitted side file at the fixed path); a file from THIS run is
+      rewritten in place (the bench persists once before the recall
+      tail and again after it);
+    - archive names never overwrite each other (a numeric suffix on
+      collision — two run-less files can share an mtime second);
+    - any archive-step failure (stat race, unwritable dir) warns and
+      CONTINUES to the current run's write;
+    - the write itself is atomic (tmp + os.replace), so an
+      interruption mid-rewrite cannot truncate the pairs that were
+      already safely on disk."""
+    if os.path.exists(side):
+        old_run = None
+        try:
+            with open(side) as fh:
+                blob = json.load(fh)
+            if isinstance(blob, dict):
+                old_run = blob.get("run")
+        except (OSError, ValueError):
+            old_run = None
+        if old_run != passes_blob.get("run"):
+            try:
+                if not old_run:
+                    old_run = f"mtime{int(os.path.getmtime(side))}"
+                # sanitize: the value lands in a filename
+                old_run = re.sub(r"[^A-Za-z0-9_.-]", "_", str(old_run))
+                archive_dir = os.path.join(os.path.dirname(side), "bench_runs")
+                os.makedirs(archive_dir, exist_ok=True)
+                base = os.path.basename(side)[: -len(".json")]
+                target = os.path.join(archive_dir, f"{base}_run{old_run}.json")
+                n = 0
+                while os.path.exists(target):
+                    n += 1
+                    target = os.path.join(
+                        archive_dir, f"{base}_run{old_run}.{n}.json"
+                    )
+                os.replace(side, target)
+            except OSError as exc:
+                print(
+                    f"# passes archive failed (continuing): {exc}",
+                    file=sys.stderr,
+                )
+    tmp = side + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(passes_blob, fh, indent=1, sort_keys=True)
+    os.replace(tmp, side)

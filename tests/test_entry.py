@@ -170,43 +170,55 @@ def test_bench_final_line_fits_tail_capture():
 
 
 def test_persist_passes_archives_other_runs_only(tmp_path):
-    """bench._persist_passes contract (round-9 review findings): a
+    """benchtools.persist_passes contract (round-9 review findings): a
     DIFFERENT run's file is archived under bench_runs/ before the
     fixed path is rewritten; the SAME run rewrites in place with no
     self-archive; a corrupt/non-dict existing file falls back to an
     mtime-keyed archive instead of raising (json.load(...).get on a
     bare 'null' used to AttributeError straight through the bench's
-    final print)."""
-    import importlib.util as _ilu
+    final print); archive-name collisions get a numeric suffix instead
+    of overwriting earlier evidence; writes are atomic (no stray .tmp
+    left behind)."""
     import json as _json
 
-    bspec = _ilu.spec_from_file_location(
-        "bench_mod", os.path.join(os.path.dirname(ENTRY_PATH), "bench.py")
-    )
-    bench = _ilu.module_from_spec(bspec)
-    bspec.loader.exec_module(bench)
+    from pyspark_skyline_spark.benchtools import persist_passes
+
     side = str(tmp_path / "BENCH_passes_sfX.json")
     runs_dir = tmp_path / "bench_runs"
 
-    bench._persist_passes({"run": "r1", "passes": {}}, side)
+    persist_passes({"run": "r1", "passes": {}}, side)
     assert _json.load(open(side))["run"] == "r1"
     assert not runs_dir.exists()  # nothing to archive on first write
 
-    bench._persist_passes({"run": "r1", "passes": {"a": [1.0]}}, side)
+    persist_passes({"run": "r1", "passes": {"a": [1.0]}}, side)
     assert not runs_dir.exists()  # same run rewrites in place
     assert _json.load(open(side))["passes"] == {"a": [1.0]}
 
-    bench._persist_passes({"run": "r2/../evil", "passes": {}}, side)
+    persist_passes({"run": "r2/../evil", "passes": {}}, side)
     archived = list(runs_dir.glob("*.json"))
     assert len(archived) == 1 and "_runr1.json" in archived[0].name
     assert _json.load(open(archived[0]))["passes"] == {"a": [1.0]}
 
     with open(side, "w") as fh:  # valid JSON, not a dict
         fh.write("null")
-    bench._persist_passes({"run": "r3", "passes": {}}, side)
+    persist_passes({"run": "r3", "passes": {}}, side)
     archived = sorted(p.name for p in runs_dir.glob("*.json"))
     assert len(archived) == 2 and any("_runmtime" in n for n in archived)
     assert _json.load(open(side))["run"] == "r3"
+
+    # collision: archiving a second run named r1 must not overwrite the
+    # first r1 archive
+    persist_passes({"run": "r1", "passes": {"b": [2.0]}}, side)  # r3 archived
+    persist_passes({"run": "r4", "passes": {}}, side)  # archives the new r1
+    r1_archives = sorted(p.name for p in runs_dir.glob("*_runr1*.json"))
+    assert r1_archives == [
+        "BENCH_passes_sfX_runr1.1.json",
+        "BENCH_passes_sfX_runr1.json",
+    ]
+    assert _json.load(open(runs_dir / "BENCH_passes_sfX_runr1.1.json"))[
+        "passes"
+    ] == {"b": [2.0]}
+    assert not list(tmp_path.glob("*.tmp"))  # atomic write leaves no temp
 
 
 def _all_queries():
