@@ -1013,6 +1013,38 @@ def _q_unigram_nll_documents(spark, sf_dir):
     return unigram_nll(docs, "doc_id", "text")
 
 
+def _q_quality_ensemble_documents(spark, sf_dir):
+    """Rank-space quality-signal ensemble (round 9 —
+    operators/shuffle.py::rank_ensemble): three cheap native signals —
+    token count (higher better), average word length (higher better),
+    digit-character fraction (lower better) — each globally ranked via
+    the skew-free range-shuffle machinery, blended by integer rank
+    sum, best 60% kept. All-integer/boolean output, exactly oracled
+    against DuckDB row_number windows."""
+    from pyspark_skyline_spark.operators.shuffle import rank_ensemble
+    from pyspark_skyline_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    n_tok = F.size(tokens(F.col("text")))
+    sig = docs.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        (F.length("text") / n_tok).alias("avg_wlen"),
+        (
+            (F.length("text") - F.length(F.regexp_replace("text", "[0-9]", "")))
+            / F.length("text")
+        ).alias("digit_frac"),
+    )
+    return rank_ensemble(
+        sig,
+        "doc_id",
+        [("n_tokens", True), ("avg_wlen", True), ("digit_frac", False)],
+        keep_frac=0.6,
+    )
+
+
 def _q_bigram_nll_documents(spark, sf_dir):
     """Corpus-fit BIGRAM LM quality score (round 9 —
     operators/text.py::bigram_nll): per-doc mean -ln p(token | prev)
@@ -1329,6 +1361,10 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # model order up from the gate-graded unigram_nll row (word-order
     # sensitivity the unigram model lacks); exactly oracled
     "bigram_nll_documents": _q_bigram_nll_documents,
+    # round-9 addition: rank-space quality-signal ensembling (the
+    # FineWeb-style multi-filter blend, scale-free by construction);
+    # all-integer output, exactly oracled
+    "quality_ensemble_documents": _q_quality_ensemble_documents,
 }
 
 

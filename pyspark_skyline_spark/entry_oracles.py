@@ -862,6 +862,42 @@ SELECT bg.doc_id,
 FROM bg JOIN bgc USING (b) JOIN ctx USING (prev) CROSS JOIN vocab
 GROUP BY bg.doc_id
 """,
+    # ranks tie-break on doc_id so every rank/sum/cut is deterministic;
+    # DuckDB regexp_replace needs the 'g' flag to match Spark's
+    # replace-all; the cut index ceil(0.6 * n) is the identical IEEE
+    # multiply+ceil the operator runs driver-side
+    "quality_ensemble_documents": r"""
+WITH sig AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT)
+           AS n_tokens,
+         length(text) / len(regexp_split_to_array(lower(trim(text)), '\s+'))
+           AS avg_wlen,
+         (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+           / length(text) AS digit_frac
+  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+r AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY n_tokens DESC, doc_id) AS BIGINT)
+           AS rank_n_tokens,
+         CAST(row_number() OVER (ORDER BY avg_wlen DESC, doc_id) AS BIGINT)
+           AS rank_avg_wlen,
+         CAST(row_number() OVER (ORDER BY digit_frac ASC, doc_id) AS BIGINT)
+           AS rank_digit_frac
+  FROM sig),
+f AS (
+  SELECT doc_id, rank_n_tokens, rank_avg_wlen, rank_digit_frac,
+         CAST(rank_n_tokens + rank_avg_wlen + rank_digit_frac AS BIGINT)
+           AS rank_sum,
+         row_number() OVER (
+           ORDER BY rank_n_tokens + rank_avg_wlen + rank_digit_frac, doc_id)
+           AS fin,
+         count(*) OVER () AS n
+  FROM r)
+SELECT doc_id, rank_n_tokens, rank_avg_wlen, rank_digit_frac, rank_sum,
+       fin <= ceil(0.6 * n) AS keep
+FROM f
+""",
     "global_top_orders": """
 SELECT o_orderkey, o_totalprice FROM orders
 ORDER BY o_totalprice DESC, o_orderkey LIMIT 25

@@ -64,6 +64,7 @@ __all__ = [
     "ntile_by_group",
     "allocate_mixture",
     "mix_corpus",
+    "rank_ensemble",
     "write_shards",
 ]
 
@@ -476,6 +477,74 @@ def ntile_global(
             F.lit(rem) + F.expr(f"(__ntpos - {cut}) div {base}") + F.lit(1)
         )
     return pos.withColumn(tile_col, tile.cast("int")).drop("__ntpos")
+
+
+def rank_ensemble(
+    df: DataFrame,
+    id_col: str,
+    signals: list[tuple[str, bool]],
+    keep_frac: float = 0.5,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Rank-based quality-signal ensembling — the FineWeb/Gopher-style
+    "blend several cheap quality filters" step done in RANK space, so
+    signals on wildly different scales (token counts vs ratios vs NLL)
+    combine without any normalization constants to tune: each signal
+    contributes its global 1-based rank (1 = best), documents are
+    ordered by the integer rank SUM, and the best ``keep_frac``
+    fraction is flagged ``keep``.
+
+    ``signals`` is ``[(numeric column name, higher_is_better)]`` on
+    ``df``. Rows with a NULL in any signal are EXCLUDED (they cannot
+    be ranked; filter or impute upstream). Output:
+    ``(id_col, rank_<signal>... , rank_sum, keep)`` — every value an
+    integer or boolean, so the operator is exactly oracle-able against
+    any engine's ``row_number()`` windows with zero float-comparison
+    risk (the only float step, ``ceil(keep_frac * N)``, is the same
+    two IEEE ops in any engine).
+
+    Scale shape: one range shuffle per signal plus one for the final
+    order (``global_row_number`` — never a single-task
+    ``Window.orderBy``), then S equi-joins on the id. S is the number
+    of signals (2-5 in practice), so the plan is S+1 sorts of an
+    (id, value) projection — each shuffle carries two columns, not the
+    corpus. Ranks tie-break on the id, making every rank, the sum, and
+    the cut deterministic and engine-independent.
+    """
+    import math
+
+    if not signals:
+        raise ValueError("signals must be non-empty")
+    names = [s for s, _ in signals]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate signal columns: {names}")
+    if not (0.0 < keep_frac <= 1.0):
+        raise ValueError(f"keep_frac must be in (0, 1], got {keep_frac}")
+    base = df.select(id_col, *names).dropna(subset=names)
+    out = None
+    for sig, higher_is_better in signals:
+        # a total order per signal: (value, id); higher-is-better
+        # ranks by the negated value (exact for ints and IEEE floats)
+        ordered = base.select(
+            id_col,
+            (-F.col(sig) if higher_is_better else F.col(sig)).alias("__ord"),
+        )
+        ranked = global_row_number(
+            ordered, ["__ord", id_col], "__r", num_partitions
+        ).select(id_col, (F.col("__r") + 1).alias(f"rank_{sig}"))
+        out = ranked if out is None else out.join(ranked, id_col)
+    rank_sum = sum(F.col(f"rank_{s}") for s in names).cast("long")
+    summed = out.withColumn("rank_sum", rank_sum)
+    fin, n_rows = _global_row_number_with_total(
+        summed, ["rank_sum", id_col], "__fin", num_partitions
+    )
+    # ceil(keep_frac * N): both this driver-side Python and a SQL
+    # oracle's ceil(frac * count) run the identical IEEE multiply +
+    # ceil, so the cut index matches bit-for-bit by construction
+    threshold = math.ceil(keep_frac * n_rows)
+    return fin.withColumn(
+        "keep", (F.col("__fin") + 1) <= F.lit(threshold)
+    ).drop("__fin")
 
 
 #: exact SQL-ntile bucket from a 0-based position `__ntgpos` and the

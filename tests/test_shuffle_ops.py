@@ -442,3 +442,62 @@ def test_paragraph_dedup_incremental_cross_batch(spark):
     ledger = h1.union(h2)
     docs2r, h2r = paragraph_dedup_incremental(b2, ledger, "doc_id", "text", sep="|")
     assert docs2r.count() == 0 and h2r.count() == 0
+
+
+def test_rank_ensemble_matches_hand_model(spark):
+    """rank_ensemble == hand-computed per-signal global ranks (ties
+    broken by id), integer rank sum, and the ceil(keep_frac * N) cut;
+    rows with a NULL signal are excluded; direction flags invert the
+    order; bad arguments rejected loudly."""
+    import math
+
+    import pytest
+
+    from pyspark_skyline_spark.operators.shuffle import rank_ensemble
+
+    #          id, good (higher better), bad (lower better)
+    rows = [
+        (1, 10.0, 0.1),
+        (2, 30.0, 0.5),
+        (3, 30.0, 0.0),  # ties with 2 on good -> id breaks the tie
+        (4, 5.0, 0.2),
+        (5, None, 0.0),  # NULL signal -> excluded entirely
+        (6, 20.0, 0.3),
+    ]
+    df = spark.createDataFrame(rows, "id long, good double, bad double")
+    got = {
+        r.id: (r.rank_good, r.rank_bad, r.rank_sum, r.keep)
+        for r in rank_ensemble(
+            df, "id", [("good", True), ("bad", False)], keep_frac=0.5
+        ).collect()
+    }
+    ranked = [1, 2, 3, 4, 6]
+    good = {r[0]: r[1] for r in rows if r[0] in ranked}
+    bad = {r[0]: r[2] for r in rows if r[0] in ranked}
+    rank_good = {
+        i: 1 + sorted(ranked, key=lambda j: (-good[j], j)).index(i) for i in ranked
+    }
+    rank_bad = {
+        i: 1 + sorted(ranked, key=lambda j: (bad[j], j)).index(i) for i in ranked
+    }
+    sums = {i: rank_good[i] + rank_bad[i] for i in ranked}
+    fin = sorted(ranked, key=lambda j: (sums[j], j))
+    cut = math.ceil(0.5 * len(ranked))
+    assert set(got) == set(ranked)  # id 5 excluded
+    for i in ranked:
+        assert got[i] == (
+            rank_good[i],
+            rank_bad[i],
+            sums[i],
+            fin.index(i) + 1 <= cut,
+        ), i
+    assert sum(1 for v in got.values() if v[3]) == cut
+    # tie on `good` between 2 and 3 resolved by id: 2 outranks 3
+    assert got[2][0] + 1 == got[3][0]
+
+    with pytest.raises(ValueError):
+        rank_ensemble(df, "id", [], keep_frac=0.5)
+    with pytest.raises(ValueError):
+        rank_ensemble(df, "id", [("good", True), ("good", False)])
+    with pytest.raises(ValueError):
+        rank_ensemble(df, "id", [("good", True)], keep_frac=0.0)
