@@ -38,6 +38,9 @@ from pyspark_skyline_spark.entry_params import (
     _BM25_TERMS,
     _CHUNK_OVERLAP,
     _CHUNK_TOKENS,
+    _DSIR_BUCKETS,
+    _DSIR_KEEP,
+    _DSIR_TARGET_LANG,
     _EVENT_TYPES,
     _MH_BANDS,
     _MH_HASHES,
@@ -1057,6 +1060,30 @@ def _q_bigram_nll_documents(spark, sf_dir):
     return bigram_nll(docs, "doc_id", "text")
 
 
+def _q_dsir_select_documents(spark, sf_dir):
+    """DSIR importance-resampling data selection (round 9 —
+    operators/selection.py::dsir_select, after Xie et al., NeurIPS
+    2023): hashed unigram+bigram multinomials fit on the English slice
+    (target p) vs the whole corpus (raw q); per-doc importance
+    log-weight sum_b f_b(x)(ln p_b - ln q_b); deterministic
+    top-``_DSIR_KEEP`` cut via the skew-free range-shuffle ranking.
+    md5 hash mode -> the buckets are bit-reproducible in DuckDB, so
+    the row is exactly oracled (only the ln is engine-float, ~1e-12
+    agreement, inside the 9-decimal compare rounding)."""
+    from pyspark_skyline_spark.operators.selection import dsir_select
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_select(
+        docs,
+        docs.filter(F.col("lang") == _DSIR_TARGET_LANG),
+        "doc_id",
+        "text",
+        keep_frac=_DSIR_KEEP,
+        n_buckets=_DSIR_BUCKETS,
+        hash_mode="md5",
+    )
+
+
 def _q_substring_scrub_documents(spark, sf_dir):
     """Applied form of the substring spans (round 8 —
     operators/dedup.py::substring_scrub): drop every token covered by
@@ -1365,6 +1392,10 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # FineWeb-style multi-filter blend, scale-free by construction);
     # all-integer output, exactly oracled
     "quality_ensemble_documents": _q_quality_ensemble_documents,
+    # round-9 addition: DSIR importance-resampling data selection
+    # (hashed-feature target-vs-raw multinomials, deterministic top-k
+    # cut); md5 hash mode, exactly oracled
+    "dsir_select_documents": _q_dsir_select_documents,
 }
 
 

@@ -17,6 +17,9 @@ from pyspark_skyline_spark.oracles import skyline_oracle_sql
 from pyspark_skyline_spark.entry_params import (
     _BATCH_PROBE_IDS,
     _BM25_TERMS,
+    _DSIR_BUCKETS,
+    _DSIR_KEEP,
+    _DSIR_TARGET_LANG,
     _EVENT_TYPES,
     _MH_BANDS,
     _MH_HASHES,
@@ -897,6 +900,51 @@ f AS (
 SELECT doc_id, rank_n_tokens, rank_avg_wlen, rank_digit_frac, rank_sum,
        fin <= ceil(0.6 * n) AS keep
 FROM f
+""",
+    # round-9 DSIR selection: hashed unigram+bigram buckets are
+    # bit-reproducible via the md5-mode 60-bit hash (nonnegative, so
+    # plain % == Spark's pmod); target multinomial = the English
+    # slice, raw = the whole corpus, add-one smoothing over B buckets;
+    # the only engine-float step is the ln (~1e-12 agreement) and the
+    # cut index ceil(keep * n) is the identical IEEE multiply+ceil the
+    # operator runs driver-side. Bigram positions mirror
+    # bigram_nll_documents' 1-based slice convention; NULL text drops
+    # in both engines.
+    "dsir_select_documents": rf"""
+WITH arr AS (
+  SELECT doc_id, lang, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+  FROM documents),
+feats AS (
+  SELECT doc_id, lang, unnest(toks) AS f FROM arr
+  UNION ALL
+  SELECT doc_id, lang, toks[i] || ' ' || toks[i + 1] AS f
+  FROM arr, unnest(range(1, len(toks))) AS r(i)),
+occ AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(f), 1, 15))::BIGINT % {_DSIR_BUCKETS} AS b
+  FROM feats),
+qc AS (SELECT b, count(*) AS cq FROM occ GROUP BY b),
+pc AS (SELECT b, count(*) AS cp FROM occ
+       WHERE lang = '{_DSIR_TARGET_LANG}' GROUP BY b),
+tot AS (
+  SELECT (SELECT sum(cq) FROM qc) AS nq,
+         (SELECT coalesce(sum(cp), 0) FROM pc) AS np),
+ratio AS (
+  SELECT qc.b,
+         ln((coalesce(pc.cp, 0) + 1.0) / (tot.np + {_DSIR_BUCKETS}))
+           - ln((qc.cq + 1.0) / (tot.nq + {_DSIR_BUCKETS})) AS lr
+  FROM qc LEFT JOIN pc USING (b) CROSS JOIN tot),
+w AS (
+  SELECT occ.doc_id, sum(ratio.lr) AS logw,
+         CAST(count(*) AS BIGINT) AS n_feats
+  FROM occ JOIN ratio USING (b)
+  GROUP BY occ.doc_id),
+f AS (
+  SELECT doc_id, logw, n_feats,
+         row_number() OVER (ORDER BY -logw, doc_id) AS fin,
+         count(*) OVER () AS n
+  FROM w)
+SELECT doc_id, logw, n_feats, fin <= ceil({_DSIR_KEEP} * n) AS keep FROM f
 """,
     "global_top_orders": """
 SELECT o_orderkey, o_totalprice FROM orders

@@ -1,0 +1,182 @@
+"""Targeted data selection for LLM pretraining corpora (north-star
+extension; the reference engine has no data-selection surface —
+SURVEY.md §2.3 scope note).
+
+Re-expresses the hashed n-gram importance-weight recipe of DSIR —
+"Data Selection for Language Models via Importance Resampling" (Xie,
+Santurkar, Ma, Liang; NeurIPS 2023, arXiv:2302.03169) — as pure
+DataFrame algebra: fit two bag-of-hashed-ngrams multinomials (target
+corpus p, raw corpus q), weight every raw document by
+``log w(x) = sum_b f_b(x) * (ln p_b - ln q_b)``, and keep the
+highest-weight fraction. The paper samples with Gumbel noise to avoid
+mode collapse; the deterministic top-k cut implemented here is its
+zero-temperature limit and is what makes the operator exactly
+oracle-able (rank ties broken by the document id, no RNG).
+
+Scale shape (the part that must survive 100 TB): features never leave
+the executor as strings — one ``explode`` per corpus (linear in
+tokens), bucket ids via a native 64-bit hash ``pmod`` the bucket
+count, and both model fits are map-side-combined hash aggregates of at
+most ``n_buckets`` groups (the whole point of feature hashing: the
+shuffled state is O(B), not O(vocabulary)). The per-bucket log-ratio
+table is at most ``n_buckets`` rows — broadcast — so scoring is a
+broadcast equi-join plus one per-doc sum. No window over a global
+order, no all-pairs anything.
+
+All hot-path expressions are native ``pyspark.sql.functions`` (JVM
+codegen); ``hash_mode="md5"`` swaps xxhash64 for the repo's standard
+md5-derived 60-bit hash so any SQL engine reproduces the buckets
+bit-for-bit (see operators/dedup.py::hash64_expr).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, functions as F
+
+from pyspark_skyline_spark.operators.dedup import hash64_expr
+from pyspark_skyline_spark.operators.shuffle import _global_row_number_with_total
+from pyspark_skyline_spark.operators.text import tokens
+
+__all__ = [
+    "dsir_logweights",
+    "dsir_select",
+]
+
+
+def _feature_occurrences(
+    df: DataFrame, id_col: str, text_col: str, include_bigrams: bool
+) -> DataFrame:
+    """(id, feature-string) occurrence table: whitespace unigrams plus
+    (optionally) space-joined word bigrams, duplicates KEPT — the
+    bag-of-features counts are the multinomial's sufficient
+    statistics. One explode of one concatenated array; NULL text
+    tokenizes to NULL and the explode drops it (the repo's unigram_nll
+    convention — no empty-string token is minted)."""
+    toks = tokens(F.col(text_col))
+    feats = toks
+    if include_bigrams:
+        # bigrams from two shifted slices (zip_with children evaluate
+        # once per row — see dedup.ordered_shingles for why not a
+        # transform-over-indices); the single-space join byte cannot
+        # collide with a unigram because unigrams are whitespace-split
+        pairs = F.zip_with(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+        feats = F.concat(toks, pairs)
+    return df.select(F.col(id_col), F.explode(feats).alias("__feat"))
+
+
+def dsir_logweights(
+    raw_df: DataFrame,
+    target_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 8192,
+    include_bigrams: bool = True,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Per-document DSIR importance log-weight of every raw document
+    toward the target corpus's hashed-feature distribution. Returns
+    ``(id_col, logw, n_feats)`` for every raw document with >= 1
+    feature (documents whose text is NULL are absent — they have no
+    features to score).
+
+    Model: features are hashed into ``n_buckets`` buckets; the target
+    and raw corpora each fit an add-one-smoothed multinomial over
+    buckets, ``p_b = (c_p(b)+1) / (N_p + B)`` and ``q_b`` likewise;
+    ``logw = sum over the doc's feature occurrences of (ln p_b - ln
+    q_b)``. Positive = looks more like the target than like the raw
+    corpus average. Exact arithmetic but the ``ln`` (cross-engine
+    agreement ~1e-12, far inside the compare rounding), so the
+    operator is exactly oracle-able in md5 hash mode.
+
+    Plan: one explode per corpus, two map-side-combined bucket-count
+    aggregates (<= B groups each — Zipf-safe by construction, the hash
+    spreads hot tokens' counts into fixed buckets whose partials
+    collapse before the shuffle), a broadcast 1-row (N_p, N_q) scalar,
+    a left join of raw buckets to target buckets (<= B rows on either
+    side), and ONE broadcast equi-join of raw occurrences against the
+    <= B-row log-ratio table, then a per-doc sum. At the paper's B =
+    10^4..10^6 the ratio table is 16 bytes/row — always broadcastable.
+    """
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    bucket = lambda c: F.pmod(hash64_expr(c, None, hash_mode), F.lit(n_buckets))  # noqa: E731
+    occ_raw = _feature_occurrences(raw_df, id_col, text_col, include_bigrams).select(
+        id_col, bucket(F.col("__feat")).alias("__b")
+    )
+    occ_tgt = _feature_occurrences(
+        target_df, id_col, text_col, include_bigrams
+    ).select(bucket(F.col("__feat")).alias("__b"))
+    q_counts = occ_raw.groupBy("__b").agg(F.count(F.lit(1)).alias("__cq"))
+    p_counts = occ_tgt.groupBy("__b").agg(F.count(F.lit(1)).alias("__cp"))
+    totals = q_counts.agg(F.sum("__cq").alias("__nq")).crossJoin(
+        p_counts.agg(F.coalesce(F.sum("__cp"), F.lit(0)).alias("__np"))
+    )
+    # buckets never seen in the raw corpus cannot be scored (no raw
+    # occurrence joins them), so a left join from q_counts suffices;
+    # raw buckets absent from the target get the smoothed floor 1/(N_p+B)
+    ratio = (
+        q_counts.join(p_counts, "__b", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "__b",
+            (
+                F.log(
+                    (F.coalesce(F.col("__cp"), F.lit(0)) + 1.0)
+                    / (F.col("__np") + F.lit(n_buckets))
+                )
+                - F.log((F.col("__cq") + 1.0) / (F.col("__nq") + F.lit(n_buckets)))
+            ).alias("__lr"),
+        )
+    )
+    return (
+        occ_raw.join(F.broadcast(ratio), "__b")
+        .groupBy(id_col)
+        .agg(
+            F.sum("__lr").alias("logw"),
+            F.count(F.lit(1)).cast("long").alias("n_feats"),
+        )
+    )
+
+
+def dsir_select(
+    raw_df: DataFrame,
+    target_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_frac: float = 0.25,
+    n_buckets: int = 8192,
+    include_bigrams: bool = True,
+    hash_mode: str = "xxhash64",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """DSIR selection: ``dsir_logweights`` plus a deterministic
+    top-``keep_frac`` cut. Returns ``(id_col, logw, n_feats, keep)``
+    with ``keep`` true for the ``ceil(keep_frac * N)`` highest-weight
+    documents (ties broken by ascending id — the zero-temperature
+    limit of the paper's Gumbel resampling; no RNG, so the cut is
+    engine-independent).
+
+    The order pass is the skew-free range-shuffle
+    ``global_row_number`` machinery (never a single-task
+    ``Window.orderBy``), carrying a two-column projection. The cut
+    index ``ceil(keep_frac * N)`` is the identical IEEE multiply+ceil
+    in any engine."""
+    if not (0.0 < keep_frac <= 1.0):
+        raise ValueError(f"keep_frac must be in (0, 1], got {keep_frac}")
+    w = dsir_logweights(
+        raw_df, target_df, id_col, text_col, n_buckets, include_bigrams, hash_mode
+    )
+    ordered = w.withColumn("__ord", -F.col("logw"))
+    fin, n_rows = _global_row_number_with_total(
+        ordered, ["__ord", id_col], "__fin", num_partitions
+    )
+    threshold = math.ceil(keep_frac * n_rows)
+    return fin.withColumn("keep", (F.col("__fin") + 1) <= F.lit(threshold)).drop(
+        "__ord", "__fin"
+    )
