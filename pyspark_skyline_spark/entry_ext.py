@@ -1060,6 +1060,19 @@ def _q_bigram_nll_documents(spark, sf_dir):
     return bigram_nll(docs, "doc_id", "text")
 
 
+def _q_lang_divergence_documents(spark, sf_dir):
+    """Per-language unigram-distribution divergence from the pooled
+    corpus (round 9 — operators/text.py::slice_divergence): KL(slice ||
+    corpus) + Jensen-Shannon per lang, the mixture-drift diagnostic.
+    Support containment (slice tokens are corpus tokens) makes both
+    finite with NO smoothing; only the ln is engine-float (~1e-12,
+    inside the 9-decimal compare rounding)."""
+    from pyspark_skyline_spark.operators.text import slice_divergence
+
+    docs = load_table(spark, sf_dir, "documents")
+    return slice_divergence(docs, "lang", "text")
+
+
 def _q_dsir_select_documents(spark, sf_dir):
     """DSIR importance-resampling data selection (round 9 —
     operators/selection.py::dsir_select, after Xie et al., NeurIPS
@@ -1396,6 +1409,10 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (hashed-feature target-vs-raw multinomials, deterministic top-k
     # cut); md5 hash mode, exactly oracled
     "dsir_select_documents": _q_dsir_select_documents,
+    # round-9 addition: per-slice KL/JS divergence vs the pooled
+    # corpus (mixture-drift monitoring); smoothing-free by support
+    # containment, exactly oracled
+    "lang_divergence_documents": _q_lang_divergence_documents,
 }
 
 

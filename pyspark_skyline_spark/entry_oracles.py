@@ -946,6 +946,36 @@ f AS (
   FROM w)
 SELECT doc_id, logw, n_feats, fin <= ceil({_DSIR_KEEP} * n) AS keep FROM f
 """,
+    # round-9 slice divergence: the corpus unigram table is DERIVED
+    # from the per-(lang, token) aggregate, exactly as the operator
+    # does; the JS term for corpus tokens absent from a slice
+    # collapses to ln2 * (1 - covered corpus mass), so the sum runs
+    # over the slice support only. ln2 is the identical double literal
+    # the operator embeds (math.log(2.0)); counts divide as doubles in
+    # both engines.
+    "lang_divergence_documents": r"""
+WITH occ AS (
+  SELECT lang, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+  FROM documents),
+st AS (SELECT lang, t, count(*) AS cg FROM occ GROUP BY lang, t),
+ct AS (SELECT t, sum(cg) AS c FROM st GROUP BY t),
+gn AS (SELECT lang, sum(cg) AS ng, count(*) AS vg FROM st GROUP BY lang),
+tot AS (SELECT sum(c) AS n FROM ct),
+j AS (
+  SELECT st.lang, st.cg, ct.c, gn.ng, gn.vg, tot.n
+  FROM st JOIN ct USING (t) JOIN gn USING (lang) CROSS JOIN tot),
+agg AS (
+  SELECT lang, ng, vg,
+         sum((cg / ng) * ln((cg / ng) / (c / n))) AS kl,
+         sum((cg / ng) * ln((cg / ng) / ((cg / ng + c / n) / 2.0))
+             + (c / n) * ln((c / n) / ((cg / ng + c / n) / 2.0))) AS js_sup,
+         sum(c / n) AS qcov
+  FROM j GROUP BY lang, ng, vg)
+SELECT lang, CAST(ng AS BIGINT) AS n_tokens, CAST(vg AS BIGINT) AS vocab,
+       kl AS kl_vs_corpus,
+       0.5 * (js_sup + 0.6931471805599453 * (1.0 - qcov)) AS js_vs_corpus
+FROM agg
+""",
     "global_top_orders": """
 SELECT o_orderkey, o_totalprice FROM orders
 ORDER BY o_totalprice DESC, o_orderkey LIMIT 25

@@ -835,3 +835,65 @@ def test_bigram_nll_matches_hand_model(spark):
     # doc 3 uses the exact same unigrams as 1/2 but in an order the
     # corpus never repeats -> higher bigram NLL
     assert got[3][0] > got[1][0]
+
+
+def test_slice_divergence_matches_hand_model(spark):
+    """slice_divergence == hand-computed KL/JS vs the pooled corpus on
+    a tiny two-slice corpus; a slice identical in distribution to the
+    corpus scores ~0 on both; KL >= 0 and 0 <= JS <= ln 2 always."""
+    import math
+    from collections import Counter
+
+    texts = {
+        ("en", 1): "the cat sat on the mat",
+        ("en", 2): "the dog sat on the rug",
+        ("fr", 3): "le chat dort sur le tapis",
+        ("fr", 4): "le chien dort sur le lit",
+    }
+    df = spark.createDataFrame(
+        [(lang, t) for (lang, _), t in texts.items()], "lang string, text string"
+    )
+    by_g: dict[str, Counter] = {}
+    for (lang, _), t in texts.items():
+        by_g.setdefault(lang, Counter()).update(t.split())
+    corpus = Counter()
+    for cnt in by_g.values():
+        corpus.update(cnt)
+    n = sum(corpus.values())
+
+    def hand(g):
+        cnt = by_g[g]
+        ng = sum(cnt.values())
+        kl = js_sup = qcov = 0.0
+        for t, cg in cnt.items():
+            p, q = cg / ng, corpus[t] / n
+            m = (p + q) / 2
+            kl += p * math.log(p / q)
+            js_sup += p * math.log(p / m) + q * math.log(q / m)
+            qcov += q
+        return kl, 0.5 * (js_sup + math.log(2) * (1 - qcov)), ng, len(cnt)
+
+    got = {
+        r["lang"]: r
+        for r in T.slice_divergence(df, "lang", "text").collect()
+    }
+    assert set(got) == {"en", "fr"}
+    for g in ("en", "fr"):
+        kl, js, ng, vg = hand(g)
+        assert abs(got[g]["kl_vs_corpus"] - kl) < 1e-9, g
+        assert abs(got[g]["js_vs_corpus"] - js) < 1e-9, g
+        assert got[g]["n_tokens"] == ng and got[g]["vocab"] == vg
+        assert kl >= 0 and 0 <= js <= math.log(2) + 1e-12
+
+
+def test_slice_divergence_degenerate_single_slice(spark):
+    """One slice == the corpus -> p == q everywhere -> KL = JS = 0 (up
+    to float fold-order), and full corpus-mass coverage."""
+    df = spark.createDataFrame(
+        [("a", "x y z x"), ("a", "z y w")], "src string, text string"
+    )
+    row = T.slice_divergence(df, "src", "text").collect()[0]
+    assert row["src"] == "a"
+    assert abs(row["kl_vs_corpus"]) < 1e-12
+    assert abs(row["js_vs_corpus"]) < 1e-12
+    assert row["n_tokens"] == 7 and row["vocab"] == 4
