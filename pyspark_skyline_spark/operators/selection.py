@@ -112,8 +112,22 @@ def dsir_logweights(
     occ_tgt = _feature_occurrences(
         target_df, id_col, text_col, include_bigrams
     ).select(bucket(F.col("__feat")).alias("__b"))
-    q_counts = occ_raw.groupBy("__b").agg(F.count(F.lit(1)).alias("__cq"))
-    p_counts = occ_tgt.groupBy("__b").agg(F.count(F.lit(1)).alias("__cp"))
+    # both count tables are <= B rows and each feeds two consumers
+    # (totals + ratio); without a lineage cut every consumer re-runs
+    # its corpus explode + aggregate. The lazy checkpoint caps the
+    # explodes at the structural minimum: raw twice (model fit +
+    # scoring join), target once. Checkpoint RDDs are reclaimed by the
+    # context cleaner, unlike a pinned persist.
+    q_counts = (
+        occ_raw.groupBy("__b")
+        .agg(F.count(F.lit(1)).alias("__cq"))
+        .localCheckpoint(eager=False)
+    )
+    p_counts = (
+        occ_tgt.groupBy("__b")
+        .agg(F.count(F.lit(1)).alias("__cp"))
+        .localCheckpoint(eager=False)
+    )
     totals = q_counts.agg(F.sum("__cq").alias("__nq")).crossJoin(
         p_counts.agg(F.coalesce(F.sum("__cp"), F.lit(0)).alias("__np"))
     )
