@@ -167,14 +167,30 @@ def dsir_select(
     n_buckets: int = 8192,
     include_bigrams: bool = True,
     hash_mode: str = "xxhash64",
+    sample_mode: str = "topk",
+    seed: int = 42,
     num_partitions: int | None = None,
 ) -> DataFrame:
-    """DSIR selection: ``dsir_logweights`` plus a deterministic
-    top-``keep_frac`` cut. Returns ``(id_col, logw, n_feats, keep)``
-    with ``keep`` true for the ``ceil(keep_frac * N)`` highest-weight
-    documents (ties broken by ascending id — the zero-temperature
-    limit of the paper's Gumbel resampling; no RNG, so the cut is
-    engine-independent).
+    """DSIR selection: ``dsir_logweights`` plus a ``keep_frac`` cut.
+    Returns ``(id_col, logw, n_feats, keep)`` with ``keep`` true for
+    ``ceil(keep_frac * N)`` documents.
+
+    ``sample_mode="topk"`` (default) keeps the highest-weight
+    documents deterministically (ties broken by ascending id — the
+    zero-temperature limit of the paper's Gumbel resampling; no RNG,
+    so the cut is engine-independent and oracle-able).
+
+    ``sample_mode="gumbel"`` is the paper's actual sampler: the
+    Gumbel-top-k trick (perturb each ``logw`` with an independent
+    standard Gumbel and take the top k) draws documents WITHOUT
+    replacement with probability proportional to ``exp(logw)`` —
+    avoiding the top-k mode's failure where the kept set collapses
+    onto one narrow region of the target distribution. The Gumbel is
+    derived from a seeded per-id hash (``-ln(-ln(u))`` with ``u`` in
+    the open unit interval from 53 hash bits), so a given ``seed`` is
+    reproducible and partition-layout-independent, but the float
+    perturbation is engine-specific — gumbel mode is pytest-graded,
+    not SQL-oracled.
 
     The order pass is the skew-free range-shuffle
     ``global_row_number`` machinery (never a single-task
@@ -183,10 +199,21 @@ def dsir_select(
     in any engine."""
     if not (0.0 < keep_frac <= 1.0):
         raise ValueError(f"keep_frac must be in (0, 1], got {keep_frac}")
+    if sample_mode not in ("topk", "gumbel"):
+        raise ValueError(f"sample_mode must be 'topk' or 'gumbel', got {sample_mode!r}")
     w = dsir_logweights(
         raw_df, target_df, id_col, text_col, n_buckets, include_bigrams, hash_mode
     )
-    ordered = w.withColumn("__ord", -F.col("logw"))
+    key = F.col("logw")
+    if sample_mode == "gumbel":
+        # u in the OPEN interval (0, 1): 53 hash bits + half-ulp shift,
+        # so neither log can hit 0 or -inf
+        u = (
+            F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1 << 53))
+            + F.lit(0.5)
+        ) / F.lit(float(1 << 53))
+        key = key + (-F.log(-F.log(u)))
+    ordered = w.withColumn("__ord", -key)
     fin, n_rows = _global_row_number_with_total(
         ordered, ["__ord", id_col], "__fin", num_partitions
     )

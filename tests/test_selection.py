@@ -132,3 +132,38 @@ def test_dsir_validation(spark, raw_df):
         dsir_logweights(raw_df, raw_df, n_buckets=1)
     with pytest.raises(ValueError, match="keep_frac"):
         dsir_select(raw_df, raw_df, keep_frac=0.0)
+
+
+def test_dsir_select_gumbel_mode(spark, raw_df):
+    """Gumbel mode: exact cut cardinality holds per seed; a fixed seed
+    is reproducible across partition layouts; different seeds produce
+    different kept sets somewhere (it IS sampling); and across seeds
+    the highest-weight doc is kept at least as often as the lowest
+    (proportional-to-exp(logw) sampling, coarse sanity)."""
+    tgt = raw_df.filter(f"lang = '{TARGET_LANG}'")
+
+    def kept(seed, df):
+        out = dsir_select(
+            df, tgt, keep_frac=0.4, n_buckets=B, hash_mode="md5",
+            sample_mode="gumbel", seed=seed,
+        ).collect()
+        return frozenset(r["doc_id"] for r in out if r["keep"])
+
+    k0 = kept(0, raw_df)
+    assert len(k0) == math.ceil(0.4 * len(RAW))
+    assert k0 == kept(0, raw_df.repartition(5))  # layout-independent
+    seeds = range(12)
+    sets = [kept(s, raw_df) for s in seeds]
+    assert any(s != k0 for s in sets)  # different seeds really resample
+    w = {
+        r["doc_id"]: r["logw"]
+        for r in dsir_logweights(raw_df, tgt, n_buckets=B, hash_mode="md5").collect()
+    }
+    best = max(w, key=w.get)
+    worst = min(w, key=w.get)
+    n_best = sum(best in s for s in sets)
+    n_worst = sum(worst in s for s in sets)
+    assert n_best >= n_worst
+
+    with pytest.raises(ValueError, match="sample_mode"):
+        dsir_select(raw_df, tgt, sample_mode="bogus")
