@@ -53,6 +53,7 @@ from pyspark_skyline_spark.entry_params import (
     _ND_LSH_PLANES,
     _ND_LSH_T,
     _ND_LSH_TABLES,
+    _PMI_MIN_COUNT,
     _PROBE_ID,
     _SAMPLE_FRAC,
     _SAMPLE_SEED,
@@ -1060,6 +1061,18 @@ def _q_bigram_nll_documents(spark, sf_dir):
     return bigram_nll(docs, "doc_id", "text")
 
 
+def _q_pmi_collocations_documents(spark, sf_dir):
+    """PMI collocation mining (round 9 —
+    operators/text.py::pmi_collocations): adjacent word pairs seen >=
+    _PMI_MIN_COUNT times with their pointwise mutual information. The
+    row set is an integer predicate (exact); only the pmi value is
+    engine-float (ln, ~1e-12)."""
+    from pyspark_skyline_spark.operators.text import pmi_collocations
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pmi_collocations(docs, "text", min_count=_PMI_MIN_COUNT)
+
+
 def _q_lang_divergence_documents(spark, sf_dir):
     """Per-language unigram-distribution divergence from the pooled
     corpus (round 9 — operators/text.py::slice_divergence): KL(slice ||
@@ -1413,6 +1426,9 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # corpus (mixture-drift monitoring); smoothing-free by support
     # containment, exactly oracled
     "lang_divergence_documents": _q_lang_divergence_documents,
+    # round-9 addition: PMI collocation mining (integer-predicate row
+    # set, float pmi as a value column only); exactly oracled
+    "pmi_collocations_documents": _q_pmi_collocations_documents,
 }
 
 

@@ -28,6 +28,7 @@ from pyspark_skyline_spark.entry_params import (
     _ND_LSH_T,
     _ND_LSH_TABLES,
     _NJ_T,
+    _PMI_MIN_COUNT,
     _PROBE_ID,
     _SAMPLE_FRAC,
     _SAMPLE_SEED,
@@ -945,6 +946,34 @@ f AS (
          count(*) OVER () AS n
   FROM w)
 SELECT doc_id, logw, n_feats, fin <= ceil({_DSIR_KEEP} * n) AS keep FROM f
+""",
+    # round-9 PMI collocations: the min-support predicate on the
+    # integer pair count decides the row set exactly; pmi is a value
+    # column only (ln ~1e-12). Bigram positions mirror
+    # bigram_nll_documents' 1-based slice convention.
+    "pmi_collocations_documents": rf"""
+WITH arr AS (
+  SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+  FROM documents),
+bg AS (
+  SELECT toks[i] AS w1, toks[i + 1] AS w2
+  FROM arr, unnest(range(1, len(toks))) AS r(i)),
+bgc AS (SELECT w1, w2, count(*) AS pair_count FROM bg GROUP BY w1, w2),
+uni AS (
+  SELECT t, count(*) AS c FROM (SELECT unnest(toks) AS t FROM arr)
+  GROUP BY t),
+tot AS (
+  SELECT (SELECT sum(pair_count) FROM bgc) AS nbg,
+         (SELECT sum(c) FROM uni) AS nu)
+SELECT b.w1, b.w2, CAST(b.pair_count AS BIGINT) AS pair_count,
+       CAST(u1.c AS BIGINT) AS w1_count, CAST(u2.c AS BIGINT) AS w2_count,
+       ln((b.pair_count / tot.nbg) / ((u1.c / tot.nu) * (u2.c / tot.nu)))
+         AS pmi
+FROM bgc b
+JOIN uni u1 ON b.w1 = u1.t
+JOIN uni u2 ON b.w2 = u2.t
+CROSS JOIN tot
+WHERE b.pair_count >= {_PMI_MIN_COUNT}
 """,
     # round-9 slice divergence: the corpus unigram table is DERIVED
     # from the per-(lang, token) aggregate, exactly as the operator

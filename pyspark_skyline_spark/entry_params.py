@@ -55,3 +55,7 @@ _SS_K = 8
 # Gumbel resampling). 4096 buckets keeps the broadcast log-ratio table
 # tiny while staying within ~2x of the paper's 10^4-bucket regime.
 _DSIR_BUCKETS, _DSIR_KEEP, _DSIR_TARGET_LANG = 4096, 0.25, "en"
+
+# round 9: PMI collocation mining — the min-support predicate that
+# decides the row set (integer, so the oracled row set is exact)
+_PMI_MIN_COUNT = 5

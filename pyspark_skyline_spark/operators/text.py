@@ -31,6 +31,7 @@ __all__ = [
     "hash_embed",
     "unigram_nll",
     "slice_divergence",
+    "pmi_collocations",
     "LANG_MARKERS",
 ]
 
@@ -689,6 +690,77 @@ def slice_divergence(
                 + F.lit(math.log(2.0)) * (F.lit(1.0) - F.col("__qcov"))
             )
         ).alias("js_vs_corpus"),
+    )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+) -> DataFrame:
+    """Corpus-level collocation extraction by pointwise mutual
+    information — the classic "which word pairs co-occur far more than
+    chance" primitive (vocabulary induction, multi-word-expression
+    mining, boilerplate phrase discovery). Returns one row per
+    distinct adjacent word pair seen at least ``min_count`` times:
+    ``(w1, w2, pair_count, w1_count, w2_count, pmi)`` with
+    ``pmi = ln( p(w1,w2) / (p(w1) p(w2)) )`` in nats — pair
+    probability over adjacent-bigram positions, unigram probabilities
+    over token positions.
+
+    The row SET is decided by an integer predicate (``pair_count >=
+    min_count``), so the operator is exactly oracle-able with no
+    float-boundary risk; the float ``pmi`` appears only as a value
+    column (``ln`` cross-engine agreement ~1e-12).
+
+    Scale shape: one explode for bigram positions and one for tokens
+    (both linear); both count tables are map-side-combined hash
+    aggregates (Zipf-safe) behind lazy checkpoints (each feeds a total
+    AND a join — without the lineage cut every consumer re-runs its
+    explode); the ``min_count`` filter prunes the Zipf tail BEFORE any
+    join, so the two unigram joins probe with the small surviving
+    candidate set (AQE broadcasts it); totals ride a broadcast 1-row
+    cross join."""
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    toks = tokens(F.col(text_col))
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    occ = df.select(F.explode(pairs).alias("__p")).select("__p.w1", "__p.w2")
+    bgc = (
+        occ.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .localCheckpoint(eager=False)
+    )
+    uni = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("__t"))
+        .groupBy("__t")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .localCheckpoint(eager=False)
+    )
+    tot = (
+        bgc.agg(F.sum("pair_count").alias("__nbg"))
+        .crossJoin(F.broadcast(uni.agg(F.sum("__c").alias("__nu"))))
+    )
+    cand = bgc.filter(F.col("pair_count") >= min_count)
+    j = (
+        cand.join(uni.withColumnRenamed("__t", "w1").withColumnRenamed("__c", "__c1"), "w1")
+        .join(uni.withColumnRenamed("__t", "w2").withColumnRenamed("__c", "__c2"), "w2")
+        .crossJoin(F.broadcast(tot))
+    )
+    return j.select(
+        "w1",
+        "w2",
+        F.col("pair_count").cast("long").alias("pair_count"),
+        F.col("__c1").cast("long").alias("w1_count"),
+        F.col("__c2").cast("long").alias("w2_count"),
+        F.log(
+            (F.col("pair_count") / F.col("__nbg"))
+            / ((F.col("__c1") / F.col("__nu")) * (F.col("__c2") / F.col("__nu")))
+        ).alias("pmi"),
     )
 
 

@@ -897,3 +897,47 @@ def test_slice_divergence_degenerate_single_slice(spark):
     assert abs(row["kl_vs_corpus"]) < 1e-12
     assert abs(row["js_vs_corpus"]) < 1e-12
     assert row["n_tokens"] == 7 and row["vocab"] == 4
+
+
+def test_pmi_collocations_matches_hand_model(spark):
+    """pmi_collocations == hand-computed PMI over adjacent pairs; the
+    min_count predicate decides the row set; a pair that always
+    co-occurs scores higher than independent-ish pairs."""
+    import math
+    from collections import Counter
+
+    texts = [
+        "new york is big",
+        "new york never sleeps",
+        "a big apple in new york",
+        "the apple is big",
+        "york new",  # reversed order: a DIFFERENT pair
+        None,
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    toks = [t.split() for t in texts if t]
+    unis = Counter(w for ts in toks for w in ts)
+    bgs = Counter((ts[i], ts[i + 1]) for ts in toks for i in range(len(ts) - 1))
+    nu, nbg = sum(unis.values()), sum(bgs.values())
+
+    def pmi(p):
+        return math.log((bgs[p] / nbg) / ((unis[p[0]] / nu) * (unis[p[1]] / nu)))
+
+    got = {
+        (r["w1"], r["w2"]): r
+        for r in T.pmi_collocations(df, "text", min_count=2).collect()
+    }
+    want = {p for p, c in bgs.items() if c >= 2}
+    assert set(got) == want
+    for p in want:
+        r = got[p]
+        assert r["pair_count"] == bgs[p]
+        assert r["w1_count"] == unis[p[0]] and r["w2_count"] == unis[p[1]]
+        assert abs(r["pmi"] - pmi(p)) < 1e-9, p
+    # both surviving pairs co-occur more than independence predicts
+    # (("is","big") actually outscores ("new","york") here — its
+    # unigrams are rarer — which the hand model reproduces exactly)
+    assert all(got[p]["pmi"] > 0 for p in want)
+
+    with pytest.raises(ValueError, match="min_count"):
+        T.pmi_collocations(df, "text", min_count=0)
