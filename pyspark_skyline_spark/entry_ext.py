@@ -39,7 +39,6 @@ from pyspark_skyline_spark.entry_params import (
     _CHUNK_OVERLAP,
     _CHUNK_TOKENS,
     _DSIR_BUCKETS,
-    _DSIR_KEEP,
     _DSIR_TARGET_LANG,
     _EVENT_TYPES,
     _MH_BANDS,
@@ -1086,25 +1085,32 @@ def _q_lang_divergence_documents(spark, sf_dir):
     return slice_divergence(docs, "lang", "text")
 
 
-def _q_dsir_select_documents(spark, sf_dir):
-    """DSIR importance-resampling data selection (round 9 —
-    operators/selection.py::dsir_select, after Xie et al., NeurIPS
+def _q_dsir_logweights_documents(spark, sf_dir):
+    """DSIR importance log-weights (round 9 —
+    operators/selection.py::dsir_logweights, after Xie et al., NeurIPS
     2023): hashed unigram+bigram multinomials fit on the English slice
     (target p) vs the whole corpus (raw q); per-doc importance
-    log-weight sum_b f_b(x)(ln p_b - ln q_b); deterministic
-    top-``_DSIR_KEEP`` cut via the skew-free range-shuffle ranking.
-    md5 hash mode -> the buckets are bit-reproducible in DuckDB, so
-    the row is exactly oracled (only the ln is engine-float, ~1e-12
-    agreement, inside the 9-decimal compare rounding)."""
-    from pyspark_skyline_spark.operators.selection import dsir_select
+    log-weight sum_b f_b(x)(ln p_b - ln q_b). md5 hash mode -> the
+    buckets are bit-reproducible in DuckDB, so the row is exactly
+    oracled (only the ln is engine-float, ~1e-12 agreement, inside the
+    9-decimal compare rounding).
+
+    Deliberately the SCORE surface, not dsir_select's rank-cut ``keep``
+    boolean: two documents with identical text have mathematically
+    equal logw, and Spark's partial-aggregation fold order can put
+    them 1 ulp apart while DuckDB ties them (then tie-breaks by id) —
+    if such a pair straddled the ceil(keep_frac*N) boundary the
+    boolean would diverge while every VALUE still matched. The repo's
+    rule is oracle-exact by construction, so the cut itself is graded
+    by the hand-model pytest (exact set + cardinality), not by SQL."""
+    from pyspark_skyline_spark.operators.selection import dsir_logweights
 
     docs = load_table(spark, sf_dir, "documents")
-    return dsir_select(
+    return dsir_logweights(
         docs,
         docs.filter(F.col("lang") == _DSIR_TARGET_LANG),
         "doc_id",
         "text",
-        keep_frac=_DSIR_KEEP,
         n_buckets=_DSIR_BUCKETS,
         hash_mode="md5",
     )
@@ -1418,10 +1424,12 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # FineWeb-style multi-filter blend, scale-free by construction);
     # all-integer output, exactly oracled
     "quality_ensemble_documents": _q_quality_ensemble_documents,
-    # round-9 addition: DSIR importance-resampling data selection
-    # (hashed-feature target-vs-raw multinomials, deterministic top-k
-    # cut); md5 hash mode, exactly oracled
-    "dsir_select_documents": _q_dsir_select_documents,
+    # round-9 addition: DSIR importance-resampling log-weights
+    # (hashed-feature target-vs-raw multinomials); md5 hash mode,
+    # exactly oracled. The top-k cut (dsir_select) is hand-model
+    # pytest-graded — see the query docstring for why the rank-cut
+    # boolean is deliberately not SQL-oracled.
+    "dsir_logweights_documents": _q_dsir_logweights_documents,
     # round-9 addition: per-slice KL/JS divergence vs the pooled
     # corpus (mixture-drift monitoring); smoothing-free by support
     # containment, exactly oracled

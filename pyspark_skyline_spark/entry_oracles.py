@@ -18,7 +18,6 @@ from pyspark_skyline_spark.entry_params import (
     _BATCH_PROBE_IDS,
     _BM25_TERMS,
     _DSIR_BUCKETS,
-    _DSIR_KEEP,
     _DSIR_TARGET_LANG,
     _EVENT_TYPES,
     _MH_BANDS,
@@ -902,16 +901,18 @@ SELECT doc_id, rank_n_tokens, rank_avg_wlen, rank_digit_frac, rank_sum,
        fin <= ceil(0.6 * n) AS keep
 FROM f
 """,
-    # round-9 DSIR selection: hashed unigram+bigram buckets are
+    # round-9 DSIR log-weights: hashed unigram+bigram buckets are
     # bit-reproducible via the md5-mode 60-bit hash (nonnegative, so
     # plain % == Spark's pmod); target multinomial = the English
     # slice, raw = the whole corpus, add-one smoothing over B buckets;
-    # the only engine-float step is the ln (~1e-12 agreement) and the
-    # cut index ceil(keep * n) is the identical IEEE multiply+ceil the
-    # operator runs driver-side. Bigram positions mirror
-    # bigram_nll_documents' 1-based slice convention; NULL text drops
-    # in both engines.
-    "dsir_select_documents": rf"""
+    # the only engine-float step is the ln (~1e-12 agreement). Bigram
+    # positions mirror bigram_nll_documents' 1-based slice convention;
+    # NULL text drops in both engines. Score surface only — the
+    # rank-cut keep boolean is NOT oracled (duplicate-text documents
+    # tie in exact math but can fold 1 ulp apart in Spark's partial
+    # aggregation, and a tie at the cut index would then tie-break
+    # differently than DuckDB; the cut is hand-model pytest-graded).
+    "dsir_logweights_documents": rf"""
 WITH arr AS (
   SELECT doc_id, lang, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
   FROM documents),
@@ -934,18 +935,11 @@ ratio AS (
   SELECT qc.b,
          ln((coalesce(pc.cp, 0) + 1.0) / (tot.np + {_DSIR_BUCKETS}))
            - ln((qc.cq + 1.0) / (tot.nq + {_DSIR_BUCKETS})) AS lr
-  FROM qc LEFT JOIN pc USING (b) CROSS JOIN tot),
-w AS (
-  SELECT occ.doc_id, sum(ratio.lr) AS logw,
-         CAST(count(*) AS BIGINT) AS n_feats
-  FROM occ JOIN ratio USING (b)
-  GROUP BY occ.doc_id),
-f AS (
-  SELECT doc_id, logw, n_feats,
-         row_number() OVER (ORDER BY -logw, doc_id) AS fin,
-         count(*) OVER () AS n
-  FROM w)
-SELECT doc_id, logw, n_feats, fin <= ceil({_DSIR_KEEP} * n) AS keep FROM f
+  FROM qc LEFT JOIN pc USING (b) CROSS JOIN tot)
+SELECT occ.doc_id, sum(ratio.lr) AS logw,
+       CAST(count(*) AS BIGINT) AS n_feats
+FROM occ JOIN ratio USING (b)
+GROUP BY occ.doc_id
 """,
     # round-9 PMI collocations: the min-support predicate on the
     # integer pair count decides the row set exactly; pmi is a value

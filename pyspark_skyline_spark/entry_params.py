@@ -50,11 +50,12 @@ _ND_LSH_T, _ND_LSH_PLANES, _ND_LSH_TABLES = 0.45, 4, 16
 _SS_K = 8
 
 # round 9: DSIR data selection (Xie et al., NeurIPS 2023) — hashed
-# unigram+bigram multinomials, target = the English slice, and a
-# deterministic top-25% cut (the zero-temperature limit of the paper's
-# Gumbel resampling). 4096 buckets keeps the broadcast log-ratio table
-# tiny while staying within ~2x of the paper's 10^4-bucket regime.
-_DSIR_BUCKETS, _DSIR_KEEP, _DSIR_TARGET_LANG = 4096, 0.25, "en"
+# unigram+bigram multinomials, target = the English slice. 4096
+# buckets keeps the broadcast log-ratio table tiny while staying
+# within ~2x of the paper's 10^4-bucket regime. (The registered row is
+# the score surface; the top-k cut is pytest-graded — see
+# _q_dsir_logweights_documents.)
+_DSIR_BUCKETS, _DSIR_TARGET_LANG = 4096, "en"
 
 # round 9: PMI collocation mining — the min-support predicate that
 # decides the row set (integer, so the oracled row set is exact)

@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from pyspark_skyline_spark.operators.dedup import hash64_expr
 from pyspark_skyline_spark.operators.shuffle import _global_row_number_with_total
-from pyspark_skyline_spark.operators.text import tokens
+from pyspark_skyline_spark.operators.text import adjacent_pairs, tokens
 
 __all__ = [
     "dsir_logweights",
@@ -57,15 +57,9 @@ def _feature_occurrences(
     toks = tokens(F.col(text_col))
     feats = toks
     if include_bigrams:
-        # bigrams from two shifted slices (zip_with children evaluate
-        # once per row — see dedup.ordered_shingles for why not a
-        # transform-over-indices); the single-space join byte cannot
-        # collide with a unigram because unigrams are whitespace-split
-        pairs = F.zip_with(
-            F.slice(toks, 1, F.size(toks) - 1),
-            F.slice(toks, 2, F.size(toks) - 1),
-            lambda a, b: F.concat(a, F.lit(" "), b),
-        )
+        # the single-space join byte cannot collide with a unigram
+        # because unigrams are whitespace-split
+        pairs = adjacent_pairs(toks, lambda a, b: F.concat(a, F.lit(" "), b))
         feats = F.concat(toks, pairs)
     return df.select(F.col(id_col), F.explode(feats).alias("__feat"))
 
@@ -176,9 +170,14 @@ def dsir_select(
     ``ceil(keep_frac * N)`` documents.
 
     ``sample_mode="topk"`` (default) keeps the highest-weight
-    documents deterministically (ties broken by ascending id — the
-    zero-temperature limit of the paper's Gumbel resampling; no RNG,
-    so the cut is engine-independent and oracle-able).
+    documents (ties broken by ascending id — the zero-temperature
+    limit of the paper's Gumbel resampling; no RNG). Caveat for
+    exact-duplicate texts: their logw values are equal in exact math
+    but are float SUMS, so partial-aggregation fold order can place
+    them 1 ulp apart — which of an identical pair straddling the cut
+    index is kept is then fold-order dependent. This is why the
+    registered oracle row exposes ``dsir_logweights`` (every value
+    engine-exact) while the cut is graded by the hand-model pytest.
 
     ``sample_mode="gumbel"`` is the paper's actual sampler: the
     Gumbel-top-k trick (perturb each ``logw`` with an independent

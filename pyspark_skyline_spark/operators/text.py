@@ -10,6 +10,8 @@ bit-for-bit.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 __all__ = [
@@ -39,6 +41,24 @@ __all__ = [
 def tokens(col) -> Column:
     """Whitespace tokens of trimmed, lowercased text."""
     return F.split(F.lower(F.trim(col)), r"\s+")
+
+
+def adjacent_pairs(toks: Column, combine) -> Column:
+    """Array of ``combine(toks[i], toks[i+1])`` over a token array's
+    adjacent positions (1-based slice convention — the one every
+    DuckDB oracle mirrors as ``range(1, len(toks))``). ``combine`` is
+    a two-Column lambda; built on ``zip_with`` over two shifted slices
+    because zip_with children evaluate once per row (a ``transform``
+    over indices re-evaluates the token expression per ELEMENT — the
+    ~50x interpreted-HOF penalty documented at
+    dedup.ordered_shingles). Shared by bigram_nll, pmi_collocations,
+    and selection._feature_occurrences so the index arithmetic exists
+    exactly once."""
+    return F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1),
+        combine,
+    )
 
 
 def token_count(df: DataFrame, text_col: str = "text", out: str = "n_tokens") -> DataFrame:
@@ -644,8 +664,6 @@ def slice_divergence(
     total is a broadcast 1-row cross join; the (group, token) ⋈ token
     equi-join AQE-broadcasts real vocabularies and shuffle-joins past
     the threshold; one per-group sum ends it."""
-    import math
-
     occ = df.select(
         F.col(group_col), F.explode(tokens(F.col(text_col))).alias("__t")
     )
@@ -724,10 +742,8 @@ def pmi_collocations(
     if min_count < 1:
         raise ValueError(f"min_count must be >= 1, got {min_count}")
     toks = tokens(F.col(text_col))
-    pairs = F.zip_with(
-        F.slice(toks, 1, F.size(toks) - 1),
-        F.slice(toks, 2, F.size(toks) - 1),
-        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    pairs = adjacent_pairs(
+        toks, lambda a, b: F.struct(a.alias("w1"), b.alias("w2"))
     )
     occ = df.select(F.explode(pairs).alias("__p")).select("__p.w1", "__p.w2")
     bgc = (
@@ -802,9 +818,8 @@ def bigram_nll(
     # to the vocabulary (coalescing to '' would instead mint an
     # empty-string token and silently inflate V)
     toks = tokens(F.col(text_col))
-    pairs = F.zip_with(
-        F.slice(toks, 1, F.size(toks) - 1),
-        F.slice(toks, 2, F.size(toks) - 1),
+    pairs = adjacent_pairs(
+        toks,
         lambda a, b: F.struct(
             a.alias("__prev"), F.concat_ws(" ", a, b).alias("__bg")
         ),
