@@ -40,6 +40,7 @@ from pyspark_skyline_spark.entry_params import (
     _CHUNK_TOKENS,
     _DSIR_BUCKETS,
     _DSIR_TARGET_LANG,
+    _EDC_PROBE_MAX,
     _EVENT_TYPES,
     _MH_BANDS,
     _MH_HASHES,
@@ -1060,6 +1061,26 @@ def _q_bigram_nll_documents(spark, sf_dir):
     return bigram_nll(docs, "doc_id", "text")
 
 
+def _q_embedding_decontam_embeddings(spark, sf_dir):
+    """Embedding-space decontamination (round 9 —
+    operators/similarity.py::embedding_decontaminate): max cosine of
+    every corpus embedding against the broadcast probe set (the first
+    _EDC_PROBE_MAX vec_ids standing in for an eval set). fold impl —
+    the native sequential-fold cosine is bit-reproducible in DuckDB;
+    max over a fixed set of doubles is fold-order-free, so the only
+    engine-float is the per-pair arithmetic (~1e-12, inside compare
+    rounding) and there is no rank-cut or row-set boundary."""
+    from pyspark_skyline_spark.operators.similarity import (
+        embedding_decontaminate,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < _EDC_PROBE_MAX)
+    return embedding_decontaminate(
+        emb, probes, "vec_id", "embedding", "embedding", impl="fold"
+    )
+
+
 def _q_pmi_collocations_documents(spark, sf_dir):
     """PMI collocation mining (round 9 —
     operators/text.py::pmi_collocations): adjacent word pairs seen >=
@@ -1437,6 +1458,10 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-9 addition: PMI collocation mining (integer-predicate row
     # set, float pmi as a value column only); exactly oracled
     "pmi_collocations_documents": _q_pmi_collocations_documents,
+    # round-9 addition: embedding-space eval-set decontamination (max
+    # cosine vs broadcast probes — fold-order-free, no row-set
+    # boundary); exactly oracled
+    "embedding_decontam_embeddings": _q_embedding_decontam_embeddings,
 }
 
 

@@ -19,6 +19,7 @@ from pyspark_skyline_spark.entry_params import (
     _BM25_TERMS,
     _DSIR_BUCKETS,
     _DSIR_TARGET_LANG,
+    _EDC_PROBE_MAX,
     _EVENT_TYPES,
     _MH_BANDS,
     _MH_HASHES,
@@ -402,6 +403,25 @@ scored AS (
   FROM e, p WHERE vec_id <> {_PROBE_ID})
 SELECT CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS BIGINT) AS rank, vec_id
 FROM scored ORDER BY cos DESC, vec_id LIMIT {_TOPK_K}
+"""
+
+
+def _embedding_decontam_oracle() -> str:
+    """Max cosine vs the probe subset: the same sequential-fold dot
+    product every embeddings oracle uses; MAX over a fixed set of
+    doubles is fold-order-free, so no rank/row-set boundary exists —
+    only per-pair float arithmetic under the 9-decimal rounding. NULL
+    vectors are excluded on both sides (matching the operator)."""
+    dot_vp = _FOLD.format(a="v", b="pv")
+    dot_vv = _FOLD.format(a="v", b="v")
+    dot_pp = _FOLD.format(a="pv", b="pv")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE embedding IS NOT NULL),
+p AS (SELECT v AS pv FROM e WHERE vec_id < {_EDC_PROBE_MAX})
+SELECT e.vec_id,
+       max({dot_vp} / (sqrt({dot_vv}) * sqrt({dot_pp}))) AS max_sim
+FROM e, p GROUP BY e.vec_id
 """
 
 
@@ -817,6 +837,7 @@ SELECT node, CAST(min(r) AS BIGINT) AS cluster_id FROM reach GROUP BY node
     # oracles apply because the driver parameters disable pruning
     "cosine_topk_lsh_embeddings": _cosine_topk_oracle(),
     "cosine_topk_ivf_embeddings": _cosine_topk_oracle(),
+    "embedding_decontam_embeddings": _embedding_decontam_oracle(),
     "cosine_near_dup_embeddings": _cosine_near_dup_oracle(_ND_LSH_T),
     "cosine_near_dup_lsh_embeddings": _cosine_near_dup_lsh_oracle(
         _ND_LSH_T, _ND_LSH_PLANES, _ND_LSH_TABLES

@@ -60,3 +60,7 @@ _DSIR_BUCKETS, _DSIR_TARGET_LANG = 4096, "en"
 # round 9: PMI collocation mining — the min-support predicate that
 # decides the row set (integer, so the oracled row set is exact)
 _PMI_MIN_COUNT = 5
+
+# round 9: embedding-space decontamination — the fixture's first
+# _EDC_PROBE_MAX vec_ids stand in for a small eval/benchmark set
+_EDC_PROBE_MAX = 8

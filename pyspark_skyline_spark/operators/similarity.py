@@ -42,6 +42,7 @@ __all__ = [
     "ivf_assign",
     "train_ivf_centroids",
     "cosine_near_dup_pairs",
+    "embedding_decontaminate",
     "semantic_dedup",
 ]
 
@@ -213,6 +214,68 @@ def cosine_topk_batch(
         F.col("__pid").alias(probe_id_col),
         F.col("rank").cast("long").alias("rank"),
         id_col,
+    )
+
+
+def embedding_decontaminate(
+    df: DataFrame,
+    probes: DataFrame,
+    id_col: str,
+    vec_col: str,
+    probe_vec_col: str,
+    impl: str = "arrow",
+) -> DataFrame:
+    """Max cosine similarity of every corpus embedding against a small
+    PROBE set (eval/benchmark embeddings) — paraphrase-level
+    decontamination, the embedding-space complement of the n-gram
+    ``filtering.decontaminate`` (which only catches verbatim overlap).
+    Returns ``(id_col, max_sim)``; the caller thresholds/sorts — max
+    over a fixed set of doubles is fold-order-free, so the output has
+    no rank-cut or row-set float boundary and the operator is
+    oracle-able under value rounding alone. Corpus rows with a NULL
+    vector are dropped in BOTH impls (they cannot be scored).
+
+    Scale shape: eval sets are small (10^2..10^5 rows) and the corpus
+    is not, so the probe side always broadcasts and the corpus is
+    scanned once with NO shuffle at all in the arrow impl (per-batch
+    GEMM against the captured probe matrix, then a row-local max) —
+    the same pattern the n-gram decontaminate documents for its
+    broadcast probe grams. The fold impl (broadcast cross join +
+    per-id max, native sequential-fold cosine) is the bit-reproducible
+    oracle path, like ``cosine_topk_batch``'s."""
+    for c, d_ in ((id_col, df), (vec_col, df), (probe_vec_col, probes)):
+        if c not in d_.columns:
+            raise ValueError(f"column {c!r} not found")
+    if impl == "fold":
+        p = probes.where(F.col(probe_vec_col).isNotNull()).select(
+            F.col(probe_vec_col).alias("__pvec")
+        )
+        return (
+            df.where(F.col(vec_col).isNotNull())
+            .crossJoin(F.broadcast(p))
+            .withColumn("__cos", cosine(F.col(vec_col), F.col("__pvec")))
+            .groupBy(id_col)
+            .agg(F.max("__cos").alias("max_sim"))
+        )
+    if impl != "arrow":
+        raise ValueError(f"impl must be fold|arrow, got {impl!r}")
+    prows = probes.where(F.col(probe_vec_col).isNotNull()).select(probe_vec_col).collect()
+    if not prows:
+        raise ValueError("probes is empty")
+    dims = {len(r[0]) for r in prows}
+    if len(dims) != 1:
+        raise ValueError(f"probe vectors have mixed dimensions {sorted(dims)}")
+    P = np.asarray([r[0] for r in prows], dtype=np.float64)
+    Punit = P / np.maximum(np.linalg.norm(P, axis=1, keepdims=True), 1e-12)
+
+    @F.pandas_udf("double")
+    def max_sim(s: pd.Series) -> pd.Series:
+        m = np.vstack(s.to_numpy()).astype(np.float64)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return pd.Series((m @ Punit.T).max(axis=1))
+
+    return df.where(F.col(vec_col).isNotNull()).select(
+        id_col, max_sim(F.col(vec_col)).alias("max_sim")
     )
 
 

@@ -409,3 +409,44 @@ def test_semantic_dedup_max_cell_guard(spark):
         S.semantic_dedup(
             df, "vec_id", "embedding", nlist=1, threshold=0.95, max_cell=10
         ).collect()
+
+
+def test_embedding_decontaminate_matches_numpy(emb):
+    """arrow and fold impls both == the NumPy reference max-cosine
+    against a probe subset; NULL-vector corpus rows are absent; empty
+    probe set raises (arrow) and bad impl raises."""
+    rows = emb.collect()
+    ids = np.array([r.vec_id for r in rows])
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    pmask = ids < 8
+    P = mat[pmask]
+    munit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    punit = P / np.linalg.norm(P, axis=1, keepdims=True)
+    want = dict(zip((int(i) for i in ids), (munit @ punit.T).max(axis=1)))
+
+    probes = emb.filter("vec_id < 8")
+    for impl in ("arrow", "fold"):
+        got = {
+            r["vec_id"]: r["max_sim"]
+            for r in S.embedding_decontaminate(
+                emb, probes, "vec_id", "embedding", "embedding", impl=impl
+            ).collect()
+        }
+        assert set(got) == set(want), impl
+        for i, v in want.items():
+            assert abs(got[i] - v) < 1e-9, (impl, i)
+        # probe rows score against themselves -> exactly 1.0 max
+        assert all(abs(got[i] - 1.0) < 1e-12 for i in range(8)), impl
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="probes is empty"):
+        S.embedding_decontaminate(
+            emb, emb.filter("vec_id < 0"), "vec_id", "embedding", "embedding"
+        )
+    with _pt.raises(ValueError, match="impl"):
+        S.embedding_decontaminate(
+            emb, probes, "vec_id", "embedding", "embedding", impl="bogus"
+        )
+    with _pt.raises(ValueError, match="not found"):
+        S.embedding_decontaminate(emb, probes, "vec_id", "nope", "embedding")
