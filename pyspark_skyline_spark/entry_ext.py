@@ -1061,6 +1061,20 @@ def _q_bigram_nll_documents(spark, sf_dir):
     return bigram_nll(docs, "doc_id", "text")
 
 
+def _q_mi_orders(spark, sf_dir):
+    """Categorical mutual information (round 9 —
+    operators/profile.py::categorical_mi): MI(o_orderstatus;
+    o_orderpriority) in nats from the contingency table — the
+    dependence probe for non-numeric columns. Single-row integer-exact
+    output shape; only the ln is engine-float (~1e-12). The
+    ratio-of-probabilities form avoids the long-overflow the integer
+    cross-product form hits near 10^10 rows."""
+    from pyspark_skyline_spark.operators.profile import categorical_mi
+
+    orders = load_table(spark, sf_dir, "orders")
+    return categorical_mi(orders, "o_orderstatus", "o_orderpriority")
+
+
 def _q_embedding_decontam_embeddings(spark, sf_dir):
     """Embedding-space decontamination (round 9 —
     operators/similarity.py::embedding_decontaminate): max cosine of
@@ -1462,6 +1476,9 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # cosine vs broadcast probes — fold-order-free, no row-set
     # boundary); exactly oracled
     "embedding_decontam_embeddings": _q_embedding_decontam_embeddings,
+    # round-9 addition: categorical mutual information (contingency
+    # dependence probe, single-row output); exactly oracled
+    "mi_orders": _q_mi_orders,
 }
 
 

@@ -838,6 +838,24 @@ SELECT node, CAST(min(r) AS BIGINT) AS cluster_id FROM reach GROUP BY node
     "cosine_topk_lsh_embeddings": _cosine_topk_oracle(),
     "cosine_topk_ivf_embeddings": _cosine_topk_oracle(),
     "embedding_decontam_embeddings": _embedding_decontam_oracle(),
+    # round-9 categorical MI: contingency counts are integer-exact;
+    # the ratio-of-probabilities form matches the operator expression
+    # exactly (the integer cross-product form would overflow a long
+    # near 10^10 rows on the Spark side)
+    "mi_orders": """
+WITH base AS (
+  SELECT o_orderstatus AS a, o_orderpriority AS b FROM orders
+  WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL),
+joint AS (SELECT a, b, count(*) AS cab FROM base GROUP BY a, b),
+ma AS (SELECT a, sum(cab) AS ca FROM joint GROUP BY a),
+mb AS (SELECT b, sum(cab) AS cb FROM joint GROUP BY b),
+tot AS (SELECT sum(cab) AS n FROM joint)
+SELECT sum((cab / n) * ln((cab / n) / ((ca / n) * (cb / n)))) AS mi_nats,
+       CAST(sum(cab) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT a) AS BIGINT) AS n_a,
+       CAST(count(DISTINCT b) AS BIGINT) AS n_b
+FROM joint JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN tot
+""",
     "cosine_near_dup_embeddings": _cosine_near_dup_oracle(_ND_LSH_T),
     "cosine_near_dup_lsh_embeddings": _cosine_near_dup_lsh_oracle(
         _ND_LSH_T, _ND_LSH_PLANES, _ND_LSH_TABLES

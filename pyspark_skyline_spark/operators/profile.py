@@ -15,7 +15,68 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import NumericType
 
-__all__ = ["column_profile", "column_quantiles", "column_correlations", "histogram"]
+__all__ = [
+    "column_profile",
+    "column_quantiles",
+    "column_correlations",
+    "categorical_mi",
+    "histogram",
+]
+
+
+def categorical_mi(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Mutual information (nats) between two categorical columns — the
+    dependence probe `column_correlations` cannot give for
+    non-numeric columns (is `status` informative about `priority`? is
+    a quality flag secretly a language detector?). Returns ONE row:
+    ``(mi_nats, n_rows, n_a, n_b)`` — MI plus the row count scored and
+    each column's distinct cardinality. Rows where either column is
+    NULL are excluded (NULL equi-joins drop them silently otherwise;
+    excluding them is the explicit, documented convention).
+
+    ``MI = Σ_ab p(a,b) · ln( p(a,b) / (p(a) p(b)) )`` over the joint
+    contingency table. Exact arithmetic but the ``ln`` (~1e-12
+    cross-engine), an integer-exact single-row output shape, so the
+    operator is exactly oracle-able.
+
+    Scale shape: ONE map-side-combined hash aggregate of the corpus to
+    the joint table (cardinality |A|·|B| — tiny for real categoricals;
+    a lazy checkpoint cuts lineage because three consumers derive from
+    it: both marginals and the total); the marginals re-aggregate the
+    already-reduced joint table, never the corpus; two equi-joins over
+    contingency-sized tables and one scalar sum end it."""
+    if col_a == col_b:
+        raise ValueError("col_a and col_b must differ")
+    base = df.select(col_a, col_b).dropna()
+    joint = (
+        base.groupBy(col_a, col_b)
+        .agg(F.count(F.lit(1)).alias("__cab"))
+        .localCheckpoint(eager=False)
+    )
+    ma = joint.groupBy(col_a).agg(F.sum("__cab").alias("__ca"))
+    mb = joint.groupBy(col_b).agg(F.sum("__cab").alias("__cb"))
+    tot = joint.agg(
+        F.sum("__cab").alias("__n"), F.count(F.lit(1)).alias("__cells")
+    )
+    j = (
+        joint.join(ma, col_a)
+        .join(mb, col_b)
+        .crossJoin(F.broadcast(tot))
+    )
+    # ratio-of-probabilities form, not (cab*n)/(ca*cb): the integer
+    # products overflow a long near 10^10-row inputs (ANSI throw);
+    # probabilities divide first and stay in double range, and the
+    # oracle runs the identical expression
+    pab = F.col("__cab") / F.col("__n")
+    contrib = pab * F.log(
+        pab / ((F.col("__ca") / F.col("__n")) * (F.col("__cb") / F.col("__n")))
+    )
+    return j.agg(
+        F.sum(contrib).alias("mi_nats"),
+        F.sum("__cab").cast("long").alias("n_rows"),
+        F.count_distinct(F.col(col_a)).cast("long").alias("n_a"),
+        F.count_distinct(F.col(col_b)).cast("long").alias("n_b"),
+    )
 
 
 def column_profile(

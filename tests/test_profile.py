@@ -135,3 +135,49 @@ def test_histogram_edge_cases(spark):
     bad = spark.createDataFrame([("a",)], "s string")
     with pytest.raises(ValueError):
         histogram(bad, "s")
+
+
+def test_categorical_mi_matches_hand_model(spark):
+    """categorical_mi == hand-computed contingency MI; independent
+    columns score ~0; a bijective copy scores exactly H(A); NULL rows
+    are excluded; same-column call raises."""
+    import math
+    from collections import Counter
+
+    from pyspark_skyline_spark.operators.profile import categorical_mi
+
+    rows = [
+        ("x", "p"), ("x", "p"), ("x", "q"),
+        ("y", "q"), ("y", "q"), ("y", "p"),
+        ("z", "r"), ("z", "r"), (None, "p"), ("x", None),
+    ]
+    df = spark.createDataFrame(rows, "a string, b string")
+    clean = [(a, b) for a, b in rows if a is not None and b is not None]
+    jc = Counter(clean)
+    ac = Counter(a for a, _ in clean)
+    bc = Counter(b for _, b in clean)
+    n = len(clean)
+    want = sum(
+        (c / n) * math.log(c * n / (ac[a] * bc[b])) for (a, b), c in jc.items()
+    )
+    got = categorical_mi(df, "a", "b").collect()[0]
+    assert abs(got["mi_nats"] - want) < 1e-9
+    assert got["n_rows"] == n and got["n_a"] == 3 and got["n_b"] == 3
+
+    # bijective dependence: MI == H(A) (here ln 2 for a 50/50 split)
+    dep = spark.createDataFrame(
+        [("u", "U"), ("u", "U"), ("v", "V"), ("v", "V")], "a string, b string"
+    )
+    got2 = categorical_mi(dep, "a", "b").collect()[0]
+    assert abs(got2["mi_nats"] - math.log(2)) < 1e-12
+
+    # independence: uniform product table -> MI exactly 0 by symmetry
+    ind = spark.createDataFrame(
+        [(a, b) for a in "uv" for b in "UV"], "a string, b string"
+    )
+    assert abs(categorical_mi(ind, "a", "b").collect()[0]["mi_nats"]) < 1e-12
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="differ"):
+        categorical_mi(df, "a", "a")
