@@ -411,7 +411,9 @@ def _embedding_decontam_oracle() -> str:
     product every embeddings oracle uses; MAX over a fixed set of
     doubles is fold-order-free, so no rank/row-set boundary exists —
     only per-pair float arithmetic under the 9-decimal rounding. NULL
-    vectors are excluded on both sides (matching the operator)."""
+    vectors are excluded on both sides, and the norm clamp
+    greatest(sqrt(.), 1e-12) is the operator's exact expression (an
+    all-zero vector scores ~0 instead of NaN)."""
     dot_vp = _FOLD.format(a="v", b="pv")
     dot_vv = _FOLD.format(a="v", b="v")
     dot_pp = _FOLD.format(a="pv", b="pv")
@@ -420,7 +422,8 @@ WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
            WHERE embedding IS NOT NULL),
 p AS (SELECT v AS pv FROM e WHERE vec_id < {_EDC_PROBE_MAX})
 SELECT e.vec_id,
-       max({dot_vp} / (sqrt({dot_vv}) * sqrt({dot_pp}))) AS max_sim
+       max({dot_vp} / (greatest(sqrt({dot_vv}), 1e-12)
+                       * greatest(sqrt({dot_pp}), 1e-12))) AS max_sim
 FROM e, p GROUP BY e.vec_id
 """
 

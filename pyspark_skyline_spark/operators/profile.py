@@ -47,6 +47,9 @@ def categorical_mi(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
     contingency-sized tables and one scalar sum end it."""
     if col_a == col_b:
         raise ValueError("col_a and col_b must differ")
+    missing = [c for c in (col_a, col_b) if c not in df.columns]
+    if missing:
+        raise ValueError(f"columns {missing} not in DataFrame columns")
     base = df.select(col_a, col_b).dropna()
     joint = (
         base.groupBy(col_a, col_b)
@@ -55,9 +58,7 @@ def categorical_mi(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
     )
     ma = joint.groupBy(col_a).agg(F.sum("__cab").alias("__ca"))
     mb = joint.groupBy(col_b).agg(F.sum("__cab").alias("__cb"))
-    tot = joint.agg(
-        F.sum("__cab").alias("__n"), F.count(F.lit(1)).alias("__cells")
-    )
+    tot = joint.agg(F.sum("__cab").alias("__n"))
     j = (
         joint.join(ma, col_a)
         .join(mb, col_b)

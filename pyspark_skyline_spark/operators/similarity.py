@@ -241,30 +241,57 @@ def embedding_decontaminate(
     GEMM against the captured probe matrix, then a row-local max) —
     the same pattern the n-gram decontaminate documents for its
     broadcast probe grams. The fold impl (broadcast cross join +
-    per-id max, native sequential-fold cosine) is the bit-reproducible
-    oracle path, like ``cosine_topk_batch``'s."""
+    per-id max, native sequential-fold cosine with the same clamped
+    norm the arrow GEMM uses — an all-zero probe scores ~0, never
+    NaN-poisons the max) is the bit-reproducible oracle path, like
+    ``cosine_topk_batch``'s. Both impls validate the probe set
+    up-front (non-empty after NULL drop, one dimension) — a silently
+    empty probe set in a decontamination check would read as "no
+    contamination" for the whole corpus. One documented divergence on
+    degenerate input: duplicated corpus ids collapse to one max row
+    under fold (per-id aggregate — also what the SQL oracle's GROUP BY
+    computes) but score row-by-row under arrow (no shuffle, no
+    grouping); ids are unique in any well-formed embedding table."""
     for c, d_ in ((id_col, df), (vec_col, df), (probe_vec_col, probes)):
         if c not in d_.columns:
             raise ValueError(f"column {c!r} not found")
+    if impl not in ("fold", "arrow"):
+        raise ValueError(f"impl must be fold|arrow, got {impl!r}")
+    # probe-set validation for BOTH impls (probes are small by
+    # contract, so this driver-side peek is one tiny job): an empty or
+    # dimension-mixed probe set must fail loudly — under fold it would
+    # otherwise silently yield 0 rows / silently skip the malformed
+    # probes (zip_with null-pads, NULL cosine, max drops it)
+    dims = [
+        r[0]
+        for r in probes.where(F.col(probe_vec_col).isNotNull())
+        .select(F.size(probe_vec_col))
+        .distinct()
+        .collect()
+    ]
+    if not dims:
+        raise ValueError("probes is empty")
+    if len(dims) != 1:
+        raise ValueError(f"probe vectors have mixed dimensions {sorted(dims)}")
     if impl == "fold":
         p = probes.where(F.col(probe_vec_col).isNotNull()).select(
             F.col(probe_vec_col).alias("__pvec")
         )
+        # clamped-norm cosine, mirroring the arrow GEMM (and the SQL
+        # oracle's greatest(sqrt(...), 1e-12)): 0.0/0.0 would be NaN,
+        # and Spark's max sorts NaN above every double
+        num = dot_product(F.col(vec_col), F.col("__pvec"))
+        den = F.greatest(l2_norm(F.col(vec_col)), F.lit(1e-12)) * F.greatest(
+            l2_norm(F.col("__pvec")), F.lit(1e-12)
+        )
         return (
             df.where(F.col(vec_col).isNotNull())
             .crossJoin(F.broadcast(p))
-            .withColumn("__cos", cosine(F.col(vec_col), F.col("__pvec")))
+            .withColumn("__cos", num / den)
             .groupBy(id_col)
             .agg(F.max("__cos").alias("max_sim"))
         )
-    if impl != "arrow":
-        raise ValueError(f"impl must be fold|arrow, got {impl!r}")
     prows = probes.where(F.col(probe_vec_col).isNotNull()).select(probe_vec_col).collect()
-    if not prows:
-        raise ValueError("probes is empty")
-    dims = {len(r[0]) for r in prows}
-    if len(dims) != 1:
-        raise ValueError(f"probe vectors have mixed dimensions {sorted(dims)}")
     P = np.asarray([r[0] for r in prows], dtype=np.float64)
     Punit = P / np.maximum(np.linalg.norm(P, axis=1, keepdims=True), 1e-12)
 

@@ -181,3 +181,13 @@ def test_categorical_mi_matches_hand_model(spark):
 
     with _pt.raises(ValueError, match="differ"):
         categorical_mi(df, "a", "a")
+
+
+def test_categorical_mi_missing_column_raises(spark):
+    import pytest as _pt
+
+    from pyspark_skyline_spark.operators.profile import categorical_mi
+
+    df = spark.createDataFrame([("x", "p")], "a string, b string")
+    with _pt.raises(ValueError, match="not in DataFrame columns"):
+        categorical_mi(df, "a", "nope")

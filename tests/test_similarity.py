@@ -440,13 +440,44 @@ def test_embedding_decontaminate_matches_numpy(emb):
 
     import pytest as _pt
 
-    with _pt.raises(ValueError, match="probes is empty"):
-        S.embedding_decontaminate(
-            emb, emb.filter("vec_id < 0"), "vec_id", "embedding", "embedding"
-        )
+    # both impls fail loudly on an empty probe set — a silent 0-row
+    # result from fold would read as "no contamination" (review find)
+    for impl in ("arrow", "fold"):
+        with _pt.raises(ValueError, match="probes is empty"):
+            S.embedding_decontaminate(
+                emb, emb.filter("vec_id < 0"), "vec_id", "embedding", "embedding",
+                impl=impl,
+            )
     with _pt.raises(ValueError, match="impl"):
         S.embedding_decontaminate(
             emb, probes, "vec_id", "embedding", "embedding", impl="bogus"
         )
     with _pt.raises(ValueError, match="not found"):
         S.embedding_decontaminate(emb, probes, "vec_id", "nope", "embedding")
+
+
+def test_embedding_decontaminate_degenerate_probes(spark, emb):
+    """Mixed-dimension probe sets raise under BOTH impls (fold used to
+    silently skip the malformed probes via zip_with null-padding), and
+    an all-zero probe scores ~0 under BOTH impls (fold used to produce
+    0/0 = NaN, which Spark's max sorts above every real similarity)."""
+    import pytest as _pt
+
+    mixed = spark.createDataFrame(
+        [(1, [1.0] * 64), (2, [1.0] * 32)], "pid long, embedding array<double>"
+    )
+    for impl in ("arrow", "fold"):
+        with _pt.raises(ValueError, match="mixed dimensions"):
+            S.embedding_decontaminate(
+                emb, mixed, "vec_id", "embedding", "embedding", impl=impl
+            )
+
+    zero = spark.createDataFrame(
+        [(1, [0.0] * 64)], "pid long, embedding array<double>"
+    )
+    for impl in ("arrow", "fold"):
+        out = S.embedding_decontaminate(
+            emb.limit(5), zero, "vec_id", "embedding", "embedding", impl=impl
+        ).collect()
+        assert len(out) == 5, impl
+        assert all(abs(r["max_sim"]) < 1e-6 for r in out), (impl, out)
