@@ -1061,6 +1061,21 @@ def _q_bigram_nll_documents(spark, sf_dir):
     return bigram_nll(docs, "doc_id", "text")
 
 
+def _q_dedup_keep_best_documents(spark, sf_dir):
+    """Keep-best near-dup dedup (round 9 —
+    operators/dedup.py::dedup_keep_best): connected components over
+    the ngram-Jaccard pair graph (same pairs as
+    near_dup_clusters_documents), winner per cluster by (n_chars desc,
+    doc_id) with singletons keeping themselves. Integer quality +
+    integer cluster labels + id tie-break -> every output value
+    integer/boolean, zero float risk at the recursive-CTE oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_k=_NJ_K, threshold=_NJ_T
+    )
+    return D.dedup_keep_best(docs, pairs, "doc_id", "n_chars")
+
+
 def _q_mi_orders(spark, sf_dir):
     """Categorical mutual information (round 9 —
     operators/profile.py::categorical_mi): MI(o_orderstatus;
@@ -1479,6 +1494,9 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-9 addition: categorical mutual information (contingency
     # dependence probe, single-row output); exactly oracled
     "mi_orders": _q_mi_orders,
+    # round-9 addition: keep-best-copy near-dup dedup (all-integer
+    # output over the recursive-CTE cluster oracle); exactly oracled
+    "dedup_keep_best_documents": _q_dedup_keep_best_documents,
 }
 
 

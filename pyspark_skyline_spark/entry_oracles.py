@@ -835,6 +835,31 @@ reach(node, r) AS (
   SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.node)
 SELECT node, CAST(min(r) AS BIGINT) AS cluster_id FROM reach GROUP BY node
 """,
+    # round-9 keep-best dedup over the same recursive-CTE components:
+    # singletons (docs outside the pair graph) label themselves via
+    # the left-join coalesce; winner per cluster by (n_chars DESC,
+    # doc_id) with NULLS LAST made explicit (engines disagree on the
+    # default NULL order) — all-integer/boolean output
+    "dedup_keep_best_documents": f"""
+WITH RECURSIVE pairs AS ({_ngram_jaccard_oracle().strip()}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.node),
+clusters AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node),
+labeled AS (
+  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id, d.n_chars
+  FROM documents d LEFT JOIN clusters c ON d.doc_id = c.node)
+SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+       row_number() OVER (PARTITION BY cluster_id
+                          ORDER BY n_chars DESC NULLS LAST, doc_id) = 1 AS keep
+FROM labeled
+""",
     "cosine_topk_embeddings": _cosine_topk_oracle(),
     # exhaustive-mode ANN entries (see the query docstrings): the exact
     # oracles apply because the driver parameters disable pruning

@@ -34,6 +34,7 @@ __all__ = [
     "simhash_pairs",
     "ngram_jaccard_pairs",
     "near_dup_clusters",
+    "dedup_keep_best",
     "dedup_corpus",
     "dedup_corpus_exact_phase",
     "dedup_incremental",
@@ -899,6 +900,60 @@ def near_dup_clusters(
         if changed == 0:
             break
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "n_chars",
+    higher_is_better: bool = True,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Near-dup dedup that keeps the BEST copy per duplicate cluster
+    instead of the smallest id — what a production pipeline actually
+    wants (the longest / highest-quality / most-recent variant
+    survives, not whichever happened to get the low id). Builds the
+    connected components of the verified pair graph
+    (:func:`near_dup_clusters`), treats every document absent from the
+    graph as its own singleton cluster, and flags the per-cluster
+    winner by ``(quality_col best, id_col asc)``.
+
+    Returns one row per input document: ``(id_col, cluster_id,
+    keep)``. With an integer quality column (length, token count,
+    recency epoch) every output value is integer/boolean, so the
+    operator is exactly oracle-able against a recursive-CTE
+    connected-components SQL with zero float risk. NULL qualities sort
+    LAST explicitly (engines disagree on default NULL order).
+
+    Scale shape: the pair graph is orders of magnitude smaller than
+    the corpus (verified near-dups only); the corpus-side work is one
+    left equi-join against the node→cluster table and one keyed window
+    over ``cluster_id`` carrying a three-column projection — clusters
+    are small by construction (they are near-duplicate groups), so the
+    window never sees a giant partition, and singletons ride the same
+    hash shuffle."""
+    if quality_col not in df.columns or id_col not in df.columns:
+        raise ValueError(f"{id_col!r}/{quality_col!r} must be columns of df")
+    clusters = near_dup_clusters(pairs, id_a, id_b)
+    labeled = (
+        df.select(id_col, quality_col)
+        .join(clusters.withColumnRenamed("node", id_col), id_col, "left")
+        .withColumn(
+            "cluster_id",
+            F.coalesce(F.col("cluster_id"), F.col(id_col).cast("long")),
+        )
+    )
+    best = (
+        F.col(quality_col).desc_nulls_last()
+        if higher_is_better
+        else F.col(quality_col).asc_nulls_last()
+    )
+    w = Window.partitionBy("cluster_id").orderBy(best, F.col(id_col).asc())
+    return labeled.withColumn("keep", F.row_number().over(w) == 1).select(
+        id_col, "cluster_id", "keep"
+    )
 
 
 def dedup_corpus_exact_phase(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -941,3 +941,41 @@ def test_pmi_collocations_matches_hand_model(spark):
 
     with pytest.raises(ValueError, match="min_count"):
         T.pmi_collocations(df, "text", min_count=0)
+
+
+def test_dedup_keep_best_matches_hand_model(spark):
+    """dedup_keep_best: per-cluster winner by (quality desc, id); docs
+    absent from the pair graph are their own singleton clusters and
+    always keep; NULL quality sorts last; lower-is-better flips the
+    winner; missing column raises."""
+    docs = spark.createDataFrame(
+        [(1, 100), (2, 300), (3, 200), (4, 50), (5, None), (6, 300)],
+        "doc_id long, n_chars int",
+    )
+    # graph: {1,2,3} one cluster, {5,6} another; 4 is a singleton
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    out = {
+        r["doc_id"]: (r["cluster_id"], r["keep"])
+        for r in D.dedup_keep_best(docs, pairs).collect()
+    }
+    assert out == {
+        1: (1, False),
+        2: (1, True),   # 300 chars beats 100/200
+        3: (1, False),
+        4: (4, True),   # singleton keeps itself
+        5: (5, False),  # NULL quality loses to 6
+        6: (5, True),
+    }
+    # lower-is-better: 1 (100 chars) wins its cluster; NULL still last
+    out2 = {
+        r["doc_id"]: r["keep"]
+        for r in D.dedup_keep_best(
+            docs, pairs, higher_is_better=False
+        ).collect()
+    }
+    assert out2 == {1: True, 2: False, 3: False, 4: True, 5: False, 6: True}
+
+    with pytest.raises(ValueError, match="must be columns"):
+        D.dedup_keep_best(docs, pairs, quality_col="nope")
