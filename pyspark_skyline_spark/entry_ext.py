@@ -1061,6 +1061,33 @@ def _q_bigram_nll_documents(spark, sf_dir):
     return bigram_nll(docs, "doc_id", "text")
 
 
+def _q_snapshot_diff_documents(spark, sf_dir):
+    """Keyed snapshot diff (round 9 —
+    operators/upsert.py::snapshot_diff): documents vs a deterministic
+    "v2" snapshot derived from the same table in BOTH engines (drop
+    doc_id%97==0 -> removed; append ' v2' to text where doc_id%41==0
+    -> changed; re-key doc_id%113==0 rows to +10^7 -> added; the rest
+    unchanged). Null-safe per-column compare; all-string/integer
+    output, exactly oracled."""
+    from pyspark_skyline_spark.operators.upsert import snapshot_diff
+
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    new = docs.filter(did % 97 != 0).withColumn(
+        "text",
+        F.when(did % 41 == 0, F.concat(F.col("text"), F.lit(" v2"))).otherwise(
+            F.col("text")
+        ),
+    )
+    added = docs.filter(did % 113 == 0).select(
+        (did + 10_000_000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    new = new.select("doc_id", "text", "lang", "source", "n_chars").unionByName(
+        added
+    )
+    return snapshot_diff(docs, new, ["doc_id"])
+
+
 def _q_dedup_keep_best_documents(spark, sf_dir):
     """Keep-best near-dup dedup (round 9 —
     operators/dedup.py::dedup_keep_best): connected components over
@@ -1497,6 +1524,10 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-9 addition: keep-best-copy near-dup dedup (all-integer
     # output over the recursive-CTE cluster oracle); exactly oracled
     "dedup_keep_best_documents": _q_dedup_keep_best_documents,
+    # round-9 addition: keyed snapshot diff (incremental-processing
+    # planner; null-safe compare, string/integer output); exactly
+    # oracled
+    "snapshot_diff_documents": _q_snapshot_diff_documents,
 }
 
 

@@ -866,6 +866,34 @@ FROM labeled
     "cosine_topk_lsh_embeddings": _cosine_topk_oracle(),
     "cosine_topk_ivf_embeddings": _cosine_topk_oracle(),
     "embedding_decontam_embeddings": _embedding_decontam_oracle(),
+    # round-9 snapshot diff: the "v2" snapshot derives from documents
+    # with the same deterministic arithmetic in both engines; '||'
+    # with a NULL text is NULL in DuckDB exactly as Spark's concat;
+    # IS NOT DISTINCT FROM == Spark's eqNullSafe
+    "snapshot_diff_documents": """
+WITH newsnap AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 41 = 0 THEN text || ' v2' ELSE text END AS text,
+         lang, source, n_chars
+  FROM documents WHERE doc_id % 97 <> 0
+  UNION ALL
+  SELECT doc_id + 10000000, text, lang, source, n_chars
+  FROM documents WHERE doc_id % 113 = 0),
+j AS (
+  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+         o.doc_id IS NOT NULL AS in_old,
+         n.doc_id IS NOT NULL AS in_new,
+         (o.text IS NOT DISTINCT FROM n.text)
+         AND (o.lang IS NOT DISTINCT FROM n.lang)
+         AND (o.source IS NOT DISTINCT FROM n.source)
+         AND (o.n_chars IS NOT DISTINCT FROM n.n_chars) AS same
+  FROM documents o FULL OUTER JOIN newsnap n ON o.doc_id = n.doc_id)
+SELECT doc_id,
+       CASE WHEN NOT in_old THEN 'added'
+            WHEN NOT in_new THEN 'removed'
+            WHEN same THEN 'unchanged' ELSE 'changed' END AS status
+FROM j
+""",
     # round-9 categorical MI: contingency counts are integer-exact;
     # the ratio-of-probabilities form matches the operator expression
     # exactly (the integer cross-product form would overflow a long

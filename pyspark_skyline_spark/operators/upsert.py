@@ -22,7 +22,69 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["merge_upsert", "scd2_history"]
+__all__ = ["merge_upsert", "scd2_history", "snapshot_diff"]
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Keyed diff between two corpus/table snapshots — the planning
+    primitive of every incremental pipeline (which documents must be
+    re-embedded / re-deduped / re-scored since the last run?). Returns
+    one row per key present in either side: ``(*keys, status)`` with
+    ``status`` in ``added`` (new only), ``removed`` (old only),
+    ``changed`` (both, compared columns differ), ``unchanged``.
+
+    ``compare_cols`` defaults to every shared non-key column. The
+    comparison is null-safe per column (``<=>``), so NULL -> value and
+    value -> NULL both count as changed while NULL -> NULL does not.
+    All-string/integer output: exactly oracle-able (ANSI SQL ``IS NOT
+    DISTINCT FROM``) with zero float caveats beyond the columns the
+    caller chooses to compare.
+
+    Scale shape: ONE full outer join on the keys — the unavoidable
+    shuffle, carrying only the keys and compared columns (project
+    before joining); everything else is a per-row expression. For the
+    usual "small delta against a huge base" case, prefer
+    ``merge_upsert``'s anti-join shape to APPLY a known delta; this
+    operator is for DISCOVERING the delta when only the two snapshots
+    exist."""
+    if not keys:
+        raise ValueError("keys must be non-empty")
+    for k in keys:
+        if k not in old.columns or k not in new.columns:
+            raise ValueError(f"key column {k!r} must exist in both snapshots")
+    if compare_cols is None:
+        compare_cols = [
+            c for c in old.columns if c in new.columns and c not in keys
+        ]
+    for c in compare_cols:
+        if c not in old.columns or c not in new.columns:
+            raise ValueError(f"compare column {c!r} must exist in both snapshots")
+    o = old.select(
+        *[F.col(k).alias(k) for k in keys],
+        F.lit(True).alias("__in_old"),
+        *[F.col(c).alias(f"__o_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        *[F.col(k).alias(k) for k in keys],
+        F.lit(True).alias("__in_new"),
+        *[F.col(c).alias(f"__n_{c}") for c in compare_cols],
+    )
+    j = o.join(n, keys, "full_outer")
+    same = F.lit(True)
+    for c in compare_cols:
+        same = same & F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+    status = (
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(*keys, status.alias("status"))
 
 
 def scd2_history(

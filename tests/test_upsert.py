@@ -124,3 +124,42 @@ def test_scd2_history_rejects_tied_versions(spark):
         scd2_history(
             df.withColumnRenamed("v", "is_current"), ["k"], "ts"
         )
+
+
+def test_snapshot_diff_statuses(spark):
+    """snapshot_diff: added/removed/changed/unchanged per key; NULL->
+    value and value->NULL are changed, NULL->NULL is unchanged
+    (null-safe compare); compare_cols defaults to shared non-keys;
+    validation raises on missing keys/columns."""
+    import pytest as _pt
+
+    from pyspark_skyline_spark.operators.upsert import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", None), (4, None, 40), (5, "e", 50)],
+        "id long, txt string, v int",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 20), (3, "c", None), (4, "D", 40), (5, None, 50), (6, "f", 60)],
+        "id long, txt string, v int",
+    )
+    got = {r["id"]: r["status"] for r in snapshot_diff(old, new, ["id"]).collect()}
+    assert got == {
+        1: "removed",
+        2: "unchanged",
+        3: "unchanged",  # NULL -> NULL in v
+        4: "changed",    # NULL -> 'D' in txt
+        5: "changed",    # 'e' -> NULL in txt
+        6: "added",
+    }
+    # restricting compare_cols flips 4/5 to unchanged (txt excluded)
+    got_v = {
+        r["id"]: r["status"]
+        for r in snapshot_diff(old, new, ["id"], compare_cols=["v"]).collect()
+    }
+    assert got_v[4] == "unchanged" and got_v[5] == "unchanged"
+
+    with _pt.raises(ValueError, match="keys must be non-empty"):
+        snapshot_diff(old, new, [])
+    with _pt.raises(ValueError, match="must exist in both"):
+        snapshot_diff(old, new.drop("v"), ["id"], compare_cols=["v"])
