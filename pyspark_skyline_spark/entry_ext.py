@@ -1066,9 +1066,11 @@ def _q_snapshot_diff_documents(spark, sf_dir):
     operators/upsert.py::snapshot_diff): documents vs a deterministic
     "v2" snapshot derived from the same table in BOTH engines (drop
     doc_id%97==0 -> removed; append ' v2' to text where doc_id%41==0
-    -> changed; re-key doc_id%113==0 rows to +10^7 -> added; the rest
-    unchanged). Null-safe per-column compare; all-string/integer
-    output, exactly oracled."""
+    -> changed; re-key doc_id%113==0 rows to -(doc_id+1) -> added —
+    NEGATIVE, so a collision with a real non-negative doc_id is
+    impossible at ANY scale factor, review find; the rest unchanged).
+    Null-safe per-column compare; all-string/integer output, exactly
+    oracled."""
     from pyspark_skyline_spark.operators.upsert import snapshot_diff
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1080,7 +1082,7 @@ def _q_snapshot_diff_documents(spark, sf_dir):
         ),
     )
     added = docs.filter(did % 113 == 0).select(
-        (did + 10_000_000).alias("doc_id"), "text", "lang", "source", "n_chars"
+        (-(did + 1)).alias("doc_id"), "text", "lang", "source", "n_chars"
     )
     new = new.select("doc_id", "text", "lang", "source", "n_chars").unionByName(
         added

@@ -284,6 +284,23 @@ WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE /
 """
 
 
+#: connected-components CTE fragment over a preceding ``pairs(id_a,
+#: id_b)`` CTE: symmetrized edges, node list, recursive min-reachable
+#: closure. ONE definition shared by the three component-labeling
+#: oracles (dedup_corpus, near_dup_clusters, dedup_keep_best) — a fix
+#: to the recursion lands everywhere at once (review find: the block
+#: had been pasted verbatim three times).
+_CC_CTES = """edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.node)"""
+
+
 def _dedup_corpus_oracle() -> str:
     # phase 1: exact fingerprint groups keep min-id; phase 2: near-dup
     # clusters (all-pairs Jaccard + recursive-CTE min-label) over the
@@ -304,15 +321,7 @@ pairs AS (
   FROM sets sa JOIN sets sb ON sa.doc_id < sb.doc_id
   WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE /
         len(list_distinct(sa.sh || sb.sh)) >= {_NJ_T}),
-edges AS (
-  SELECT id_a AS src, id_b AS dst FROM pairs
-  UNION
-  SELECT id_b AS src, id_a AS dst FROM pairs),
-nodes AS (SELECT DISTINCT src AS node FROM edges),
-reach(node, r) AS (
-  SELECT node, node FROM nodes
-  UNION
-  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.node),
+{_CC_CTES},
 labels AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)
 SELECT d.doc_id, d.source FROM docs2 d
 WHERE d.doc_id NOT IN (SELECT node FROM labels WHERE node <> cluster_id)
@@ -824,15 +833,7 @@ WHERE e.event_type = 'error' AND c.event_type = 'click'
     # min-label propagation must equal the recursive-CTE min-reachable-id
     "near_dup_clusters_documents": f"""
 WITH RECURSIVE pairs AS ({_ngram_jaccard_oracle().strip()}),
-edges AS (
-  SELECT id_a AS src, id_b AS dst FROM pairs
-  UNION
-  SELECT id_b AS src, id_a AS dst FROM pairs),
-nodes AS (SELECT DISTINCT src AS node FROM edges),
-reach(node, r) AS (
-  SELECT node, node FROM nodes
-  UNION
-  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.node)
+{_CC_CTES}
 SELECT node, CAST(min(r) AS BIGINT) AS cluster_id FROM reach GROUP BY node
 """,
     # round-9 keep-best dedup over the same recursive-CTE components:
@@ -842,15 +843,7 @@ SELECT node, CAST(min(r) AS BIGINT) AS cluster_id FROM reach GROUP BY node
     # default NULL order) — all-integer/boolean output
     "dedup_keep_best_documents": f"""
 WITH RECURSIVE pairs AS ({_ngram_jaccard_oracle().strip()}),
-edges AS (
-  SELECT id_a AS src, id_b AS dst FROM pairs
-  UNION
-  SELECT id_b AS src, id_a AS dst FROM pairs),
-nodes AS (SELECT DISTINCT src AS node FROM edges),
-reach(node, r) AS (
-  SELECT node, node FROM nodes
-  UNION
-  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.node),
+{_CC_CTES},
 clusters AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node),
 labeled AS (
   SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id, d.n_chars
@@ -869,7 +862,9 @@ FROM labeled
     # round-9 snapshot diff: the "v2" snapshot derives from documents
     # with the same deterministic arithmetic in both engines; '||'
     # with a NULL text is NULL in DuckDB exactly as Spark's concat;
-    # IS NOT DISTINCT FROM == Spark's eqNullSafe
+    # IS NOT DISTINCT FROM == Spark's eqNullSafe. Added rows re-key to
+    # -(doc_id+1): negative, so colliding with a real id is impossible
+    # at any scale factor.
     "snapshot_diff_documents": """
 WITH newsnap AS (
   SELECT doc_id,
@@ -877,7 +872,7 @@ WITH newsnap AS (
          lang, source, n_chars
   FROM documents WHERE doc_id % 97 <> 0
   UNION ALL
-  SELECT doc_id + 10000000, text, lang, source, n_chars
+  SELECT -(doc_id + 1), text, lang, source, n_chars
   FROM documents WHERE doc_id % 113 = 0),
 j AS (
   SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,

@@ -936,6 +936,18 @@ def dedup_keep_best(
     hash shuffle."""
     if quality_col not in df.columns or id_col not in df.columns:
         raise ValueError(f"{id_col!r}/{quality_col!r} must be columns of df")
+    # the cluster labels are longs (near_dup_clusters casts pair ids),
+    # and the singleton fallback casts id_col to long — a non-integral
+    # id would cast to NULL, silently collapsing EVERY singleton into
+    # one NULL cluster where only one of them keeps. Require integers.
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    id_type = df.schema[id_col].dataType
+    if not isinstance(id_type, (ByteType, ShortType, IntegerType, LongType)):
+        raise ValueError(
+            f"id_col {id_col!r} must be an integral type (got {id_type}); "
+            "near-dup cluster labels are long ids"
+        )
     clusters = near_dup_clusters(pairs, id_a, id_b)
     labeled = (
         df.select(id_col, quality_col)

@@ -30,6 +30,7 @@ def snapshot_diff(
     new: DataFrame,
     keys: list[str],
     compare_cols: list[str] | None = None,
+    assume_unique: bool = False,
 ) -> DataFrame:
     """Keyed diff between two corpus/table snapshots — the planning
     primitive of every incremental pipeline (which documents must be
@@ -45,6 +46,14 @@ def snapshot_diff(
     DISTINCT FROM``) with zero float caveats beyond the columns the
     caller chooses to compare.
 
+    Duplicate keys within a snapshot would fan the full-outer join out
+    and break the one-row-per-key contract with conflicting statuses,
+    so both sides are checked LOUDLY by default (the module convention
+    — ``merge_upsert`` and ``scd2_history`` both raise on ambiguous
+    keys). The check is one keyed aggregate per side; pass
+    ``assume_unique=True`` to skip it when the snapshots are known
+    key-unique (primary-keyed tables — the 100 TB fast path).
+
     Scale shape: ONE full outer join on the keys — the unavoidable
     shuffle, carrying only the keys and compared columns (project
     before joining); everything else is a per-row expression. For the
@@ -57,6 +66,22 @@ def snapshot_diff(
     for k in keys:
         if k not in old.columns or k not in new.columns:
             raise ValueError(f"key column {k!r} must exist in both snapshots")
+    if not assume_unique:
+        for side, d_ in (("old", old), ("new", new)):
+            dup = (
+                d_.groupBy(*keys)
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .where(F.col("__n") > 1)
+                .limit(1)
+                .collect()
+            )
+            if dup:
+                raise ValueError(
+                    f"duplicate keys in {side} snapshot (e.g. "
+                    f"{tuple(dup[0][:-1])}); snapshot_diff requires one row "
+                    "per key — pre-aggregate, or pass assume_unique=True "
+                    "only if the duplication is impossible"
+                )
     if compare_cols is None:
         compare_cols = [
             c for c in old.columns if c in new.columns and c not in keys

@@ -979,3 +979,13 @@ def test_dedup_keep_best_matches_hand_model(spark):
 
     with pytest.raises(ValueError, match="must be columns"):
         D.dedup_keep_best(docs, pairs, quality_col="nope")
+
+
+def test_dedup_keep_best_rejects_non_integral_id(spark):
+    """A non-integral id would cast to NULL in the singleton fallback
+    and silently collapse every singleton into one NULL cluster — the
+    operator refuses loudly instead (review find)."""
+    docs = spark.createDataFrame([("u1", 5)], "doc_id string, n_chars int")
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    with pytest.raises(ValueError, match="integral type"):
+        D.dedup_keep_best(docs, pairs)

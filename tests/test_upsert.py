@@ -163,3 +163,21 @@ def test_snapshot_diff_statuses(spark):
         snapshot_diff(old, new, [])
     with _pt.raises(ValueError, match="must exist in both"):
         snapshot_diff(old, new.drop("v"), ["id"], compare_cols=["v"])
+
+
+def test_snapshot_diff_duplicate_keys_raise(spark):
+    """Duplicate keys in either snapshot raise loudly by default (the
+    module convention), with assume_unique=True as the explicit
+    skip-the-check fast path."""
+    import pytest as _pt
+
+    from pyspark_skyline_spark.operators.upsert import snapshot_diff
+
+    clean = spark.createDataFrame([(1, "a")], "id long, txt string")
+    duped = spark.createDataFrame([(1, "a"), (1, "b")], "id long, txt string")
+    with _pt.raises(ValueError, match="duplicate keys in new"):
+        snapshot_diff(clean, duped, ["id"])
+    with _pt.raises(ValueError, match="duplicate keys in old"):
+        snapshot_diff(duped, clean, ["id"])
+    # the escape hatch skips the guard (caller owns the contract)
+    assert snapshot_diff(clean, duped, ["id"], assume_unique=True).count() == 2
