@@ -133,3 +133,86 @@ def test_ntile_by_group_equals_window(spark, rows, n):
         for r in df.withColumn("t", F.ntile(n).over(w)).collect()
     }
     assert got == ref
+
+
+snap_rows = st.lists(
+    st.tuples(KEYS, st.one_of(st.none(), VALS)),
+    min_size=0, max_size=12, unique_by=lambda t: t[0],
+)
+
+
+@given(old=snap_rows, new=snap_rows)
+@_SETTINGS
+def test_snapshot_diff_laws(spark, old, new):
+    """snapshot_diff laws on arbitrary key-unique snapshots:
+    (1) output keys == union of input keys, exactly once each;
+    (2) diff(x, x) is all-unchanged;
+    (3) swapping the snapshots maps added<->removed and fixes
+        changed/unchanged;
+    (4) statuses agree with a dict-based reference (incl. NULL
+        transitions under the null-safe compare)."""
+    from pyspark_skyline_spark.operators.upsert import snapshot_diff
+
+    schema = "k int, v int"
+    odf = spark.createDataFrame(old, schema) if old else spark.createDataFrame([], schema)
+    ndf = spark.createDataFrame(new, schema) if new else spark.createDataFrame([], schema)
+
+    got = {r["k"]: r["status"] for r in snapshot_diff(odf, ndf, ["k"]).collect()}
+    om, nm = dict(old), dict(new)
+    assert set(got) == set(om) | set(nm)  # law 1 (unique_by gives one row/key)
+
+    def want(k):
+        if k not in om:
+            return "added"
+        if k not in nm:
+            return "removed"
+        return "unchanged" if om[k] == nm[k] else "changed"
+
+    assert got == {k: want(k) for k in got}  # law 4
+
+    same = {r["k"]: r["status"] for r in snapshot_diff(odf, odf, ["k"]).collect()}
+    assert set(same.values()) <= {"unchanged"}  # law 2
+
+    rev = {r["k"]: r["status"] for r in snapshot_diff(ndf, odf, ["k"]).collect()}
+    flip = {"added": "removed", "removed": "added"}
+    assert rev == {k: flip.get(v, v) for k, v in got.items()}  # law 3
+
+
+pair_rows = st.lists(st.tuples(KEYS, KEYS), min_size=0, max_size=10)
+doc_rows = st.lists(
+    st.tuples(st.integers(0, 6), st.one_of(st.none(), st.integers(0, 30))),
+    min_size=1, max_size=7, unique_by=lambda t: t[0],
+)
+
+
+@given(docs=doc_rows, pairs=pair_rows)
+@_SETTINGS
+def test_dedup_keep_best_laws(spark, docs, pairs):
+    """dedup_keep_best laws on arbitrary doc/pair graphs: every input
+    doc appears exactly once; every cluster that has documents keeps
+    EXACTLY one; the winner's quality is >= every non-NULL quality in
+    its cluster; a pair graph never grows the output."""
+    from pyspark_skyline_spark.operators.dedup import dedup_keep_best
+
+    ddf = spark.createDataFrame(docs, "doc_id long, n_chars int")
+    # restrict edges to existing docs so singleton semantics stay pure
+    ids = {d for d, _ in docs}
+    edges = [(a, b) for a, b in pairs if a in ids and b in ids and a != b]
+    pdf = (
+        spark.createDataFrame(edges, "id_a long, id_b long")
+        if edges
+        else spark.createDataFrame([], "id_a long, id_b long")
+    )
+    out = dedup_keep_best(ddf, pdf, "doc_id", "n_chars").collect()
+    assert sorted(r["doc_id"] for r in out) == sorted(ids)
+    by_cluster: dict[int, list] = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    q = dict(docs)
+    for cluster, rows in by_cluster.items():
+        winners = [r for r in rows if r["keep"]]
+        assert len(winners) == 1, cluster
+        wq = q[winners[0]["doc_id"]]
+        non_null = [q[r["doc_id"]] for r in rows if q[r["doc_id"]] is not None]
+        if non_null:
+            assert wq is not None and wq >= max(non_null), cluster
