@@ -1061,6 +1061,16 @@ def _q_bigram_nll_documents(spark, sf_dir):
     return bigram_nll(docs, "doc_id", "text")
 
 
+def _q_novelty_documents(spark, sf_dir):
+    """Shingle novelty (round 9 — operators/dedup.py::shingle_novelty):
+    per-doc fraction of distinct word 3-shingles occurring in no other
+    document — the dedup family's inverse signal. novelty divides two
+    integers (identical IEEE division in any engine), so the row has
+    NO float caveat at all."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.shingle_novelty(docs, "doc_id", "text", k=_NJ_K)
+
+
 def _q_snapshot_diff_documents(spark, sf_dir):
     """Keyed snapshot diff (round 9 —
     operators/upsert.py::snapshot_diff): documents vs a deterministic
@@ -1530,6 +1540,9 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # planner; null-safe compare, string/integer output); exactly
     # oracled
     "snapshot_diff_documents": _q_snapshot_diff_documents,
+    # round-9 addition: per-doc shingle novelty (integer counts +
+    # int/int division only — no float caveat); exactly oracled
+    "novelty_documents": _q_novelty_documents,
 }
 
 

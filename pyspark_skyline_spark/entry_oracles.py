@@ -859,6 +859,23 @@ FROM labeled
     "cosine_topk_lsh_embeddings": _cosine_topk_oracle(),
     "cosine_topk_ivf_embeddings": _cosine_topk_oracle(),
     "embedding_decontam_embeddings": _embedding_decontam_oracle(),
+    # round-9 shingle novelty: document frequency over the SAME
+    # distinct-3-shingle macro the jaccard oracles use; novelty is an
+    # int/int division — no float caveat. NULL text filtered
+    # explicitly (the Spark shingles fallback would mint '' for NULL).
+    "novelty_documents": f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_SHINGLES}) AS s
+  FROM documents WHERE text IS NOT NULL),
+cnt AS (SELECT s, count(*) AS df FROM sh GROUP BY s)
+SELECT sh.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN cnt.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unique,
+       sum(CASE WHEN cnt.df = 1 THEN 1 ELSE 0 END) / count(*) AS novelty
+FROM sh JOIN cnt USING (s)
+GROUP BY sh.doc_id
+""",
     # round-9 snapshot diff: the "v2" snapshot derives from documents
     # with the same deterministic arithmetic in both engines; '||'
     # with a NULL text is NULL in DuckDB exactly as Spark's concat;

@@ -35,6 +35,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "near_dup_clusters",
     "dedup_keep_best",
+    "shingle_novelty",
     "dedup_corpus",
     "dedup_corpus_exact_phase",
     "dedup_incremental",
@@ -900,6 +901,51 @@ def near_dup_clusters(
         if changed == 0:
             break
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
+
+
+def shingle_novelty(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Per-document novelty: the fraction of the document's DISTINCT
+    word ``k``-shingles that occur in NO other document — high for
+    genuinely unique content, low for boilerplate collages and
+    near-copies (the inverse signal of the dedup family, useful for
+    both memorization-risk triage and kept-set diversity audits).
+    Returns ``(id_col, n_shingles, n_unique, novelty)`` for every
+    document with non-NULL text (``shingles`` guarantees >= 1 shingle
+    for those; NULL is filtered explicitly — the ``shingles`` fallback
+    branch would otherwise mint an empty-string shingle for NULL via
+    ``concat_ws``, a convention mismatch with the unigram family).
+
+    A shingle's document frequency counts DOCUMENTS (the occurrence
+    table is distinct per doc by construction), so ``df == 1`` means
+    "only this document ever says this". ``novelty = n_unique /
+    n_shingles`` divides two integers — identical IEEE division in any
+    engine, so the operator is exactly oracle-able with no float
+    caveat at all.
+
+    Scale shape (the unigram_nll pattern): one shingle explode
+    (linear), a map-side-combined document-frequency aggregate
+    (Zipf-safe), an equi-join of occurrences back against that count
+    table (AQE-broadcast for real shingle vocabularies, shuffle join
+    past the threshold), one per-doc aggregate."""
+    occ = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), k)).alias("__s")
+    )
+    cnt = occ.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
+    uniq = F.sum((F.col("__df") == 1).cast("int"))
+    return (
+        occ.join(cnt, "__s")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            uniq.cast("long").alias("n_unique"),
+            (uniq / F.count(F.lit(1))).alias("novelty"),
+        )
+    )
 
 
 def dedup_keep_best(

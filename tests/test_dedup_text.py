@@ -989,3 +989,46 @@ def test_dedup_keep_best_rejects_non_integral_id(spark):
     pairs = spark.createDataFrame([], "id_a long, id_b long")
     with pytest.raises(ValueError, match="integral type"):
         D.dedup_keep_best(docs, pairs)
+
+
+def test_shingle_novelty_matches_hand_model(spark):
+    """shingle_novelty == hand-computed unique-shingle fractions: an
+    exact duplicate pair scores 0 (nothing it says is unique), a
+    unique doc scores 1, a part-copy lands in between; short texts use
+    the whole-text fallback shingle; NULL drops."""
+    texts = {
+        1: "alpha beta gamma delta epsilon",
+        2: "alpha beta gamma delta epsilon",       # exact dup of 1
+        3: "totally original words never repeated anywhere",
+        4: "alpha beta gamma delta NEW TAIL HERE",  # shares a prefix
+        5: "tiny",                                  # fallback shingle
+        6: None,
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+
+    def sh(t):
+        toks = t.strip().lower().split()
+        if len(toks) >= 3:
+            return set(" ".join(toks[i:i + 3]) for i in range(len(toks) - 2))
+        return {" ".join(toks)}
+
+    from collections import Counter
+
+    dfreq = Counter()
+    for d, t in texts.items():
+        if t is not None:
+            dfreq.update(sh(t))
+    got = {
+        r["doc_id"]: r
+        for r in D.shingle_novelty(df, "doc_id", "text").collect()
+    }
+    assert set(got) == {1, 2, 3, 4, 5}
+    for d in got:
+        s = sh(texts[d])
+        uniq = sum(1 for x in s if dfreq[x] == 1)
+        assert got[d]["n_shingles"] == len(s), d
+        assert got[d]["n_unique"] == uniq, d
+        assert got[d]["novelty"] == pytest.approx(uniq / len(s), abs=0), d
+    assert got[1]["novelty"] == 0.0 and got[2]["novelty"] == 0.0
+    assert got[3]["novelty"] == 1.0 and got[5]["novelty"] == 1.0
+    assert 0.0 < got[4]["novelty"] < 1.0
