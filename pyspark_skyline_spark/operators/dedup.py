@@ -956,6 +956,7 @@ def dedup_keep_best(
     higher_is_better: bool = True,
     id_a: str = "id_a",
     id_b: str = "id_b",
+    assume_unique: bool = False,
 ) -> DataFrame:
     """Near-dup dedup that keeps the BEST copy per duplicate cluster
     instead of the smallest id — what a production pipeline actually
@@ -979,9 +980,31 @@ def dedup_keep_best(
     over ``cluster_id`` carrying a three-column projection — clusters
     are small by construction (they are near-duplicate groups), so the
     window never sees a giant partition, and singletons ride the same
-    hash shuffle."""
+    hash shuffle.
+
+    Duplicated ids in ``df`` would fan the cluster join out and emit
+    multiple rows per id with an arbitrary single keeper among the
+    copies, so ids are checked LOUDLY by default (the module convention
+    — ``snapshot_diff``/``merge_upsert`` raise on ambiguous keys; one
+    keyed aggregate). Pass ``assume_unique=True`` to skip the check
+    when ``df`` is known id-unique (primary-keyed corpora — the 100 TB
+    fast path)."""
     if quality_col not in df.columns or id_col not in df.columns:
         raise ValueError(f"{id_col!r}/{quality_col!r} must be columns of df")
+    if not assume_unique:
+        dup = (
+            df.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"duplicate ids in df (e.g. {dup[0][0]!r}); dedup_keep_best "
+                "requires one row per id — pre-deduplicate, or pass "
+                "assume_unique=True only if the duplication is impossible"
+            )
     # the cluster labels are longs (near_dup_clusters casts pair ids),
     # and the singleton fallback casts id_col to long — a non-integral
     # id would cast to NULL, silently collapsing EVERY singleton into

@@ -233,7 +233,11 @@ def embedding_decontaminate(
     over a fixed set of doubles is fold-order-free, so the output has
     no rank-cut or row-set float boundary and the operator is
     oracle-able under value rounding alone. Corpus rows with a NULL
-    vector are dropped in BOTH impls (they cannot be scored).
+    vector — or a vector whose dimension differs from the probe
+    dimension — are dropped in BOTH impls (they cannot be scored;
+    before the explicit size filter the fold impl silently emitted
+    max_sim=NULL for mismatched rows while arrow raised inside
+    np.vstack, an undocumented impl divergence — review find).
 
     Scale shape: eval sets are small (10^2..10^5 rows) and the corpus
     is not, so the probe side always broadcasts and the corpus is
@@ -273,6 +277,12 @@ def embedding_decontaminate(
         raise ValueError("probes is empty")
     if len(dims) != 1:
         raise ValueError(f"probe vectors have mixed dimensions {sorted(dims)}")
+    # unscorable corpus rows (NULL vector or dimension != probe dim) are
+    # dropped identically in both impls — a native filter, no extra
+    # shuffle or scan
+    df = df.where(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) == F.lit(int(dims[0])))
+    )
     if impl == "fold":
         p = probes.where(F.col(probe_vec_col).isNotNull()).select(
             F.col(probe_vec_col).alias("__pvec")
@@ -285,8 +295,7 @@ def embedding_decontaminate(
             l2_norm(F.col("__pvec")), F.lit(1e-12)
         )
         return (
-            df.where(F.col(vec_col).isNotNull())
-            .crossJoin(F.broadcast(p))
+            df.crossJoin(F.broadcast(p))
             .withColumn("__cos", num / den)
             .groupBy(id_col)
             .agg(F.max("__cos").alias("max_sim"))
@@ -301,9 +310,7 @@ def embedding_decontaminate(
         m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
         return pd.Series((m @ Punit.T).max(axis=1))
 
-    return df.where(F.col(vec_col).isNotNull()).select(
-        id_col, max_sim(F.col(vec_col)).alias("max_sim")
-    )
+    return df.select(id_col, max_sim(F.col(vec_col)).alias("max_sim"))
 
 
 def _hyperplanes(dim: int, n_planes: int, n_tables: int, seed: int = 42) -> np.ndarray:

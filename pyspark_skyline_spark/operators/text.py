@@ -53,10 +53,14 @@ def adjacent_pairs(toks: Column, combine) -> Column:
     ~50x interpreted-HOF penalty documented at
     dedup.ordered_shingles). Shared by bigram_nll, pmi_collocations,
     and selection._feature_occurrences so the index arithmetic exists
-    exactly once."""
+    exactly once. The slice length is clamped at 0 — ``size(toks)-1``
+    is -1 for an empty array and Spark's ``slice`` throws on negative
+    length (unreachable via tokens(), whose split never yields an
+    empty array, but this helper takes arbitrary array columns)."""
+    pair_len = F.greatest(F.size(toks) - F.lit(1), F.lit(0))
     return F.zip_with(
-        F.slice(toks, 1, F.size(toks) - 1),
-        F.slice(toks, 2, F.size(toks) - 1),
+        F.slice(toks, 1, pair_len),
+        F.slice(toks, 2, pair_len),
         combine,
     )
 

@@ -991,6 +991,44 @@ def test_dedup_keep_best_rejects_non_integral_id(spark):
         D.dedup_keep_best(docs, pairs)
 
 
+def test_dedup_keep_best_rejects_duplicate_ids(spark):
+    """Duplicated ids would fan the cluster join out and emit multiple
+    rows per id with an arbitrary single keeper among the copies — the
+    operator raises loudly like snapshot_diff/merge_upsert (advisor
+    find); assume_unique=True is the documented escape hatch."""
+    docs = spark.createDataFrame(
+        [(1, 100), (1, 200), (2, 50)], "doc_id long, n_chars int"
+    )
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    with pytest.raises(ValueError, match="duplicate ids"):
+        D.dedup_keep_best(docs, pairs)
+    # escape hatch skips the scan (caller owns the precondition)
+    out = D.dedup_keep_best(docs, pairs, assume_unique=True).collect()
+    assert len(out) == 3
+
+
+def test_adjacent_pairs_empty_array_yields_empty(spark):
+    """adjacent_pairs on an empty/singleton array returns [] instead of
+    throwing — size(toks)-1 is -1 for an empty array and Spark's slice
+    rejects negative lengths; the length is clamped at 0 (advisor
+    find). Unreachable via tokens() but the helper takes arbitrary
+    array columns."""
+    df = spark.createDataFrame(
+        [(1, []), (2, ["only"]), (3, ["a", "b", "c"])],
+        "id long, toks array<string>",
+    )
+    out = {
+        r["id"]: r["pairs"]
+        for r in df.select(
+            "id",
+            T.adjacent_pairs(
+                F.col("toks"), lambda a, b: F.concat_ws(" ", a, b)
+            ).alias("pairs"),
+        ).collect()
+    }
+    assert out == {1: [], 2: [], 3: ["a b", "b c"]}
+
+
 def test_shingle_novelty_matches_hand_model(spark):
     """shingle_novelty == hand-computed unique-shingle fractions: an
     exact duplicate pair scores 0 (nothing it says is unique), a

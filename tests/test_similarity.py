@@ -481,3 +481,27 @@ def test_embedding_decontaminate_degenerate_probes(spark, emb):
         ).collect()
         assert len(out) == 5, impl
         assert all(abs(r["max_sim"]) < 1e-6 for r in out), (impl, out)
+
+
+def test_embedding_decontaminate_mismatched_corpus_rows_dropped(spark):
+    """Corpus vectors whose dimension differs from the probe dimension
+    are dropped identically under BOTH impls, like NULL vectors (fold
+    used to emit max_sim=NULL via zip_with null-padding while arrow
+    raised inside np.vstack — an undocumented impl divergence, advisor
+    find)."""
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 0.0, 0.0]), (4, None)],
+        "vec_id long, embedding array<double>",
+    )
+    probes = spark.createDataFrame(
+        [(10, [1.0, 0.0])], "pid long, embedding array<double>"
+    )
+    for impl in ("arrow", "fold"):
+        got = {
+            r["vec_id"]: r["max_sim"]
+            for r in S.embedding_decontaminate(
+                corpus, probes, "vec_id", "embedding", "embedding", impl=impl
+            ).collect()
+        }
+        assert set(got) == {1, 2}, (impl, got)
+        assert abs(got[1] - 1.0) < 1e-12 and abs(got[2]) < 1e-12, (impl, got)
