@@ -558,6 +558,44 @@ def main() -> None:
         # one JVM GC between passes flushes what ContextCleaner queued
         spark.sparkContext._jvm.System.gc()
 
+    # third pass for VOLATILE rows (round-9 verdict ask #4): min-of-2 is
+    # fragile when one row's two passes span 4.0 -> 29.5 s — the reported
+    # min then rests on a single quiet execution. Any row whose pass pair
+    # diverges more than 2x gets one extra timed pass so its min is
+    # corroborated (or the volatility is itself triple-witnessed in the
+    # side file). Bounded cost: only volatile rows pay, and a quiet run
+    # schedules zero extra work.
+    volatile = sorted(
+        n
+        for n, p in passes.items()
+        if len(p) == 2 and min(p) > 0 and max(p) / min(p) > 2.0
+    )
+    import gc as _gc
+
+    for name in volatile:
+        t0 = time.perf_counter()
+        try:
+            df = bench_queries[name](spark, sf_dir)
+            n = df.count()
+        except Exception as exc:
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            timings.pop(name, None)
+            passes.pop(name, None)
+            print(f"# pass2 {name}: ERROR {errors[name]}", file=sys.stderr)
+            continue
+        dt = round(time.perf_counter() - t0, 3)
+        passes[name].append(dt)
+        if dt < timings[name]:
+            timings[name] = dt
+        print(
+            f"# pass2 {name}: {dt:.2f}s ({n} rows) [volatile-row third pass]",
+            file=sys.stderr,
+        )
+        del df
+        _gc.collect()
+    if volatile:
+        spark.sparkContext._jvm.System.gc()
+
     calib_post = _calibration_sec(spark, int(cpus))
 
     total = round(sum(timings.values()), 2)

@@ -457,10 +457,19 @@ def _q_dedup_incremental_neardup_documents(spark, sf_dir):
         & F.col("text").isNotNull()
         & F.col("text").rlike(r"\S")
     )
-    ledger = D.minhash_signatures(
-        known, "doc_id", "text",
-        num_hashes=_MH_HASHES, shingle_k=_MH_K, hash_mode="md5",
-    ).withColumnRenamed("doc_id", "ledger_id")
+    # localCheckpoint: the operator consumes the ledger TWICE (band
+    # explode + estimator join); a production ledger is materialized
+    # signatures read from storage, so recomputing the md5 signature
+    # pipeline twice here was pure fixture-derivation overhead (round-10
+    # phase attribution: ~2x on the fused row)
+    ledger = (
+        D.minhash_signatures(
+            known, "doc_id", "text",
+            num_hashes=_MH_HASHES, shingle_k=_MH_K, hash_mode="md5",
+        )
+        .withColumnRenamed("doc_id", "ledger_id")
+        .localCheckpoint(eager=False)
+    )
     out = D.dedup_incremental_neardup(
         new, ledger, "doc_id", "text", ledger_id_col="ledger_id",
         num_hashes=_MH_HASHES, bands=_MH_BANDS, shingle_k=_MH_K,
@@ -1286,8 +1295,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_corpus_documents": _q_dedup_corpus,
     # round-3 additions: LLM-pipeline filtering + profiling, and the
     # two streaming skyline topologies through the real state-store path
-    "repetition_stats_documents": _q_repetition_stats,
-    "pii_scrub_documents": _q_pii_scrub,
+    # (repetition_stats / pii_scrub rotated to extras in round 10 —
+    # rationale at their extra entries)
     "decontaminate_documents": _q_decontaminate,
     "column_profile_orders": _q_column_profile,
     "windowed_stream_skyline_events": _q_windowed_stream_skyline,
@@ -1298,7 +1307,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # exact dedup via dedup_corpus phase 1 + distinct_users_by_type,
     # multimodal via multimodal_meta_documents, sliding windows via the
     # session/tumbling/windowed-skyline stream rows
-    "json_extract_events": _q_json_extract_events,
+    # (json_extract_events rotated to extras in round 10 — rationale at
+    # its extra entry)
     "upsert_orders": _q_upsert_orders,
     # round-4 rotation: the strongest previously-ungraded families get
     # hard-gate rows (retired: skyline_part_angle, cosine_topk_ivf,
@@ -1377,6 +1387,21 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "substring_spans_documents": _q_substring_spans_documents,
     "substring_scrub_documents": _q_substring_scrub_documents,
     "unigram_nll_documents": _q_unigram_nll_documents,
+    # round-10 rotation: the strongest never-driver-graded round-9 rows
+    # get hard-gate slots (all three judge-re-oracled clean at sf0.1 in
+    # round 9). dsir_logweights is targeted data selection — the most
+    # pipeline-relevant new family (Xie et al. importance resampling);
+    # dedup_keep_best is the production dedup semantics (best copy
+    # survives, recursive-CTE connected-components oracle);
+    # snapshot_diff is the incremental-processing planner (null-safe
+    # keyed diff). Retired: pii_scrub_documents (substring_scrub keeps
+    # the scrub shape at the gate), repetition_stats_documents
+    # (unigram_nll + bm25 + lang_id keep quality scoring graded),
+    # json_extract_events (jsonx keeps its pytest oracle) — rationale
+    # at their extra entries.
+    "dsir_logweights_documents": _q_dsir_logweights_documents,
+    "dedup_keep_best_documents": _q_dedup_keep_best_documents,
+    "snapshot_diff_documents": _q_snapshot_diff_documents,
 }
 
 #: Retired from the driver's 50-entry gate as redundant with rows that
@@ -1520,12 +1545,6 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # FineWeb-style multi-filter blend, scale-free by construction);
     # all-integer output, exactly oracled
     "quality_ensemble_documents": _q_quality_ensemble_documents,
-    # round-9 addition: DSIR importance-resampling log-weights
-    # (hashed-feature target-vs-raw multinomials); md5 hash mode,
-    # exactly oracled. The top-k cut (dsir_select) is hand-model
-    # pytest-graded — see the query docstring for why the rank-cut
-    # boolean is deliberately not SQL-oracled.
-    "dsir_logweights_documents": _q_dsir_logweights_documents,
     # round-9 addition: per-slice KL/JS divergence vs the pooled
     # corpus (mixture-drift monitoring); smoothing-free by support
     # containment, exactly oracled
@@ -1540,16 +1559,24 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-9 addition: categorical mutual information (contingency
     # dependence probe, single-row output); exactly oracled
     "mi_orders": _q_mi_orders,
-    # round-9 addition: keep-best-copy near-dup dedup (all-integer
-    # output over the recursive-CTE cluster oracle); exactly oracled
-    "dedup_keep_best_documents": _q_dedup_keep_best_documents,
-    # round-9 addition: keyed snapshot diff (incremental-processing
-    # planner; null-safe compare, string/integer output); exactly
-    # oracled
-    "snapshot_diff_documents": _q_snapshot_diff_documents,
     # round-9 addition: per-doc shingle novelty (integer counts +
     # int/int division only — no float caveat); exactly oracled
     "novelty_documents": _q_novelty_documents,
+    # dsir_logweights / dedup_keep_best / snapshot_diff moved to the
+    # driver gate (rotation #10) — the strongest never-driver-graded
+    # round-9 families.
+    # round-10 rotation out of the 50-cap (swapped for the three
+    # above): pii_scrub's regex-scrub shape stays graded at the gate by
+    # substring_scrub_documents (the harder variant — span arithmetic
+    # plus HOF reassembly, not just regexp_replace) and its PII
+    # patterns stay exactly oracled here; repetition_stats' ratio
+    # aggregates are a subset of what lang_id / unigram_nll / bm25
+    # exercise at the gate and stay exactly oracled here; json_extract's
+    # get_json_object/from_json paths stay exactly oracled here and the
+    # jsonx family keeps its dedicated pytests.
+    "repetition_stats_documents": _q_repetition_stats,
+    "pii_scrub_documents": _q_pii_scrub,
+    "json_extract_events": _q_json_extract_events,
 }
 
 

@@ -188,6 +188,121 @@ def hash64_expr(s: Column, salt: Column | None, mode: str = "xxhash64") -> Colum
 #: Mersenne prime 2^61 - 1: the modulus of the md5-mode seed mix.
 _MERSENNE61 = (1 << 61) - 1
 
+_MASK31 = (1 << 31) - 1
+_MASK30 = (1 << 30) - 1
+
+
+def _fold61(v: Column) -> Column:
+    """``v mod (2^61 - 1)`` for ``0 <= v < 2^63``: plain long ``%`` —
+    exact on int64, a single expression node (the classic
+    shift-and-fold Mersenne reduction references its argument several
+    times per level, and nested levels blow the expression TREE up
+    exponentially — the first draft OOM'd the analyzer on one seed
+    mix), and the JIT strength-reduces modulo-by-constant anyway. No
+    decimal, no allocation."""
+    return v % F.lit(_MERSENNE61)
+
+
+def _modmul61_const(x: Column, k: int) -> Column:
+    """``(x * k) mod (2^61 - 1)`` for ``0 <= x < 2^61`` (column) and
+    ``0 <= k < 2^61`` (plan-time constant), entirely in non-overflowing
+    signed-64 arithmetic: split both at bit 31
+    (``x = x1·2^31 + x0``, ``x1 < 2^30``, ``x0 < 2^31``) so
+
+        x·k = x1k1·2^62 + (x1k0 + x0k1)·2^31 + x0k0
+
+    with ``2^62 ≡ 2``, and the middle term reduced via a second split
+    at bit 30 (``m·2^31 = (m >>> 30)·2^61 + (m & mask30)·2^31 ≡
+    (m >>> 30) + (m & mask30)·2^31``). Every intermediate stays below
+    2^62, so ANSI mode never sees an overflow. Replaces the
+    decimal(20,0) formulation, whose per-row BigDecimal allocation
+    churn caused multi-second GC-driven run-to-run variance on the
+    md5-mode rows (round-10 phase attribution: fused neardup row
+    5.2-68.4 s across identical passes under decimal at flat host
+    calib vs a stable ~3 s for the allocation-free xxhash64 mode);
+    outputs are bit-identical to the decimal math, so every md5-mode
+    SQL oracle (DuckDB HUGEINT) is untouched."""
+    k1, k0 = k >> 31, k & _MASK31
+    x1 = F.shiftrightunsigned(x, 31)
+    x0 = x.bitwiseAND(F.lit(_MASK31))
+    # ONE deferred reduction: t1 <= 2·(2^30-1)^2 < 2^61, the reduced
+    # middle term < 2^61 + 2^32, x0k0 < 2^62 — their sum stays below
+    # 2^63 - 2^33, inside signed 64, so a single final % suffices
+    # (each avoided % is a hardware divide per row per seed)
+    t1 = x1 * F.lit(2 * k1)
+    m = x1 * F.lit(k0) + x0 * F.lit(k1)
+    t2 = F.shiftrightunsigned(m, 30) + F.shiftleft(
+        m.bitwiseAND(F.lit(_MASK30)), 31
+    )
+    t3 = x0 * F.lit(k0)
+    return _fold61(t1 + t2 + t3)
+
+
+def _modsquare61(x: Column) -> Column:
+    """``x² mod (2^61 - 1)`` for ``0 <= x < 2^61``, same split scheme
+    as :func:`_modmul61_const` with both factors the runtime column
+    (``x² = x1²·2^62 + 2·x1x0·2^31 + x0²``)."""
+    x1 = F.shiftrightunsigned(x, 31)
+    x0 = x.bitwiseAND(F.lit(_MASK31))
+    # same single-deferred-reduction bound argument as _modmul61_const
+    t1 = x1 * x1 * F.lit(2)
+    m = x1 * x0 * F.lit(2)
+    t2 = F.shiftrightunsigned(m, 30) + F.shiftleft(
+        m.bitwiseAND(F.lit(_MASK30)), 31
+    )
+    t3 = x0 * x0
+    return _fold61(t1 + t2 + t3)
+
+
+def _md5_mix_base(hashed: DataFrame) -> DataFrame:
+    """Stage the seed-independent md5-mode intermediates as COLUMNS:
+    ``__h2 = h² mod p`` plus the 31-bit splits of both ``__h`` and
+    ``__h2``. The per-seed mix expressions then reference five small
+    attribute columns instead of inlining the split arithmetic 32
+    times — the ANALYZED trees stay tiny (CollapseProject re-inlines
+    at optimization time, which runs once per action, and codegen CSE
+    dedupes the shared splits at execution)."""
+    return hashed.withColumn("__h2", _modsquare61(F.col("__h"))).select(
+        "*",
+        F.shiftrightunsigned(F.col("__h"), 31).alias("__h1"),
+        F.col("__h").bitwiseAND(F.lit(_MASK31)).alias("__h0"),
+        F.shiftrightunsigned(F.col("__h2"), 31).alias("__g1"),
+        F.col("__h2").bitwiseAND(F.lit(_MASK31)).alias("__g0"),
+    )
+
+
+def _modmul_sqlstr(hi: str, lo: str, k: int) -> str:
+    """SQL text of :func:`_modmul61_const` over pre-split columns
+    ``hi``/``lo`` (the 31-bit halves) and plan-time constant ``k``."""
+    k1, k0 = k >> 31, k & _MASK31
+    m = f"({hi} * {k0} + {lo} * {k1})"
+    return (
+        f"({hi} * {2 * k1} + (shiftrightunsigned({m}, 30) + "
+        f"shiftleft({m} & {_MASK30}, 31)) + {lo} * {k0}) % {_MERSENNE61}"
+    )
+
+
+def _md5_mix_exprs(num_hashes: int) -> list[Column]:
+    """The md5-mode per-seed mix columns ``__h0..__h{H-1}`` as
+    ``F.expr`` over a :func:`_md5_mix_base` frame — same values as
+    :func:`_seed_mix` (pinned by the bigint differential test), but
+    each seed is ONE gateway call carrying a SQL string instead of
+    ~55 py4j Column constructions. Profiled round 10: the Column-tree
+    construction of a 32-seed projection cost ~1.5 s of DRIVER time
+    per signature build (py4j chatter + analyzer load) — more than
+    the cluster-side execution of the whole signature job."""
+    out = []
+    for j in range(num_hashes):
+        a, b, c = _mix_param(j)
+        out.append(
+            F.expr(
+                f"(({_modmul_sqlstr('__g1', '__g0', a)}) + "
+                f"({_modmul_sqlstr('__h1', '__h0', b)}) + {c}) "
+                f"% {_MERSENNE61}"
+            ).alias(f"__h{j}")
+        )
+    return out
+
 
 @lru_cache(maxsize=None)
 def _mix_param(j: int) -> tuple[int, int, int]:
@@ -240,19 +355,23 @@ def _seed_mix(h: Column, j: int, mode: str, h2: Column | None = None) -> Column:
 
     xxhash64 mode re-hashes (hash of base hash + seed). md5 mode
     (round 7) uses the degree-2 polynomial scramble
-    ``(a_j * (h² mod p) + b_j * h + c_j) mod p``, p = 2^61 - 1, in
-    exact DECIMAL arithmetic instead of a PER-SEED md5 re-hash: the
-    old construction paid num_hashes md5+hex-parse calls per shingle
-    (~33 md5s/shingle at H=32 — measured as the dominant cost of the
-    md5-mode driver rows), while two multiplies per seed are pure
-    codegen'd arithmetic and equally engine-portable (HUGEINT in
-    DuckDB). Degree 2, not 1: see ``_mix_params`` — the linear family
-    measurably hurt banding recall; the quadratic one matches the
-    re-hash mode on the planted-pair guard.
+    ``(a_j * (h² mod p) + b_j * h + c_j) mod p``, p = 2^61 - 1,
+    instead of a PER-SEED md5 re-hash: the old construction paid
+    num_hashes md5+hex-parse calls per shingle (~33 md5s/shingle at
+    H=32 — measured as the dominant cost of the md5-mode driver rows),
+    while two multiplies per seed are pure codegen'd arithmetic and
+    equally engine-portable (HUGEINT in DuckDB). Degree 2, not 1: see
+    ``_mix_params`` — the linear family measurably hurt banding
+    recall; the quadratic one matches the re-hash mode on the
+    planted-pair guard. Round 10: the multiplies moved from
+    decimal(20,0) to the pure-long split scheme
+    (:func:`_modmul61_const`) — bit-identical values, no BigDecimal
+    allocation churn (the attributed source of the neardup bench
+    row's 5-68 s run-to-run variance), no oracle change.
 
     Pass ``h2`` = ``(h² mod p)`` as a precomputed column when mixing
     many seeds of the same base hash: the squaring is seed-independent,
-    so factoring it out of an H-wide projection cuts both the decimal
+    so factoring it out of an H-wide projection cuts both the modular
     work and the generated-code size by ~a third."""
     if mode == "xxhash64":
         return F.xxhash64(h, F.lit(j))
@@ -262,12 +381,10 @@ def _seed_mix(h: Column, j: int, mode: str, h2: Column | None = None) -> Column:
         # hash today, but a future direct caller would be bitten)
         raise ValueError(f"unknown hash_mode: {mode!r}")
     a, b, c = _mix_param(j)
-    p = F.lit(_MERSENNE61)
-    hd = h.cast("decimal(20,0)")
     if h2 is None:
-        h2 = hd * hd % p
-    mixed = (h2 * F.lit(a) + hd * F.lit(b) + F.lit(c)) % p
-    return mixed.cast("long")
+        h2 = _modsquare61(h)
+    # each term lands in [0, p); their sum stays under 3p < 2^63
+    return _fold61(_modmul61_const(h2, a) + _modmul61_const(h, b) + F.lit(c))
 
 
 def minhash_signatures(
@@ -301,16 +418,19 @@ def minhash_signatures(
     hashed = sh_tbl.select(id_col, base_hash)
     h2 = None
     if hash_mode == "md5":
-        hd = F.col("__h").cast("decimal(20,0)")
-        hashed = hashed.withColumn("__h2", hd * hd % F.lit(_MERSENNE61))
-        h2 = F.col("__h2")
-    mixed = hashed.select(
-        id_col,
-        *[
-            _seed_mix(F.col("__h"), j, hash_mode, h2=h2).alias(f"__h{j}")
-            for j in range(num_hashes)
-        ],
-    )
+        # SQL-string mix exprs over pre-split columns: ~35x fewer
+        # gateway calls than per-seed Column trees (see _md5_mix_exprs)
+        mixed = _md5_mix_base(hashed).select(
+            id_col, *_md5_mix_exprs(num_hashes)
+        )
+    else:
+        mixed = hashed.select(
+            id_col,
+            *[
+                _seed_mix(F.col("__h"), j, hash_mode, h2=h2).alias(f"__h{j}")
+                for j in range(num_hashes)
+            ],
+        )
     return mixed.groupBy(id_col).agg(
         *[F.min(f"__h{j}").alias(f"m{j}") for j in range(num_hashes)]
     )
@@ -384,16 +504,17 @@ def minhash_lsh_pairs(
     hashed = sh_tbl.select("__id", hash64_expr(F.col("__s"), None, hash_mode).alias("__h"))
     h2 = None
     if hash_mode == "md5":
-        hd = F.col("__h").cast("decimal(20,0)")
-        hashed = hashed.withColumn("__h2", hd * hd % F.lit(_MERSENNE61))
-        h2 = F.col("__h2")
-    mixed = hashed.select(
-        "__id",
-        *[
-            _seed_mix(F.col("__h"), j, hash_mode, h2=h2).alias(f"__h{j}")
-            for j in range(num_hashes)
-        ],
-    )
+        mixed = _md5_mix_base(hashed).select(
+            "__id", *_md5_mix_exprs(num_hashes)
+        )
+    else:
+        mixed = hashed.select(
+            "__id",
+            *[
+                _seed_mix(F.col("__h"), j, hash_mode, h2=h2).alias(f"__h{j}")
+                for j in range(num_hashes)
+            ],
+        )
     sig_tbl = mixed.groupBy("__id").agg(
         *[F.min(f"__h{j}").alias(f"m{j}") for j in range(num_hashes)]
     )

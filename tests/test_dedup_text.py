@@ -439,6 +439,77 @@ def test_bm25_validates(spark):
         T.bm25_scores(df, [])
 
 
+def test_mersenne_modmul_matches_bigint(spark):
+    """The pure-long Mersenne-61 split-multiply helpers (round 10 —
+    they replaced the decimal(20,0) formulation whose BigDecimal
+    allocation churn caused the neardup bench row's 5-68 s run-to-run
+    variance) are bit-identical to exact big-integer arithmetic on
+    adversarial operands: 0, 1, p-1, all-ones masks at the 30/31-bit
+    split boundaries, and random 60/61-bit values. Also pins the full
+    md5-mode _seed_mix against the exact (a·h²+b·h+c) mod p polynomial
+    — the contract every md5-mode DuckDB oracle (HUGEINT) relies on."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from pyspark_skyline_spark.operators.dedup import (
+        _MERSENNE61 as P,
+        _fold61,
+        _mix_param,
+        _modmul61_const,
+        _modsquare61,
+        _seed_mix,
+    )
+
+    rng = random.Random(99)
+    edge = [0, 1, 2, (1 << 31) - 1, 1 << 31, (1 << 30) - 1, 1 << 30,
+            P - 1, P - 2, (1 << 60) - 1, (1 << 61) - 2]
+    xs = edge + [rng.randrange(P) for _ in range(40)]
+    ks = edge + [rng.randrange(P) for _ in range(5)]
+    df = spark.createDataFrame([(x,) for x in xs], "x long")
+    # fold: valid for v < 2^63
+    folds = [(1 << 62) + 12345, (1 << 63) - 1, P, P + 1, 2 * P, 3 * P - 1]
+    got = df.select(
+        "x",
+        _modsquare61(F.col("x")).alias("sq"),
+        *[_modmul61_const(F.col("x"), k).alias(f"mul{i}") for i, k in enumerate(ks)],
+    ).collect()
+    for r in got:
+        assert r["sq"] == (r["x"] * r["x"]) % P, r["x"]
+        for i, k in enumerate(ks):
+            assert r[f"mul{i}"] == (r["x"] * k) % P, (r["x"], k)
+    fdf = spark.createDataFrame([(v,) for v in folds], "v long")
+    for r in fdf.select("v", _fold61(F.col("v")).alias("f")).collect():
+        assert r["f"] == r["v"] % P, r["v"]
+    # full seed mix (h < 2^60, the md5 15-hex domain) for several seeds
+    hdf = spark.createDataFrame(
+        [(h,) for h in xs if h < (1 << 60)], "h long"
+    )
+    seeds = [0, 1, 7, 31]
+    rows = hdf.select(
+        "h", *[_seed_mix(F.col("h"), j, "md5").alias(f"s{j}") for j in seeds]
+    ).collect()
+    for r in rows:
+        h2 = (r["h"] * r["h"]) % P
+        for j in seeds:
+            a, b, c = _mix_param(j)
+            assert r[f"s{j}"] == (a * h2 + b * r["h"] + c) % P, (r["h"], j)
+    # the SQL-string fast path (what minhash_signatures actually runs)
+    # computes the identical polynomial
+    from pyspark_skyline_spark.operators.dedup import (
+        _md5_mix_base,
+        _md5_mix_exprs,
+    )
+
+    base = _md5_mix_base(hdf.select(F.col("h").alias("__h")))
+    rows2 = base.select("__h", *_md5_mix_exprs(8)).collect()
+    for r in rows2:
+        h2 = (r["__h"] * r["__h"]) % P
+        for j in range(8):
+            a, b, c = _mix_param(j)
+            assert r[f"__h{j}"] == (a * h2 + b * r["__h"] + c) % P, (r["__h"], j)
+
+
 def test_hash_embed_matches_python(spark):
     import hashlib
 
