@@ -70,6 +70,7 @@ from pyspark_skyline_spark.entry_queries_stream import (
     _q_stream_session_stats_events,
     _q_stream_skyline_orders,
     _q_stream_sliding_stats_events,
+    _q_stream_snapshot_diff_events,
     _q_stream_vocab_documents,
     _q_stream_window_stats_orders,
     _q_two_stage_skyline,
@@ -1577,6 +1578,11 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_stats_documents": _q_repetition_stats,
     "pii_scrub_documents": _q_pii_scrub,
     "json_extract_events": _q_json_extract_events,
+    # round-10 addition: streaming changed-keys-only upsert planning
+    # (snapshot_diff through the real foreachBatch engine with a
+    # latest-wins delta-log state view); exactly oracled via the
+    # lag-over-epochs replay
+    "stream_snapshot_diff_events": _q_stream_snapshot_diff_events,
 }
 
 

@@ -1483,6 +1483,34 @@ SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
 FROM events
 GROUP BY 1
 """,
+    # streaming changed-keys-only upsert planner (round 10): batch k =
+    # event_id % 3, collapsed latest-wins per user by event_id; the
+    # accumulated state any epoch sees IS the key's previous collapsed
+    # row, so one lag() over the epoch order replays the whole stream —
+    # previous-epoch NULL = added, null-safe equality on the compared
+    # columns splits unchanged/changed. Compared doubles carried
+    # verbatim from parquet (no arithmetic), equality exact.
+    "stream_snapshot_diff_events": """
+WITH coll AS (
+  SELECT ep, user_id, event_type, value FROM (
+    SELECT event_id % 3 AS ep, user_id, event_type, value,
+           row_number() OVER (
+             PARTITION BY event_id % 3, user_id ORDER BY event_id DESC
+           ) AS rn
+    FROM events) WHERE rn = 1),
+hist AS (
+  SELECT ep, user_id, event_type, value,
+         lag(event_type) OVER w AS pt,
+         lag(value) OVER w AS pv,
+         lag(ep) OVER w AS pe
+  FROM coll WINDOW w AS (PARTITION BY user_id ORDER BY ep))
+SELECT CAST(ep AS BIGINT) AS epoch, user_id,
+       CASE WHEN pe IS NULL THEN 'added'
+            WHEN pt IS NOT DISTINCT FROM event_type
+                 AND pv IS NOT DISTINCT FROM value THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM hist
+""",
     # stream-static inner join emits every match of the replay, so the
     # plain batch join is exact
     "stream_enrich_events": """

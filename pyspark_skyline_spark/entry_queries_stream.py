@@ -404,3 +404,71 @@ def _q_stream_enrich_events(spark, sf_dir):
         )
         q.awaitTermination()
     return spark.table(name)
+
+
+def _q_stream_snapshot_diff_events(spark, sf_dir):
+    """Streaming changed-keys-only upsert planning through the REAL
+    foreachBatch engine (round 10 —
+    streaming/curation.py::run_snapshot_diff_stream, the streaming
+    composition of operators/upsert.py::snapshot_diff): the events
+    table arrives as three keyed upsert batches (``event_id % 3``,
+    maxFilesPerTrigger=1 over mtime-ordered files -> batch k IS epoch
+    k), each batch collapsed latest-wins per user by ``event_id`` and
+    diffed against the accumulated state view. Output: one
+    (epoch, user_id, status) row per batch key.
+
+    Exactly SQL-oracle-able because state-after-epoch-k per key IS the
+    key's latest collapsed row at any epoch <= k: the oracle replays
+    the whole history with one ``lag() OVER (PARTITION BY user_id
+    ORDER BY ep)`` — a previous-epoch NULL means ``added``, null-safe
+    equality on the compared columns picks ``unchanged`` vs
+    ``changed``. Compared doubles are carried verbatim from parquet
+    (no arithmetic), so equality is exact in both engines."""
+    import os
+    import tempfile
+    import time
+
+    from pyspark_skyline_spark.streaming.curation import run_snapshot_diff_stream
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value",
+        (F.col("event_id") % 3).alias("__ep"),
+    )
+    work = tempfile.mkdtemp(prefix="sdstream_")
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    now = time.time()
+    for k in range(3):
+        path = os.path.join(src, f"b{k}.parquet")
+        ev.where(F.col("__ep") == k).drop("__ep").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(path)
+        t = now - 30 + 10 * k
+        for root, _, files in os.walk(path):
+            for f in files:
+                os.utime(os.path.join(root, f), (t, t))
+        os.utime(path, (t, t))
+    schema = ev.drop("__ep").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    out = os.path.join(work, "out")
+    with _state_partitions(spark):
+        q = run_snapshot_diff_stream(
+            stream,
+            out,
+            os.path.join(work, "state"),
+            ["user_id"],
+            checkpoint_dir=os.path.join(work, "chk"),
+            compare_cols=["event_type", "value"],
+            order_col="event_id",
+        )
+        finished = q.awaitTermination(300)
+        if not finished:
+            q.stop()
+            raise RuntimeError("snapshot-diff stream did not finish")
+    return spark.read.parquet(out).select(
+        F.col("epoch").cast("long").alias("epoch"), "user_id", "status"
+    )

@@ -43,6 +43,8 @@ __all__ = [
     "committed_ledger",
     "run_paragraph_dedup_stream",
     "committed_unit_ledger",
+    "run_snapshot_diff_stream",
+    "committed_snapshot_state",
 ]
 
 
@@ -221,6 +223,147 @@ def run_paragraph_dedup_stream(
         # on the heal path (out committed, ledger lost) only this write
         # runs — reassembly is never computed for it
         write_epoch_idempotent(new_hashes, epoch_id, ledger_dir)
+
+    writer = stream_df.writeStream.foreachBatch(process)
+    writer = writer.option("checkpointLocation", checkpoint_dir)
+    if processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    elif trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def committed_snapshot_state(
+    spark: SparkSession,
+    state_dir: str,
+    keys: list[str],
+    schema: str | None = None,
+) -> DataFrame | None:
+    """The CURRENT keyed snapshot from the delta log written by
+    :func:`run_snapshot_diff_stream`: union of committed epoch deltas,
+    latest epoch wins per key (each delta carries its ``__epoch``
+    column; within one epoch keys are unique by the runner's
+    collapse). Returns ``None`` for an empty log. The merge-on-read
+    shape of every log-structured upsert store: per-batch writes stay
+    O(batch), reads pay one keyed window — compact by rewriting the
+    view as a new base epoch when the log grows long."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    dirs = _committed_epoch_dirs(state_dir)
+    if not dirs:
+        return None
+    log = spark.read.parquet(*dirs)
+    w = Window.partitionBy(*keys).orderBy(F.col("__epoch").desc())
+    return (
+        log.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn", "__epoch")
+    )
+
+
+def run_snapshot_diff_stream(
+    stream_df: DataFrame,
+    out_dir: str,
+    state_dir: str,
+    keys: list[str],
+    checkpoint_dir: str,
+    compare_cols: list[str] | None = None,
+    order_col: str | None = None,
+    trigger_available_now: bool = True,
+    processing_time: str | None = None,
+):
+    """Continuous CHANGED-KEYS-ONLY upsert planning: each micro-batch
+    is a slice of keyed upserts; per batch the runner emits one status
+    row per batch key — ``added`` (key never seen), ``changed``
+    (present, compared columns differ), ``unchanged`` — under
+    ``out_dir/epoch=N``, and appends the batch's collapsed rows (with
+    an ``__epoch`` column) to the ``state_dir`` delta log. Downstream
+    incremental pipelines re-embed / re-score ONLY the added+changed
+    keys of each epoch instead of rescanning the corpus — the
+    streaming composition of :func:`operators.upsert.snapshot_diff`
+    (round-9 verdict ask #5). ``removed`` cannot occur (batches carry
+    upserts, not tombstones); the batch operator keeps that leg for
+    full-snapshot diffs.
+
+    Within-batch duplicate keys collapse latest-wins by ``order_col``
+    (descending, ties by remaining key order) when given; without it
+    the underlying ``snapshot_diff`` duplicate check raises loudly on
+    an ambiguous batch.
+
+    Scale shape: the state view is read per batch (one keyed window
+    over the delta log — merge-on-read) and immediately SEMI-JOINED
+    down to the batch's keys, so the diff join is O(batch), never
+    O(corpus); the state write is the batch rows only.
+
+    Crash contract (same ordering argument as
+    :func:`run_incremental_dedup_stream`): the diff is computed
+    against the state BEFORE this batch, so the diff epoch writes
+    FIRST and the state delta second. A crash between the two replays
+    the batch: the diff write is skipped (committed) and the state
+    delta is recomputed — identical by construction (the batch's own
+    epoch never committed, so the state view is unchanged). Writing
+    the state first would be wrong: the replayed diff would compare
+    the batch against itself and emit all-``unchanged``."""
+    if not checkpoint_dir:
+        raise ValueError("checkpoint_dir is required (epoch identity depends on it)")
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from pyspark_skyline_spark.operators.upsert import snapshot_diff
+
+    in_cols = list(stream_df.columns)
+    missing = [k for k in keys if k not in in_cols]
+    if missing:
+        raise ValueError(f"key columns {missing} not in stream columns {in_cols}")
+    if order_col is not None and order_col not in in_cols:
+        raise ValueError(f"order_col {order_col!r} not in stream columns")
+    cmp_cols = (
+        compare_cols
+        if compare_cols is not None
+        else [c for c in in_cols if c not in keys]
+    )
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        done = all(
+            os.path.exists(os.path.join(d, f"epoch={int(epoch_id)}", "_SUCCESS"))
+            for d in (out_dir, state_dir)
+        )
+        if done:
+            return
+        spark = batch_df.sparkSession
+        if order_col is not None:
+            w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
+            batch_df = (
+                batch_df.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        # one computation feeds the diff AND the state delta
+        batch_df = batch_df.localCheckpoint(eager=True)
+        cur = committed_snapshot_state(spark, state_dir, keys)
+        if cur is None:
+            cur = spark.createDataFrame([], batch_df.schema)
+        # O(batch) diff: unaffected keys are 'unchanged' by definition,
+        # so restrict the state view to this batch's keys first
+        cur_b = cur.join(batch_df.select(*keys), keys, "semi")
+        # with order_col both sides are key-unique by construction
+        # (latest-wins view + within-batch collapse) — skip the eager
+        # scans; without it, keep snapshot_diff's loud duplicate check
+        diff = snapshot_diff(
+            cur_b,
+            batch_df,
+            keys,
+            compare_cols=cmp_cols,
+            assume_unique=order_col is not None,
+        )
+        write_epoch_idempotent(diff, epoch_id, out_dir)
+        delta = batch_df.withColumn(
+            "__epoch", F.lit(int(epoch_id)).cast("long")
+        )
+        write_epoch_idempotent(delta, epoch_id, state_dir)
 
     writer = stream_df.writeStream.foreachBatch(process)
     writer = writer.option("checkpointLocation", checkpoint_dir)

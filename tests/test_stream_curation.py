@@ -232,3 +232,137 @@ def test_paragraph_stream_replay_and_crash_window(spark, tmp_path):
         for r in spark.read.parquet(out).select("doc_id", "text_dedup").collect()
     )
     assert again == before
+
+
+# ---------------------------------------------------------------------------
+# streaming snapshot diff (changed-keys-only upsert planner)
+# ---------------------------------------------------------------------------
+
+SD_SCHEMA = "k long, v string, ts long"
+
+
+def _write_sd_batch(spark, src, name, rows, when=None):
+    os.makedirs(src, exist_ok=True)
+    path = os.path.join(src, name)
+    spark.createDataFrame(rows, SD_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+    t = when or time.time()
+    for root, _, files in os.walk(path):
+        for f in files:
+            os.utime(os.path.join(root, f), (t, t))
+    os.utime(path, (t, t))
+
+
+def _run_sd(spark, src, out, state, chk, order_col="ts"):
+    from pyspark_skyline_spark.streaming.curation import run_snapshot_diff_stream
+
+    stream = (
+        spark.readStream.schema(SD_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = run_snapshot_diff_stream(
+        stream, out, state, ["k"], checkpoint_dir=chk,
+        compare_cols=["v"], order_col=order_col,
+    )
+    finished = q.awaitTermination(300)
+    if not finished:
+        q.stop()
+    assert finished, "availableNow snapshot-diff query did not finish in time"
+
+
+def _sd_statuses(spark, out):
+    got = {}
+    for d in sorted(os.listdir(out)):
+        if not d.startswith("epoch="):
+            continue
+        ep = int(d.split("=")[1])
+        for r in spark.read.parquet(os.path.join(out, d)).collect():
+            got[(ep, r["k"])] = r["status"]
+    return got
+
+
+def test_snapshot_diff_stream_statuses(spark, tmp_path):
+    """Batch 0 all added; batch 1: changed value -> changed, same value
+    -> unchanged, new key -> added; within-batch duplicate keys
+    collapse latest-wins by order_col; state view reflects the last
+    upsert per key."""
+    src, out = str(tmp_path / "src"), str(tmp_path / "out")
+    state, chk = str(tmp_path / "state"), str(tmp_path / "chk")
+    t = time.time()
+    _write_sd_batch(spark, src, "b0.parquet", [(1, "a", 10), (2, "b", 11)], when=t - 20)
+    # key 3 duplicated within batch 1: ts 31 wins -> "y"
+    _write_sd_batch(
+        spark, src, "b1.parquet",
+        [(1, "a", 20), (2, "B", 21), (3, "x", 30), (3, "y", 31)],
+        when=t - 10,
+    )
+    _run_sd(spark, src, out, state, chk)
+    got = _sd_statuses(spark, out)
+    assert got == {
+        (0, 1): "added",
+        (0, 2): "added",
+        (1, 1): "unchanged",
+        (1, 2): "changed",
+        (1, 3): "added",
+    }
+    from pyspark_skyline_spark.streaming.curation import committed_snapshot_state
+
+    cur = {
+        r["k"]: r["v"]
+        for r in committed_snapshot_state(spark, state, ["k"]).collect()
+    }
+    assert cur == {1: "a", 2: "B", 3: "y"}
+
+
+def test_snapshot_diff_stream_prefix_consistency(spark, tmp_path):
+    """Feeding batches b0..b2 in one run produces the same per-epoch
+    statuses as feeding b0..b1 then restarting the stream (same
+    checkpoint) with b2 appended — the ledgered state carries across
+    restarts exactly (the dedup_incremental prefix-consistency
+    contract)."""
+    t = time.time()
+    batches = [
+        [(1, "a", 1), (2, "b", 2)],
+        [(2, "c", 3), (3, "d", 4)],
+        [(1, "a", 5), (3, "e", 6), (4, "f", 7)],
+    ]
+    # run A: all three at once
+    srcA, outA = str(tmp_path / "srcA"), str(tmp_path / "outA")
+    stateA, chkA = str(tmp_path / "stateA"), str(tmp_path / "chkA")
+    for i, rows in enumerate(batches):
+        _write_sd_batch(spark, srcA, f"b{i}.parquet", rows, when=t - 30 + i)
+    _run_sd(spark, srcA, outA, stateA, chkA)
+    # run B: two, then restart with the third
+    srcB, outB = str(tmp_path / "srcB"), str(tmp_path / "outB")
+    stateB, chkB = str(tmp_path / "stateB"), str(tmp_path / "chkB")
+    for i, rows in enumerate(batches[:2]):
+        _write_sd_batch(spark, srcB, f"b{i}.parquet", rows, when=t - 30 + i)
+    _run_sd(spark, srcB, outB, stateB, chkB)
+    _write_sd_batch(spark, srcB, "b2.parquet", batches[2], when=t - 30 + 2)
+    _run_sd(spark, srcB, outB, stateB, chkB)
+    assert _sd_statuses(spark, outA) == _sd_statuses(spark, outB) == {
+        (0, 1): "added", (0, 2): "added",
+        (1, 2): "changed", (1, 3): "added",
+        (2, 1): "unchanged", (2, 3): "changed", (2, 4): "added",
+    }
+
+
+def test_snapshot_diff_stream_replay_idempotent(spark, tmp_path):
+    """A committed epoch replay (same checkpoint, re-fed source) writes
+    nothing new: statuses and state epochs are unchanged after a second
+    run over the same source."""
+    src, out = str(tmp_path / "src"), str(tmp_path / "out")
+    state, chk = str(tmp_path / "state"), str(tmp_path / "chk")
+    t = time.time()
+    _write_sd_batch(spark, src, "b0.parquet", [(1, "a", 1)], when=t - 20)
+    _write_sd_batch(spark, src, "b1.parquet", [(1, "z", 2)], when=t - 10)
+    _run_sd(spark, src, out, state, chk)
+    before = _sd_statuses(spark, out)
+    state_epochs = sorted(os.listdir(state))
+    _run_sd(spark, src, out, state, chk)  # replay, nothing new
+    assert _sd_statuses(spark, out) == before == {
+        (0, 1): "added", (1, 1): "changed",
+    }
+    assert sorted(os.listdir(state)) == state_epochs
