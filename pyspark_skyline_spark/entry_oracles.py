@@ -18,6 +18,7 @@ from pyspark_skyline_spark.entry_params import (
     _BATCH_PROBE_IDS,
     _BM25_TERMS,
     _DSIR_BUCKETS,
+    _DSIR_KEEP,
     _DSIR_TARGET_LANG,
     _EDC_PROBE_MAX,
     _EVENT_TYPES,
@@ -1047,6 +1048,54 @@ SELECT occ.doc_id, sum(ratio.lr) AS logw,
        CAST(count(*) AS BIGINT) AS n_feats
 FROM occ JOIN ratio USING (b)
 GROUP BY occ.doc_id
+""",
+    # round-10 FULL DSIR select (tie-exact): per-(doc, bucket) integer
+    # counts, ONE IEEE product per bucket (deterministic), exact
+    # order-free DECIMAL(38,18) summation — identical documents tie
+    # bitwise in both engines and break by id identically, so the
+    # rank + ceil(keep_frac*N) cut is oracle-able end-to-end. The only
+    # engine-float left is the per-bucket ln (~1e-12); a rank flip
+    # would need two DISTINCT-score docs inside that — not a tie
+    # class. All output columns integer/boolean.
+    "dsir_select_documents": rf"""
+WITH arr AS (
+  SELECT doc_id, lang, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+  FROM documents),
+feats AS (
+  SELECT doc_id, lang, unnest(toks) AS f FROM arr
+  UNION ALL
+  SELECT doc_id, lang, toks[i] || ' ' || toks[i + 1] AS f
+  FROM arr, unnest(range(1, len(toks))) AS r(i)),
+occ AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(f), 1, 15))::BIGINT % {_DSIR_BUCKETS} AS b
+  FROM feats),
+qc AS (SELECT b, count(*) AS cq FROM occ GROUP BY b),
+pc AS (SELECT b, count(*) AS cp FROM occ
+       WHERE lang = '{_DSIR_TARGET_LANG}' GROUP BY b),
+tot AS (
+  SELECT (SELECT sum(cq) FROM qc) AS nq,
+         (SELECT coalesce(sum(cp), 0) FROM pc) AS np),
+ratio AS (
+  SELECT qc.b,
+         ln((coalesce(pc.cp, 0) + 1.0) / (tot.np + {_DSIR_BUCKETS}))
+           - ln((qc.cq + 1.0) / (tot.nq + {_DSIR_BUCKETS})) AS lr
+  FROM qc LEFT JOIN pc USING (b) CROSS JOIN tot),
+docb AS (SELECT doc_id, b, count(*) AS cnt FROM occ GROUP BY doc_id, b),
+sc AS (
+  SELECT docb.doc_id,
+         sum(CAST(docb.cnt * ratio.lr AS DECIMAL(38,18))) AS lwx,
+         CAST(sum(docb.cnt) AS BIGINT) AS n_feats
+  FROM docb JOIN ratio USING (b)
+  GROUP BY docb.doc_id),
+f AS (
+  SELECT doc_id, n_feats,
+         row_number() OVER (ORDER BY lwx DESC, doc_id) AS rnk,
+         count(*) OVER () AS n
+  FROM sc)
+SELECT doc_id, n_feats, CAST(rnk AS BIGINT) AS rank,
+       rnk <= ceil({_DSIR_KEEP} * n) AS keep
+FROM f
 """,
     # round-9 PMI collocations: the min-support predicate on the
     # integer pair count decides the row set exactly; pmi is a value

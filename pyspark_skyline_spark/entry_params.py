@@ -56,6 +56,10 @@ _SS_K = 8
 # the score surface; the top-k cut is pytest-graded — see
 # _q_dsir_logweights_documents.)
 _DSIR_BUCKETS, _DSIR_TARGET_LANG = 4096, "en"
+#: round 10: keep fraction for the tie-exact full-select row
+#: (dsir_select_documents) — the paper's headline regime keeps a
+#: quarter of the raw corpus
+_DSIR_KEEP = 0.25
 
 # round 9: PMI collocation mining — the min-support predicate that
 # decides the row set (integer, so the oracled row set is exact)

@@ -167,3 +167,62 @@ def test_dsir_select_gumbel_mode(spark, raw_df):
 
     with pytest.raises(ValueError, match="sample_mode"):
         dsir_select(raw_df, tgt, sample_mode="bogus")
+
+
+def test_dsir_select_exact_matches_hand_model_and_ties(spark):
+    """dsir_select_exact (round 10): ranks equal the hand model's
+    (score desc, id) order; exact-DUPLICATE texts (the fold-order
+    caveat class that keeps the float-sum select out of the oracle)
+    get adjacent ranks in id order regardless of partition layout;
+    output is all integer/boolean; keep cuts at ceil(keep_frac*N)."""
+    from pyspark_skyline_spark.operators.selection import dsir_select_exact
+
+    rows = RAW + [
+        (8, "the cat sat on the mat", "en"),   # exact duplicate of 1
+        (9, "the cat sat on the mat", "fr"),   # and another
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    tgt = df.filter(f"lang = '{TARGET_LANG}'")
+
+    # hand model over the augmented corpus
+    q: dict[int, int] = {}
+    p: dict[int, int] = {}
+    doc_buckets: dict[int, list[int]] = {}
+    for doc_id, text, lang in rows:
+        bs = [_hand_bucket(f) for f in _hand_feats(text)]
+        doc_buckets[doc_id] = bs
+        for b in bs:
+            q[b] = q.get(b, 0) + 1
+            if lang == TARGET_LANG:
+                p[b] = p.get(b, 0) + 1
+    nq, np_ = sum(q.values()), sum(p.values())
+    score = {
+        d: sum(
+            math.log((p.get(b, 0) + 1.0) / (np_ + B))
+            - math.log((q[b] + 1.0) / (nq + B))
+            for b in bs
+        )
+        for d, bs in doc_buckets.items()
+    }
+    want_order = sorted(score, key=lambda d: (-score[d], d))
+    k = math.ceil(0.4 * len(rows))
+
+    for layout in (df, df.repartition(7)):
+        got = {
+            r["doc_id"]: r
+            for r in dsir_select_exact(
+                layout, tgt, keep_frac=0.4, n_buckets=B, hash_mode="md5"
+            ).collect()
+        }
+        assert [d for d, _ in sorted(
+            ((d, got[d]["rank"]) for d in got), key=lambda t: t[1]
+        )] == want_order
+        assert {d for d in got if got[d]["keep"]} == set(want_order[:k])
+        assert all(got[d]["n_feats"] == len(doc_buckets[d]) for d in got)
+        # duplicates 1, 8, 9 share one exact score -> adjacent ranks
+        # in id order (the tie-exact contract)
+        r1, r8, r9 = (got[d]["rank"] for d in (1, 8, 9))
+        assert (r8, r9) == (r1 + 1, r1 + 2)
+
+    with pytest.raises(ValueError, match="keep_frac"):
+        dsir_select_exact(df, tgt, keep_frac=0.0)
