@@ -144,9 +144,13 @@ def test_bench_final_line_fits_tail_capture():
     line exactly as bench.py does — the real fmt_secs/INLINE_RECALL
     (shared via pyspark_skyline_spark.benchtools), every live registry
     row at the widest timing fmt_secs can emit, 3-digit calibration
-    pair — and pin it under 1900 (100 chars of real slack; the errors
+    pair — and pin it under 1950 (50 chars of real slack; the errors
     path can only add the 12-char scaffold, since each errored row
-    leaves the queries dict and inline errors are names-only)."""
+    leaves the queries dict and inline errors are names-only). The
+    bar was 1900 through round 9; rotation #10's longer row names
+    (dedup_keep_best/dsir_logweights/snapshot_diff replacing shorter
+    retired names) pushed the worst case to 1904, still 96 under the
+    capture — the slack narrowed, the contract didn't."""
     import json as _json
 
     from pyspark_skyline_spark.benchtools import INLINE_RECALL, fmt_secs
@@ -166,7 +170,7 @@ def test_bench_final_line_fits_tail_capture():
         "recall": {k: 0.999 for k in INLINE_RECALL},
     }
     line = _json.dumps(payload)
-    assert len(line) < 1900, f"bench final line would be {len(line)} chars"
+    assert len(line) < 1950, f"bench final line would be {len(line)} chars"
 
 
 def test_persist_passes_archives_other_runs_only(tmp_path):
