@@ -455,20 +455,36 @@ def _q_stream_snapshot_diff_events(spark, sf_dir):
         .parquet(src + "/*")
     )
     out = os.path.join(work, "out")
-    with _state_partitions(spark):
-        q = run_snapshot_diff_stream(
-            stream,
-            out,
-            os.path.join(work, "state"),
-            ["user_id"],
-            checkpoint_dir=os.path.join(work, "chk"),
-            compare_cols=["event_type", "value"],
-            order_col="event_id",
+    try:
+        with _state_partitions(spark):
+            q = run_snapshot_diff_stream(
+                stream,
+                out,
+                os.path.join(work, "state"),
+                ["user_id"],
+                checkpoint_dir=os.path.join(work, "chk"),
+                compare_cols=["event_type", "value"],
+                order_col="event_id",
+            )
+            finished = q.awaitTermination(300)
+            if not finished:
+                q.stop()
+                raise RuntimeError("snapshot-diff stream did not finish")
+        # eager checkpoint detaches the (small — one status row per
+        # batch key) result from the temp files so the whole work dir
+        # can be removed NOW: without this, every warmup + timed pass
+        # leaked a full re-write of the events table to /tmp until the
+        # disk filled (review find)
+        return (
+            spark.read.parquet(out)
+            .select(
+                F.col("epoch").cast("long").alias("epoch"),
+                "user_id",
+                "status",
+            )
+            .localCheckpoint(eager=True)
         )
-        finished = q.awaitTermination(300)
-        if not finished:
-            q.stop()
-            raise RuntimeError("snapshot-diff stream did not finish")
-    return spark.read.parquet(out).select(
-        F.col("epoch").cast("long").alias("epoch"), "user_id", "status"
-    )
+    finally:
+        import shutil
+
+        shutil.rmtree(work, ignore_errors=True)

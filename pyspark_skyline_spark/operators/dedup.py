@@ -416,7 +416,6 @@ def minhash_signatures(
     )
     base_hash = hash64_expr(F.col("__s"), None, hash_mode).alias("__h")
     hashed = sh_tbl.select(id_col, base_hash)
-    h2 = None
     if hash_mode == "md5":
         # SQL-string mix exprs over pre-split columns: ~35x fewer
         # gateway calls than per-seed Column trees (see _md5_mix_exprs)
@@ -427,7 +426,7 @@ def minhash_signatures(
         mixed = hashed.select(
             id_col,
             *[
-                _seed_mix(F.col("__h"), j, hash_mode, h2=h2).alias(f"__h{j}")
+                _seed_mix(F.col("__h"), j, hash_mode).alias(f"__h{j}")
                 for j in range(num_hashes)
             ],
         )
@@ -502,7 +501,6 @@ def minhash_lsh_pairs(
     ).localCheckpoint(eager=True)
     sh_tbl = base.select("__id", F.explode("__sh").alias("__s"))
     hashed = sh_tbl.select("__id", hash64_expr(F.col("__s"), None, hash_mode).alias("__h"))
-    h2 = None
     if hash_mode == "md5":
         mixed = _md5_mix_base(hashed).select(
             "__id", *_md5_mix_exprs(num_hashes)
@@ -511,7 +509,7 @@ def minhash_lsh_pairs(
         mixed = hashed.select(
             "__id",
             *[
-                _seed_mix(F.col("__h"), j, hash_mode, h2=h2).alias(f"__h{j}")
+                _seed_mix(F.col("__h"), j, hash_mode).alias(f"__h{j}")
                 for j in range(num_hashes)
             ],
         )

@@ -238,22 +238,35 @@ def committed_snapshot_state(
     state_dir: str,
     keys: list[str],
     schema: str | None = None,
+    keys_df: DataFrame | None = None,
 ) -> DataFrame | None:
     """The CURRENT keyed snapshot from the delta log written by
     :func:`run_snapshot_diff_stream`: union of committed epoch deltas,
     latest epoch wins per key (each delta carries its ``__epoch``
     column; within one epoch keys are unique by the runner's
-    collapse). Returns ``None`` for an empty log. The merge-on-read
-    shape of every log-structured upsert store: per-batch writes stay
-    O(batch), reads pay one keyed window — compact by rewriting the
-    view as a new base epoch when the log grows long."""
+    collapse). Returns an empty typed frame for an empty log when
+    ``schema`` (DDL string) is given, else ``None`` — the
+    :func:`committed_ledger` convention. The merge-on-read shape of
+    every log-structured upsert store: per-batch writes stay O(batch);
+    compact by rewriting the view as a new base epoch when the log
+    grows long.
+
+    ``keys_df``: optional frame of key values; when given, the log is
+    SEMI-JOINED to it BEFORE the latest-wins window (identical result
+    — the window partitions by exactly the join keys — but the window
+    then runs over only the matching keys' history instead of the
+    whole accumulated log; review find: a semi join stacked on top of
+    a window does not push below it, so the per-batch read was paying
+    O(total state), not O(batch))."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     dirs = _committed_epoch_dirs(state_dir)
     if not dirs:
-        return None
+        return spark.createDataFrame([], schema) if schema else None
     log = spark.read.parquet(*dirs)
+    if keys_df is not None:
+        log = log.join(keys_df.select(*keys), keys, "semi")
     w = Window.partitionBy(*keys).orderBy(F.col("__epoch").desc())
     return (
         log.withColumn("__rn", F.row_number().over(w))
@@ -287,7 +300,8 @@ def run_snapshot_diff_stream(
     full-snapshot diffs.
 
     Within-batch duplicate keys collapse latest-wins by ``order_col``
-    (descending, ties by remaining key order) when given; without it
+    (descending, ties broken deterministically by every remaining
+    column ascending, NULLs last) when given; without it
     the underlying ``snapshot_diff`` duplicate check raises loudly on
     an ambiguous batch.
 
@@ -323,6 +337,12 @@ def run_snapshot_diff_stream(
         if compare_cols is not None
         else [c for c in in_cols if c not in keys]
     )
+    bad_cmp = [c for c in cmp_cols if c not in in_cols]
+    if bad_cmp:
+        # fail at START time like the key/order_col checks — inside
+        # foreachBatch this would only surface as an opaque
+        # StreamingQueryException after the query began (review find)
+        raise ValueError(f"compare columns {bad_cmp} not in stream columns {in_cols}")
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
@@ -335,7 +355,19 @@ def run_snapshot_diff_stream(
             return
         spark = batch_df.sparkSession
         if order_col is not None:
-            w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
+            # fully deterministic collapse: rows tied on (keys,
+            # order_col) break by every remaining column ascending —
+            # without this, which copy wins is task-order dependent
+            # and a crash replay could commit a diff and a state delta
+            # derived from DIFFERENT winners (review find)
+            tiebreak = [
+                F.col(c).asc_nulls_last()
+                for c in in_cols
+                if c not in keys and c != order_col
+            ]
+            w = Window.partitionBy(*keys).orderBy(
+                F.col(order_col).desc(), *tiebreak
+            )
             batch_df = (
                 batch_df.withColumn("__rn", F.row_number().over(w))
                 .where(F.col("__rn") == 1)
@@ -343,12 +375,15 @@ def run_snapshot_diff_stream(
             )
         # one computation feeds the diff AND the state delta
         batch_df = batch_df.localCheckpoint(eager=True)
-        cur = committed_snapshot_state(spark, state_dir, keys)
-        if cur is None:
-            cur = spark.createDataFrame([], batch_df.schema)
         # O(batch) diff: unaffected keys are 'unchanged' by definition,
-        # so restrict the state view to this batch's keys first
-        cur_b = cur.join(batch_df.select(*keys), keys, "semi")
+        # so the state read is key-restricted BEFORE its latest-wins
+        # window (keys_df) — the window scans only the batch keys'
+        # history, never the whole accumulated log
+        cur_b = committed_snapshot_state(
+            spark, state_dir, keys, keys_df=batch_df
+        )
+        if cur_b is None:
+            cur_b = spark.createDataFrame([], batch_df.schema)
         # with order_col both sides are key-unique by construction
         # (latest-wins view + within-batch collapse) — skip the eager
         # scans; without it, keep snapshot_diff's loud duplicate check

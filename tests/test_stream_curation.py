@@ -366,3 +366,26 @@ def test_snapshot_diff_stream_replay_idempotent(spark, tmp_path):
         (0, 1): "added", (1, 1): "changed",
     }
     assert sorted(os.listdir(state)) == state_epochs
+
+
+def test_snapshot_diff_stream_tied_order_col_deterministic(spark, tmp_path):
+    """Rows tied on (key, order_col) collapse to a DETERMINISTIC winner
+    (remaining columns ascending, NULLs last) — without the full
+    tie-break a crash replay could pick a different winner than the
+    committed diff epoch used (review find)."""
+    src, out = str(tmp_path / "src"), str(tmp_path / "out")
+    state, chk = str(tmp_path / "state"), str(tmp_path / "chk")
+    _write_sd_batch(
+        spark, src, "b0.parquet",
+        [(1, "b", 5), (1, "a", 5), (2, None, 7), (2, "z", 7)],
+        when=time.time() - 10,
+    )
+    _run_sd(spark, src, out, state, chk)
+    from pyspark_skyline_spark.streaming.curation import committed_snapshot_state
+
+    cur = {
+        r["k"]: r["v"]
+        for r in committed_snapshot_state(spark, state, ["k"]).collect()
+    }
+    # ties at ts: 'a' < 'b' ascending; NULL sorts last so 'z' wins
+    assert cur == {1: "a", 2: "z"}
