@@ -45,6 +45,7 @@ __all__ = [
     "committed_unit_ledger",
     "run_snapshot_diff_stream",
     "committed_snapshot_state",
+    "compact_snapshot_log",
 ]
 
 
@@ -407,3 +408,64 @@ def run_snapshot_diff_stream(
     elif trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def compact_snapshot_log(
+    spark: SparkSession, state_dir: str, keys: list[str]
+) -> int:
+    """Compact :func:`run_snapshot_diff_stream`'s delta log: rewrite
+    the current latest-wins view as ONE base directory and drop the
+    epochs it subsumes, so :func:`committed_snapshot_state`'s keyed
+    window stops re-reading the whole history. Returns the number of
+    delta directories removed (0 = nothing to compact).
+
+    Protocol (single writer — the same assumption the ledger sinks
+    make; run between stream invocations, not concurrently with one):
+
+    1. the compacted view is written to ``epoch=<max>.compact`` with
+       each row carrying its key's WINNING ``__epoch`` — so the base
+       unioned with ANY subset of the old deltas yields the identical
+       latest-wins view (ties between a base row and its surviving
+       original are bitwise-identical rows, so the window's pick is
+       value-irrelevant). The view is therefore invariant at every
+       crash point;
+    2. only after the base commits (``_SUCCESS``) are the subsumed
+       ``epoch=<n>`` deltas (n <= max) and older ``.compact`` bases
+       removed. A crash mid-delete leaves harmless extra dirs — the
+       next compaction sweeps them.
+
+    Scale shape: one read of the log + one keyed window + one write of
+    the live key set — the standard merge-on-read compaction cost,
+    paid when chosen instead of on every batch."""
+    import re
+    import shutil
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    dirs = _committed_epoch_dirs(state_dir)
+    if len(dirs) <= 1:
+        return 0
+    epoch_of = {}
+    for d in dirs:
+        m = re.match(r"epoch=(\d+)", os.path.basename(d))
+        if m:
+            epoch_of[d] = int(m.group(1))
+    max_epoch = max(epoch_of.values())
+    log = spark.read.parquet(*dirs)
+    w = Window.partitionBy(*keys).orderBy(F.col("__epoch").desc())
+    view = (
+        log.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    base = os.path.join(state_dir, f"epoch={max_epoch}.compact")
+    view.write.mode("overwrite").parquet(base)
+    removed = 0
+    for d in dirs:
+        if os.path.abspath(d) == os.path.abspath(base):
+            continue
+        if epoch_of.get(d, max_epoch) <= max_epoch:
+            shutil.rmtree(d, ignore_errors=True)
+            removed += 1
+    return removed

@@ -389,3 +389,55 @@ def test_snapshot_diff_stream_tied_order_col_deterministic(spark, tmp_path):
     }
     # ties at ts: 'a' < 'b' ascending; NULL sorts last so 'z' wins
     assert cur == {1: "a", 2: "z"}
+
+
+def test_compact_snapshot_log_preserves_view_and_shrinks(spark, tmp_path):
+    """compact_snapshot_log: the latest-wins view is IDENTICAL before
+    and after compaction; subsumed delta dirs are removed; the stream
+    continues correctly on top of the compacted base; compacting a
+    single-dir log is a no-op; a leftover old delta (simulated
+    mid-delete crash) does not change the view."""
+    import shutil
+
+    from pyspark_skyline_spark.streaming.curation import (
+        committed_snapshot_state,
+        compact_snapshot_log,
+    )
+
+    src, out = str(tmp_path / "src"), str(tmp_path / "out")
+    state, chk = str(tmp_path / "state"), str(tmp_path / "chk")
+    t = time.time()
+    _write_sd_batch(spark, src, "b0.parquet", [(1, "a", 1), (2, "b", 2)], when=t - 30)
+    _write_sd_batch(spark, src, "b1.parquet", [(2, "c", 3), (3, "d", 4)], when=t - 20)
+    _run_sd(spark, src, out, state, chk)
+
+    def view():
+        return {
+            r["k"]: r["v"]
+            for r in committed_snapshot_state(spark, state, ["k"]).collect()
+        }
+
+    before = view()
+    assert before == {1: "a", 2: "c", 3: "d"}
+    # crash simulation: copy a delta aside, compact, restore the copy —
+    # the base + leftover delta must yield the same view
+    leftover_src = os.path.join(state, "epoch=0")
+    leftover_bak = str(tmp_path / "epoch0_bak")
+    shutil.copytree(leftover_src, leftover_bak)
+    removed = compact_snapshot_log(spark, state, ["k"])
+    assert removed == 2
+    assert view() == before
+    assert [d for d in sorted(os.listdir(state)) if d.startswith("epoch=")] == [
+        "epoch=1.compact"
+    ]
+    shutil.copytree(leftover_bak, os.path.join(state, "epoch=0"))
+    assert view() == before  # leftover delta is harmless
+    assert compact_snapshot_log(spark, state, ["k"]) == 1  # sweeps it
+    # single-dir log: no-op
+    assert compact_snapshot_log(spark, state, ["k"]) == 0
+    # stream continues on the compacted base
+    _write_sd_batch(spark, src, "b2.parquet", [(1, "a", 5), (3, "e", 6)], when=t - 10)
+    _run_sd(spark, src, out, state, chk)
+    got = _sd_statuses(spark, out)
+    assert got[(2, 1)] == "unchanged" and got[(2, 3)] == "changed"
+    assert view() == {1: "a", 2: "c", 3: "e"}
