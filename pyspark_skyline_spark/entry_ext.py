@@ -1272,6 +1272,20 @@ def _q_funnel_events(spark, sf_dir):
     )
 
 
+def _q_pack_sequences_documents(spark, sf_dir):
+    """Sequence-packing planner (round 10 —
+    operators/sample.py::pack_sequences): the documents corpus laid
+    out as one concatenated stream (doc_id order, n_chars as the
+    length column — carried verbatim from parquet so both engines
+    agree exactly) and cut into 2048-position windows. All-integer
+    output from an exclusive global prefix sum; exactly oracled by a
+    window cumsum + range explode."""
+    from pyspark_skyline_spark.operators.sample import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(docs, "doc_id", "n_chars", seq_len=2048)
+
+
 def _q_cohort_retention_events(spark, sf_dir):
     """Weekly cohort retention (operators/funnel.py::cohort_retention):
     users cohorted by ISO-week of first event, distinct-user counts per
@@ -1614,6 +1628,10 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # surface; see dsir_select_exact's docstring for why the plain
     # float-sum select is not oracle-able)
     "dsir_select_documents": _q_dsir_select_documents,
+    # round-10 addition: GPT-style concat-and-split sequence packing
+    # planner (exclusive global prefix sum + interval-overlap explode);
+    # all-integer output, exactly oracled
+    "pack_sequences_documents": _q_pack_sequences_documents,
 }
 
 

@@ -1560,6 +1560,27 @@ SELECT CAST(ep AS BIGINT) AS epoch, user_id,
             ELSE 'changed' END AS status
 FROM hist
 """,
+    # round-10 sequence-packing planner: exclusive cumsum over doc_id
+    # order (n_chars carried verbatim from parquet), integer floor
+    # division, one range explode per document — every value integer
+    "pack_sequences_documents": """
+WITH t AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n FROM documents
+           WHERE n_chars > 0),
+o AS (SELECT doc_id, n,
+             -- DuckDB sums BIGINT into HUGEINT; range() needs BIGINT
+             CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS off
+      FROM t),
+s AS (SELECT doc_id, n, off,
+             unnest(range(off // 2048, (off + n - 1) // 2048 + 1)) AS seq
+      FROM o)
+SELECT CAST(seq AS BIGINT) AS seq_id, doc_id,
+       CAST(greatest(off, seq * 2048) - off AS BIGINT) AS tok_start,
+       CAST(least(off + n, seq * 2048 + 2048) - off AS BIGINT) AS tok_end,
+       CAST(greatest(off, seq * 2048) - seq * 2048 AS BIGINT) AS pos_in_seq
+FROM s
+""",
     # stream-static inner join emits every match of the replay, so the
     # plain batch join is exact
     "stream_enrich_events": """

@@ -36,6 +36,7 @@ __all__ = [
     "split_thresholds",
     "pack_batches",
     "pack_by_length",
+    "pack_sequences",
     "sessionize",
 ]
 
@@ -269,6 +270,77 @@ def pack_by_length(
         out.withColumn("batch_id", batch_id.cast("long"))
         .withColumn("batch_pos", (rn % F.lit(batch_size)).cast("long"))
         .drop("__shard")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    len_col: str,
+    seq_len: int,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Sequence-packing PLANNER: lay the corpus out as one concatenated
+    token stream in ``order_cols`` order (default: ``[id_col]``) and
+    cut it into fixed ``seq_len`` windows — the GPT-style
+    concat-and-split packing every pretraining pipeline runs (no
+    padding waste, documents broken across sequence boundaries).
+    Returns one row per (sequence, document) overlap::
+
+        (seq_id, id_col, tok_start, tok_end, pos_in_seq)
+
+    where the document contributes its half-open token span
+    ``[tok_start, tok_end)`` starting at offset ``pos_in_seq`` inside
+    sequence ``seq_id``. All output values are integers computed from
+    an exclusive global prefix sum — the plan is exactly SQL-oracle-able
+    (window cumsum + a range explode), and executing it is a pure
+    metadata pass: the actual token gather happens later, driven by
+    this table, so the planner never touches text.
+
+    Rows with a non-positive ``len_col`` contribute nothing (a 0-token
+    document occupies no stream positions) and are absent from the
+    output. The final sequence is emitted even when partial (rank
+    ``max(seq_id)`` may be shorter than ``seq_len``; drop it downstream
+    for strict fixed-length training).
+
+    Scale shape: :func:`~pyspark_skyline_spark.operators.shuffle.
+    global_prefix_sum` (one skew-free range shuffle + parallel
+    within-partition windows + a broadcast of per-partition totals),
+    then per-row integer arithmetic and one bounded explode — a
+    document of n tokens spans at most ``n/seq_len + 1`` sequences, so
+    output rows <= N + total_tokens/seq_len. No global window, no
+    driver-side token materialization."""
+    if seq_len < 1:
+        raise ValueError(f"seq_len must be >= 1, got {seq_len}")
+    for c in (id_col, len_col):
+        if c not in df.columns:
+            raise ValueError(f"column {c!r} not found")
+    order_cols = order_cols or [id_col]
+    from pyspark_skyline_spark.operators.shuffle import global_prefix_sum
+
+    t = df.select(*dict.fromkeys([id_col, len_col, *order_cols])).where(
+        F.col(len_col) > 0
+    )
+    o = global_prefix_sum(t, order_cols, len_col, out_col="__off")
+    L = F.lit(int(seq_len))
+    n = F.col(len_col).cast("long")
+    off = F.col("__off")
+    # integer floor-division via SQL `div` — float division would lose
+    # exactness past 2^53 stream positions
+    first = F.expr(f"__off div {int(seq_len)}")
+    last = F.expr(f"(__off + cast({len_col} as bigint) - 1) div {int(seq_len)}")
+    s = o.select(
+        id_col, len_col, "__off", F.explode(F.sequence(first, last)).alias("seq_id")
+    )
+    seq_start = F.col("seq_id") * L
+    ov_start = F.greatest(off, seq_start)
+    ov_end = F.least(off + n, seq_start + L)
+    return s.select(
+        F.col("seq_id").cast("long").alias("seq_id"),
+        id_col,
+        (ov_start - off).cast("long").alias("tok_start"),
+        (ov_end - off).cast("long").alias("tok_end"),
+        (ov_start - seq_start).cast("long").alias("pos_in_seq"),
     )
 
 

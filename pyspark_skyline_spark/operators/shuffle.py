@@ -58,6 +58,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 __all__ = [
     "global_row_number",
+    "global_prefix_sum",
     "global_shuffle",
     "grouped_row_number",
     "ntile_global",
@@ -194,6 +195,62 @@ def _global_row_number_with_total(
         .drop("__gpid", "__lpos", "__off")
     )
     return out, acc
+
+
+def global_prefix_sum(
+    df: DataFrame,
+    order_cols: list[str],
+    val_col: str,
+    out_col: str = "__off",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add the EXCLUSIVE global running sum of ``val_col`` in
+    ``order_cols`` order (row i gets the sum of all earlier rows'
+    values; the first row gets 0) without a single-task global window
+    — the scan/prefix-sum primitive behind sequence packing and any
+    "global offset" layout computation.
+
+    Same skew-free two-phase shape as :func:`global_row_number`: one
+    range shuffle on the order columns, a WITHIN-partition running-sum
+    window (parallel — one window partition per range partition), and
+    a broadcast join of per-partition value totals accumulated on the
+    driver (one tiny collect of `num_partitions` rows). ``order_cols``
+    must be a total order for a deterministic result (ties may land on
+    either side of a range boundary). ``val_col`` must be non-negative
+    integers; the running total must fit a long (ANSI mode raises on
+    overflow rather than wrapping — at 9.2e18 that is ~4.6 exabytes of
+    int tokens, past any real corpus)."""
+    n = _num_partitions(df, num_partitions)
+    part = (
+        df.repartitionByRange(n, *[F.col(c) for c in order_cols])
+        .sortWithinPartitions(*order_cols)
+        .withColumn("__gpid", F.spark_partition_id().cast("long"))
+        .localCheckpoint(eager=False)
+    )
+    stats = (
+        part.groupBy("__gpid")
+        .agg(F.sum(F.col(val_col).cast("long")).alias("tot"))
+        .collect()
+    )
+    totals = {r["__gpid"]: int(r["tot"] or 0) for r in stats}
+    acc = 0
+    offsets = []
+    for pid in sorted(totals):
+        offsets.append((pid, acc))
+        acc += totals[pid]
+    spark = df.sparkSession
+    off = spark.createDataFrame(offsets or [(0, 0)], "__gpid long, __poff long")
+    w = (
+        Window.partitionBy("__gpid")
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = F.coalesce(F.sum(F.col(val_col).cast("long")).over(w), F.lit(0))
+    return (
+        part.join(F.broadcast(off), "__gpid", "left")
+        .withColumn(out_col, F.coalesce(F.col("__poff"), F.lit(0)) + local)
+        .drop("__gpid", "__poff")
+    )
 
 
 def global_shuffle(

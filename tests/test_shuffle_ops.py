@@ -501,3 +501,83 @@ def test_rank_ensemble_matches_hand_model(spark):
         rank_ensemble(df, "id", [("good", True), ("good", False)])
     with pytest.raises(ValueError):
         rank_ensemble(df, "id", [("good", True)], keep_frac=0.0)
+
+
+def test_global_prefix_sum_matches_python(spark):
+    """global_prefix_sum == an exclusive Python cumsum in order, across
+    partition layouts; first row gets 0; empty frame yields empty."""
+    import random
+
+    from pyspark_skyline_spark.operators.shuffle import global_prefix_sum
+
+    rng = random.Random(3)
+    rows = [(i, rng.randrange(0, 50)) for i in range(200)]
+    want, acc = {}, 0
+    for i, v in rows:
+        want[i] = acc
+        acc += v
+    df = spark.createDataFrame(rows, "id long, v int")
+    for layout in (df, df.repartition(13)):
+        got = {
+            r["id"]: r["__off"]
+            for r in global_prefix_sum(layout, ["id"], "v").collect()
+        }
+        assert got == want
+    empty = spark.createDataFrame([], "id long, v int")
+    assert global_prefix_sum(empty, ["id"], "v").count() == 0
+
+
+def test_pack_sequences_matches_hand_model(spark):
+    """pack_sequences == a Python concat-and-split reference: spans
+    tile each document exactly, sequences are gap-free fixed-length
+    windows (last may be partial), zero-length docs are absent, and
+    the layout is partitioning-invariant."""
+    from pyspark_skyline_spark.operators.sample import pack_sequences
+
+    rows = [(1, 5), (2, 0), (3, 12), (4, 3), (5, 7), (6, 1)]
+    L = 8
+    # python reference
+    want = []
+    off = 0
+    for d, n in rows:
+        if n <= 0:
+            continue
+        for seq in range(off // L, (off + n - 1) // L + 1):
+            s0, s1 = seq * L, seq * L + L
+            a, b = max(off, s0), min(off + n, s1)
+            want.append((seq, d, a - off, b - off, a - s0))
+        off += n
+    df = spark.createDataFrame(rows, "doc_id long, n int")
+    for layout in (df, df.repartition(5)):
+        got = sorted(
+            (r["seq_id"], r["doc_id"], r["tok_start"], r["tok_end"], r["pos_in_seq"])
+            for r in pack_sequences(layout, "doc_id", "n", L).collect()
+        )
+        assert got == sorted(want)
+    # invariants: per-doc spans tile [0, n); per-seq fills are gap-free
+    per_doc = {}
+    per_seq = {}
+    for seq, d, a, b, p in want:
+        per_doc.setdefault(d, []).append((a, b))
+        per_seq.setdefault(seq, []).append((p, p + (b - a)))
+    for d, n in rows:
+        if n <= 0:
+            assert d not in per_doc
+            continue
+        spans = sorted(per_doc[d])
+        assert spans[0][0] == 0 and spans[-1][1] == n
+        assert all(spans[i][1] == spans[i + 1][0] for i in range(len(spans) - 1))
+    total = sum(n for _, n in rows if n > 0)
+    for seq, fills in per_seq.items():
+        fills = sorted(fills)
+        assert fills[0][0] == 0
+        assert all(fills[i][1] == fills[i + 1][0] for i in range(len(fills) - 1))
+        if (seq + 1) * L <= total:
+            assert fills[-1][1] == L  # full sequence
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="seq_len"):
+        pack_sequences(df, "doc_id", "n", 0)
+    with _pt.raises(ValueError, match="not found"):
+        pack_sequences(df, "doc_id", "nope", 8)
