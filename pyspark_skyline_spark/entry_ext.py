@@ -1286,6 +1286,24 @@ def _q_pack_sequences_documents(spark, sf_dir):
     return pack_sequences(docs, "doc_id", "n_chars", seq_len=2048)
 
 
+def _q_gather_sequences_documents(spark, sf_dir):
+    """Planner->executor round trip (round 10 —
+    operators/sample.py::gather_sequences over pack_sequences'
+    plan): the documents corpus materialized as 2048-character packed
+    sequences (n_chars == length(text) in the fixture, so the
+    character spans index exactly). One row per sequence; the oracle
+    is the same cumsum plan joined back to the text with an ordered
+    string_agg."""
+    from pyspark_skyline_spark.operators.sample import (
+        gather_sequences,
+        pack_sequences,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = pack_sequences(docs, "doc_id", "n_chars", seq_len=2048)
+    return gather_sequences(docs, plan, "doc_id")
+
+
 def _q_cohort_retention_events(spark, sf_dir):
     """Weekly cohort retention (operators/funnel.py::cohort_retention):
     users cohorted by ISO-week of first event, distinct-user counts per
@@ -1632,6 +1650,10 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # planner (exclusive global prefix sum + interval-overlap explode);
     # all-integer output, exactly oracled
     "pack_sequences_documents": _q_pack_sequences_documents,
+    # round-10 addition: the packing EXECUTOR — planner spans gathered
+    # and concatenated into the actual fixed-length sequences (bounded
+    # per-sequence reassembly); exactly oracled via ordered string_agg
+    "gather_sequences_documents": _q_gather_sequences_documents,
 }
 
 

@@ -1581,6 +1581,31 @@ SELECT CAST(seq AS BIGINT) AS seq_id, doc_id,
        CAST(greatest(off, seq * 2048) - seq * 2048 AS BIGINT) AS pos_in_seq
 FROM s
 """,
+    # round-10 packing executor: the same cumsum plan joined back to
+    # the text, substr per span, ordered string_agg per sequence
+    "gather_sequences_documents": """
+WITH t AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n FROM documents
+           WHERE n_chars > 0),
+o AS (SELECT doc_id, n,
+             CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS off
+      FROM t),
+s AS (SELECT doc_id, n, off,
+             unnest(range(off // 2048, (off + n - 1) // 2048 + 1)) AS seq
+      FROM o),
+spans AS (
+  SELECT s.seq, s.doc_id,
+         substr(d.text,
+                CAST(greatest(s.off, s.seq * 2048) - s.off + 1 AS BIGINT),
+                CAST(least(s.off + s.n, s.seq * 2048 + 2048)
+                     - greatest(s.off, s.seq * 2048) AS BIGINT)) AS span,
+         greatest(s.off, s.seq * 2048) - s.seq * 2048 AS pos
+  FROM s JOIN documents d USING (doc_id))
+SELECT CAST(seq AS BIGINT) AS seq_id,
+       string_agg(span, '' ORDER BY pos) AS seq_text
+FROM spans GROUP BY seq
+""",
     # stream-static inner join emits every match of the replay, so the
     # plain batch join is exact
     "stream_enrich_events": """

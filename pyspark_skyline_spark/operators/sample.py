@@ -37,6 +37,7 @@ __all__ = [
     "pack_batches",
     "pack_by_length",
     "pack_sequences",
+    "gather_sequences",
     "sessionize",
 ]
 
@@ -341,6 +342,55 @@ def pack_sequences(
         (ov_start - off).cast("long").alias("tok_start"),
         (ov_end - off).cast("long").alias("tok_end"),
         (ov_start - seq_start).cast("long").alias("pos_in_seq"),
+    )
+
+
+def gather_sequences(
+    df: DataFrame,
+    plan: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    out_col: str = "seq_text",
+) -> DataFrame:
+    """EXECUTOR for :func:`pack_sequences`: materialize each planned
+    sequence by gathering its documents' character spans and
+    concatenating them in ``pos_in_seq`` order. Returns ``(seq_id,
+    out_col)`` — one row per sequence.
+
+    The plan's ``len_col`` must have been the CHARACTER length of
+    ``text_col`` (``length(text)``) for the spans to index correctly;
+    mismatched lengths silently truncate (substring past the end is
+    empty) — validate upstream. Unit-agnostic in principle: with token
+    counts as lengths the gather step would slice token arrays
+    instead (``F.slice`` over ``split``), same plan, same shape.
+
+    Scale shape: one equi-join of the plan against the corpus
+    (broadcast when the plan is small, shuffle join otherwise — both
+    sides carry only id + the span columns + the text), a substring
+    per plan row, then ONE grouped aggregation per sequence. The
+    per-sequence ``collect_list`` is BOUNDED BY CONSTRUCTION at
+    ``seq_len`` characters total (the spans tile the fixed window), so
+    this is the repo's sanctioned bounded-reassembly pattern
+    (paragraph_dedup precedent), never an unbounded group blowup."""
+    for c, d_ in ((id_col, df), (text_col, df), ("seq_id", plan)):
+        if c not in d_.columns:
+            raise ValueError(f"column {c!r} not found")
+    spans = plan.join(
+        df.select(id_col, text_col), id_col
+    ).withColumn(
+        "__span",
+        F.expr(
+            f"substring({text_col}, cast(tok_start + 1 as int), "
+            f"cast(tok_end - tok_start as int))"
+        ),
+    )
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col("pos_in_seq"), F.col("__span")))
+    )
+    return spans.groupBy("seq_id").agg(
+        F.array_join(
+            F.transform(ordered, lambda s: s["__span"]), ""
+        ).alias(out_col)
     )
 
 

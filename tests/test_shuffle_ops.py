@@ -581,3 +581,41 @@ def test_pack_sequences_matches_hand_model(spark):
         pack_sequences(df, "doc_id", "n", 0)
     with _pt.raises(ValueError, match="not found"):
         pack_sequences(df, "doc_id", "nope", 8)
+
+
+def test_gather_sequences_reconstructs_the_stream(spark):
+    """gather_sequences(plan) == the concatenated corpus stream cut at
+    seq_len: full planner->executor round trip, including a partial
+    final sequence and multi-sequence documents."""
+    from pyspark_skyline_spark.operators.sample import (
+        gather_sequences,
+        pack_sequences,
+    )
+
+    rows = [
+        (1, "abcde"),
+        (2, ""),
+        (3, "fghijklmnopq"),
+        (4, "rst"),
+        (5, "uvwxyz!"),
+        (6, "?"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "n_chars", F.length("text")
+    )
+    L = 8
+    stream = "".join(t for _, t in rows)
+    want = {
+        i: stream[i * L : (i + 1) * L] for i in range((len(stream) + L - 1) // L)
+    }
+    plan = pack_sequences(df, "doc_id", "n_chars", L)
+    got = {
+        r["seq_id"]: r["seq_text"]
+        for r in gather_sequences(df, plan, "doc_id").collect()
+    }
+    assert got == want
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="not found"):
+        gather_sequences(df, plan.drop("seq_id"), "doc_id")
