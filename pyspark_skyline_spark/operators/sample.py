@@ -305,12 +305,13 @@ def pack_sequences(
     for strict fixed-length training).
 
     Scale shape: :func:`~pyspark_skyline_spark.operators.shuffle.
-    global_prefix_sum` (one skew-free range shuffle + parallel
-    within-partition windows + a broadcast of per-partition totals),
-    then per-row integer arithmetic and one bounded explode — a
-    document of n tokens spans at most ``n/seq_len + 1`` sequences, so
-    output rows <= N + total_tokens/seq_len. No global window, no
-    driver-side token materialization."""
+    global_prefix_sum` over the (id, length, order) projection ONLY —
+    two narrow exchanges (range + the window's gpid clustering; see
+    its plan note), never the text — then per-row integer arithmetic
+    and one bounded explode: a document of n tokens spans at most
+    ``n/seq_len + 1`` sequences, so output rows <= N +
+    total_tokens/seq_len. No global single-task window, no driver-side
+    token materialization."""
     if seq_len < 1:
         raise ValueError(f"seq_len must be >= 1, got {seq_len}")
     for c in (id_col, len_col):

@@ -619,3 +619,20 @@ def test_gather_sequences_reconstructs_the_stream(spark):
 
     with _pt.raises(ValueError, match="not found"):
         gather_sequences(df, plan.drop("seq_id"), "doc_id")
+
+
+def test_pack_sequences_plan_two_narrow_exchanges(spark, sf_dir):
+    """pack_sequences' plan budget: exactly the two documented narrow
+    exchanges (the prefix sum's range shuffle + the window's gpid
+    clustering) over the (id, length, order) projection — the text
+    column must never enter the shuffled plan."""
+    from pyspark_skyline_spark.operators.sample import pack_sequences
+    from pyspark_skyline_spark.plans.explain import (
+        assert_max_exchanges,
+        formatted_plan,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = pack_sequences(docs, "doc_id", "n_chars", 2048)
+    assert_max_exchanges(plan, 2)
+    assert "text#" not in formatted_plan(plan)
