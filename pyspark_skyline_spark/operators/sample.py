@@ -328,9 +328,13 @@ def pack_sequences(
     n = F.col(len_col).cast("long")
     off = F.col("__off")
     # integer floor-division via SQL `div` — float division would lose
-    # exactness past 2^53 stream positions
+    # exactness past 2^53 stream positions; the user column is
+    # backtick-quoted (repo convention — a non-identifier name would
+    # otherwise break the parse or resolve to the wrong expression)
     first = F.expr(f"__off div {int(seq_len)}")
-    last = F.expr(f"(__off + cast({len_col} as bigint) - 1) div {int(seq_len)}")
+    last = F.expr(
+        f"(__off + cast(`{len_col}` as bigint) - 1) div {int(seq_len)}"
+    )
     s = o.select(
         id_col, len_col, "__off", F.explode(F.sequence(first, last)).alias("seq_id")
     )
@@ -381,7 +385,7 @@ def gather_sequences(
     ).withColumn(
         "__span",
         F.expr(
-            f"substring({text_col}, cast(tok_start + 1 as int), "
+            f"substring(`{text_col}`, cast(tok_start + 1 as int), "
             f"cast(tok_end - tok_start as int))"
         ),
     )

@@ -80,6 +80,27 @@ _MID_BITS = 33
 _MID_MASK = (1 << _MID_BITS) - 1
 
 
+def _broadcast_exclusive_offsets(spark, totals: dict) -> tuple[DataFrame, int]:
+    """Shared scaffold of :func:`global_row_number` and
+    :func:`global_prefix_sum` (review find: the accumulation loop,
+    empty-input sentinel, and join schema were copy-pasted and had to
+    stay in lock-step): per-partition totals -> a tiny broadcastable
+    ``(__gpid, __poff)`` frame holding each pid's EXCLUSIVE prefix in
+    pid order (pids are assigned in range order by repartitionByRange,
+    so pid order IS the global order), plus the grand total. The
+    ``or [(0, 0)]`` sentinel keeps the join schema valid on an empty
+    input; consumers left-join and coalesce the offset to 0."""
+    acc = 0
+    offsets = []
+    for pid in sorted(totals):
+        offsets.append((pid, acc))
+        acc += totals[pid]
+    return (
+        spark.createDataFrame(offsets or [(0, 0)], "__gpid long, __poff long"),
+        acc,
+    )
+
+
 def _num_partitions(df: DataFrame, num_partitions: int | None) -> int:
     if num_partitions is not None:
         return max(1, int(num_partitions))
@@ -182,17 +203,11 @@ def _global_row_number_with_total(
             r["__gpid"], r["cnt"], r["lo"], r["hi"], int(r["tot"]), int(r["totsq"])
         )
         counts[r["__gpid"]] = r["cnt"]
-    acc = 0
-    offsets = []
-    for pid in sorted(counts):
-        offsets.append((pid, acc))
-        acc += counts[pid]
-    spark = df.sparkSession
-    off = spark.createDataFrame(offsets or [(0, 0)], "__gpid long, __off long")
+    off, acc = _broadcast_exclusive_offsets(df.sparkSession, counts)
     out = (
         part.join(F.broadcast(off), "__gpid", "left")
-        .withColumn(pos_col, F.coalesce(F.col("__off"), F.lit(0)) + F.col("__lpos"))
-        .drop("__gpid", "__lpos", "__off")
+        .withColumn(pos_col, F.coalesce(F.col("__poff"), F.lit(0)) + F.col("__lpos"))
+        .drop("__gpid", "__lpos", "__poff")
     )
     return out, acc
 
@@ -245,13 +260,7 @@ def global_prefix_sum(
         .collect()
     )
     totals = {r["__gpid"]: int(r["tot"] or 0) for r in stats}
-    acc = 0
-    offsets = []
-    for pid in sorted(totals):
-        offsets.append((pid, acc))
-        acc += totals[pid]
-    spark = df.sparkSession
-    off = spark.createDataFrame(offsets or [(0, 0)], "__gpid long, __poff long")
+    off, _ = _broadcast_exclusive_offsets(df.sparkSession, totals)
     w = (
         Window.partitionBy("__gpid")
         .orderBy(*[F.col(c) for c in order_cols])

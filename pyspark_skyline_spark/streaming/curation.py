@@ -428,11 +428,16 @@ def compact_snapshot_log(
        latest-wins view (ties between a base row and its surviving
        original are bitwise-identical rows, so the window's pick is
        value-irrelevant). The view is therefore invariant at every
-       crash point;
-    2. only after the base commits (``_SUCCESS``) are the subsumed
+       crash point. When the newest committed dir is ALREADY a base
+       (leftover-sweep case) no rewrite happens at all — overwriting a
+       committed base in place would destroy the only copy of the
+       state before the new write commits (review find);
+    2. only after the base commits (``_SUCCESS``) are the PARSED
        ``epoch=<n>`` deltas (n <= max) and older ``.compact`` bases
-       removed. A crash mid-delete leaves harmless extra dirs — the
-       next compaction sweeps them.
+       removed; directories whose names don't parse are left alone —
+       compaction cannot know they are subsumed (review find: the old
+       guard's fallthrough deleted them). A crash mid-delete leaves
+       harmless extra dirs — the next compaction sweeps them.
 
     Scale shape: one read of the log + one keyed window + one write of
     the live key set — the standard merge-on-read compaction cost,
@@ -447,25 +452,38 @@ def compact_snapshot_log(
     if len(dirs) <= 1:
         return 0
     epoch_of = {}
+    is_base = {}
     for d in dirs:
-        m = re.match(r"epoch=(\d+)", os.path.basename(d))
+        m = re.match(r"epoch=(\d+)(\.compact)?$", os.path.basename(d))
         if m:
             epoch_of[d] = int(m.group(1))
-    max_epoch = max(epoch_of.values())
-    log = spark.read.parquet(*dirs)
-    w = Window.partitionBy(*keys).orderBy(F.col("__epoch").desc())
-    view = (
-        log.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .drop("__rn")
-    )
+            is_base[d] = m.group(2) is not None
+    if not epoch_of:
+        return 0
+    max_dir = max(epoch_of, key=lambda d: (epoch_of[d], is_base[d]))
+    max_epoch = epoch_of[max_dir]
     base = os.path.join(state_dir, f"epoch={max_epoch}.compact")
-    view.write.mode("overwrite").parquet(base)
+    if is_base[max_dir]:
+        # every parsed dir's epoch <= the committed base's: all are
+        # subsumed by it — sweep them without touching the base
+        keep = max_dir
+    else:
+        # fresh base name by construction (a COMMITTED dir at this
+        # name would have been picked as max_dir above; a partial
+        # crashed attempt has no _SUCCESS and is safely overwritten)
+        log = spark.read.parquet(*sorted(epoch_of))
+        w = Window.partitionBy(*keys).orderBy(F.col("__epoch").desc())
+        view = (
+            log.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        view.write.mode("overwrite").parquet(base)
+        keep = base
     removed = 0
-    for d in dirs:
-        if os.path.abspath(d) == os.path.abspath(base):
+    for d in epoch_of:
+        if os.path.abspath(d) == os.path.abspath(keep):
             continue
-        if epoch_of.get(d, max_epoch) <= max_epoch:
-            shutil.rmtree(d, ignore_errors=True)
-            removed += 1
+        shutil.rmtree(d, ignore_errors=True)
+        removed += 1
     return removed

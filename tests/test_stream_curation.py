@@ -432,9 +432,22 @@ def test_compact_snapshot_log_preserves_view_and_shrinks(spark, tmp_path):
     ]
     shutil.copytree(leftover_bak, os.path.join(state, "epoch=0"))
     assert view() == before  # leftover delta is harmless
+    # the leftover sweep must NOT rewrite the committed base in place
+    # (a crash mid-rewrite would destroy the only copy — review find):
+    # pin by content identity of the base's files
+    base_dir = os.path.join(state, "epoch=1.compact")
+    base_files = sorted(os.listdir(base_dir))
     assert compact_snapshot_log(spark, state, ["k"]) == 1  # sweeps it
+    assert sorted(os.listdir(base_dir)) == base_files
     # single-dir log: no-op
     assert compact_snapshot_log(spark, state, ["k"]) == 0
+    # an unparseable committed epoch= dir is never deleted (compaction
+    # cannot know it is subsumed — review find) and never blocks
+    weird = os.path.join(state, "epoch=weird")
+    shutil.copytree(leftover_bak, weird)
+    assert compact_snapshot_log(spark, state, ["k"]) == 0
+    assert os.path.isdir(weird)
+    shutil.rmtree(weird)
     # stream continues on the compacted base
     _write_sd_batch(spark, src, "b2.parquet", [(1, "a", 5), (3, "e", 6)], when=t - 10)
     _run_sd(spark, src, out, state, chk)
