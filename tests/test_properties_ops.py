@@ -216,3 +216,51 @@ def test_dedup_keep_best_laws(spark, docs, pairs):
         non_null = [q[r["doc_id"]] for r in rows if q[r["doc_id"]] is not None]
         if non_null:
             assert wq is not None and wq >= max(non_null), cluster
+
+
+_pack_rows = st.lists(
+    st.tuples(st.integers(0, 40), st.integers(0, 30)),
+    min_size=0,
+    max_size=20,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(rows=_pack_rows, L=st.integers(1, 16))
+@_SETTINGS
+def test_pack_sequences_laws(spark, rows, L):
+    """pack_sequences laws on arbitrary (id, length) corpora: the
+    spans reproduce an exclusive-cumsum reference exactly; every
+    positive-length doc is tiled [0, n) gap-free; every sequence is a
+    gap-free window starting at pos 0 with total fill min(L, stream
+    remainder); zero-length docs are absent; sum of span lengths ==
+    total stream length."""
+    from pyspark_skyline_spark.operators.sample import pack_sequences
+
+    schema = "doc_id long, n int"
+    df = (
+        spark.createDataFrame(rows, schema)
+        if rows
+        else spark.createDataFrame([], schema)
+    )
+    got = sorted(
+        (r["seq_id"], r["doc_id"], r["tok_start"], r["tok_end"], r["pos_in_seq"])
+        for r in pack_sequences(df, "doc_id", "n", L).collect()
+    )
+    # exclusive-cumsum reference
+    want = []
+    off = 0
+    for d, n in sorted(rows):
+        if n <= 0:
+            continue
+        for seq in range(off // L, (off + n - 1) // L + 1):
+            s0 = seq * L
+            a, b = max(off, s0), min(off + n, s0 + L)
+            want.append((seq, d, a - off, b - off, a - s0))
+        off += n
+    assert got == sorted(want)
+    total = sum(n for _, n in rows if n > 0)
+    assert sum(b - a for _, _, a, b, _ in got) == total
+    if total:
+        n_seqs = (total + L - 1) // L
+        assert {s for s, *_ in got} == set(range(n_seqs))
