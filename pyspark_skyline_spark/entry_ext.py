@@ -1341,7 +1341,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topk_orders_per_customer": _q_topk_orders,
     "agg_lineitem_pricing": _q_agg_pricing,
     "multimodal_meta_documents": _q_multimodal_meta,
-    "windowed_skyline_events": _q_windowed_skyline_events,
     "stream_skyline_orders": _q_stream_skyline_orders,
     "stream_window_stats_orders": _q_stream_window_stats_orders,
     # stream_session_stats_events rotated to extras in round 4: session
@@ -1357,6 +1356,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # rationale at their extra entries)
     "decontaminate_documents": _q_decontaminate,
     "column_profile_orders": _q_column_profile,
+    # (windowed_skyline_events rotated to extras in round 11 — the
+    # streaming row below grades the identical window+skyline semantics
+    # through the harder engine path; rationale at its extra entry)
     "windowed_stream_skyline_events": _q_windowed_stream_skyline,
     "two_stage_skyline_orders": _q_two_stage_skyline,
     # late round-3 rotation: grade this session's new operator families
@@ -1407,7 +1409,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # winnow_fingerprints_documents, sessionize_events — rationale at
     # their extra entries).
     "equi_depth_orders": _q_equi_depth_orders,
-    "dedup_incremental_documents": _q_dedup_incremental_documents,
+    # (dedup_incremental_documents rotated to extras in round 11 — the
+    # neardup ledger row below shares the epoch/ledger machinery and
+    # exact-hash dedup stays gate-graded via dedup_corpus phase 1;
+    # rationale at its extra entry)
     # round-7 rotation: the never-driver-graded OLAP family gets a
     # hard-gate row (cube — supersets rollup/grouping-sets coverage,
     # which stay oracle-graded as extras), window FRAMES return to the
@@ -1460,6 +1465,18 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_logweights_documents": _q_dsir_logweights_documents,
     "dedup_keep_best_documents": _q_dedup_keep_best_documents,
     "snapshot_diff_documents": _q_snapshot_diff_documents,
+    # round-11 rotation: the judge-re-oracled round-10 extras graduate
+    # to the gate. pack/gather_sequences are the most pipeline-relevant
+    # new family (every pretraining run packs sequences — planner +
+    # executor as separate rows so both the prefix-sum metadata pass and
+    # the bounded span-gather are hard-gated); dsir_select is the full
+    # rank+keep DSIR selection the r9 verdict asked to graduate.
+    # Retired: skyline_customer_acctbal (see __spark_entry__'s extra
+    # skyline registry), windowed_skyline_events,
+    # dedup_incremental_documents — rationale at their extra entries.
+    "dsir_select_documents": _q_dsir_select_documents,
+    "pack_sequences_documents": _q_pack_sequences_documents,
+    "gather_sequences_documents": _q_gather_sequences_documents,
 }
 
 #: Retired from the driver's 50-entry gate as redundant with rows that
@@ -1640,20 +1657,20 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # latest-wins delta-log state view); exactly oracled via the
     # lag-over-epochs replay
     "stream_snapshot_diff_events": _q_stream_snapshot_diff_events,
-    # round-10 addition: the FULL DSIR select (rank + keep cut) via the
-    # tie-exact decimal-sum ranking key — all-integer/boolean output,
-    # exactly oracled (dsir_logweights stays the driver-graded score
-    # surface; see dsir_select_exact's docstring for why the plain
-    # float-sum select is not oracle-able)
-    "dsir_select_documents": _q_dsir_select_documents,
-    # round-10 addition: GPT-style concat-and-split sequence packing
-    # planner (exclusive global prefix sum + interval-overlap explode);
-    # all-integer output, exactly oracled
-    "pack_sequences_documents": _q_pack_sequences_documents,
-    # round-10 addition: the packing EXECUTOR — planner spans gathered
-    # and concatenated into the actual fixed-length sequences (bounded
-    # per-sequence reassembly); exactly oracled via ordered string_agg
-    "gather_sequences_documents": _q_gather_sequences_documents,
+    # dsir_select / pack_sequences / gather_sequences moved to the
+    # driver gate (rotation #11) — all three judge-re-oracled clean at
+    # sf0.1 in round 10.
+    # round-11 rotation out of the 50-cap (swapped for the three
+    # above): batch windowed_skyline stays graded here with its exact
+    # oracle while windowed_stream_skyline_events grades the IDENTICAL
+    # window+frontier semantics at the gate through the streaming
+    # engine (same oracle row set — the stream row is strictly the
+    # harder path); exact-ledger incremental dedup stays graded here —
+    # sibling dedup_incremental_neardup_documents keeps the
+    # epoch-ledger streaming machinery at the gate and exact-hash
+    # dedup stays gate-graded inside dedup_corpus_documents phase 1.
+    "windowed_skyline_events": _q_windowed_skyline_events,
+    "dedup_incremental_documents": _q_dedup_incremental_documents,
 }
 
 
