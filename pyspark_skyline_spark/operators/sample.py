@@ -38,6 +38,7 @@ __all__ = [
     "pack_by_length",
     "pack_sequences",
     "gather_sequences",
+    "gather_token_sequences",
     "sessionize",
 ]
 
@@ -365,9 +366,13 @@ def gather_sequences(
     The plan's ``len_col`` must have been the CHARACTER length of
     ``text_col`` (``length(text)``) for the spans to index correctly;
     mismatched lengths silently truncate (substring past the end is
-    empty) — validate upstream. Unit-agnostic in principle: with token
-    counts as lengths the gather step would slice token arrays
-    instead (``F.slice`` over ``split``), same plan, same shape.
+    empty) — validate upstream. Documents are bounded at 2^31-1
+    characters: ``substring`` positions are int-typed in Spark (bigint
+    args are accepted but cast internally), so a span starting past
+    int range cannot be indexed — an in-plan guard raises loudly on
+    such a row (under any ANSI setting) instead of mis-slicing. For
+    token-unit packing over an ``array`` column — no such bound on
+    the underlying text — use :func:`gather_token_sequences`.
 
     Scale shape: one equi-join of the plan against the corpus
     (broadcast when the plan is small, shuffle join otherwise — both
@@ -384,9 +389,19 @@ def gather_sequences(
         df.select(id_col, text_col), id_col
     ).withColumn(
         "__span",
+        # tok_end - tok_start <= seq_len is bounded; only tok_start can
+        # leave int range (one document > 2^31-1 chars). substring's
+        # positions are int-typed in Spark, so that row is loudly
+        # unindexable — raise with the offending id rather than letting
+        # the cast wrap (non-ANSI) or throw an opaque CAST_OVERFLOW
         F.expr(
+            f"case when tok_end <= 2147483647 then "
             f"substring(`{text_col}`, cast(tok_start + 1 as int), "
-            f"cast(tok_end - tok_start as int))"
+            f"cast(tok_end - tok_start as int)) "
+            f"else raise_error(concat('gather_sequences: document ', "
+            f"cast(`{id_col}` as string), ' exceeds the 2^31-1 character "
+            f"substring bound; use gather_token_sequences or split the "
+            f"document upstream')) end"
         ),
     )
     ordered = F.array_sort(
@@ -396,6 +411,55 @@ def gather_sequences(
         F.array_join(
             F.transform(ordered, lambda s: s["__span"]), ""
         ).alias(out_col)
+    )
+
+
+def gather_token_sequences(
+    df: DataFrame,
+    plan: DataFrame,
+    id_col: str,
+    tokens_col: str = "tokens",
+    out_col: str = "seq_tokens",
+) -> DataFrame:
+    """TOKEN-UNIT executor for :func:`pack_sequences`: materialize each
+    planned sequence by slicing its documents' token-ARRAY spans and
+    flattening them in ``pos_in_seq`` order. Returns ``(seq_id,
+    out_col)`` with ``out_col`` an array of the same element type as
+    ``tokens_col`` — the tensor-shaped output a tokenizer-based
+    pretraining pipeline feeds to training (every sequence but the last
+    has exactly ``seq_len`` elements).
+
+    The plan's ``len_col`` must have been ``size(tokens_col)`` (e.g.
+    tokenize once, plan on the counts, gather the arrays — or use
+    ``subword_count``-style counts ONLY if the gather-side tokenizer
+    reproduces them element-for-element); mismatched lengths silently
+    truncate (``slice`` past the end is empty) — validate upstream.
+    Spark arrays are int-indexed, so per-document token counts are
+    intrinsically within int range — no substring-style position bound
+    applies (the underlying TEXT may exceed 2^31 chars; only the token
+    count per document matters here).
+
+    Scale shape: identical to :func:`gather_sequences` — one equi-join
+    of the plan against the corpus, an ``F.slice`` per plan row, one
+    grouped aggregation per sequence whose ``collect_list`` is bounded
+    by construction at ``seq_len`` tokens total (the spans tile the
+    fixed window)."""
+    for c, d_ in ((id_col, df), (tokens_col, df), ("seq_id", plan)):
+        if c not in d_.columns:
+            raise ValueError(f"column {c!r} not found")
+    spans = plan.join(df.select(id_col, tokens_col), id_col).withColumn(
+        "__span",
+        F.slice(
+            F.col(tokens_col),
+            (F.col("tok_start") + F.lit(1)).cast("int"),
+            (F.col("tok_end") - F.col("tok_start")).cast("int"),
+        ),
+    )
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col("pos_in_seq"), F.col("__span")))
+    )
+    return spans.groupBy("seq_id").agg(
+        F.flatten(F.transform(ordered, lambda s: s["__span"])).alias(out_col)
     )
 
 

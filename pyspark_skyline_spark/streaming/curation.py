@@ -344,6 +344,37 @@ def run_snapshot_diff_stream(
         # foreachBatch this would only surface as an opaque
         # StreamingQueryException after the query began (review find)
         raise ValueError(f"compare columns {bad_cmp} not in stream columns {in_cols}")
+    if order_col is not None:
+        # the deterministic collapse tie-breaks by ordering EVERY
+        # remaining column ascending; an unorderable type (map) would
+        # otherwise only fail at runtime inside foreachBatch as an
+        # opaque StreamingQueryException — fail at start instead, same
+        # convention as the column-name checks (ADVICE r10)
+        from pyspark.sql.types import ArrayType, MapType, StructType
+
+        def _unorderable(dt) -> bool:
+            if isinstance(dt, MapType):
+                return True
+            if isinstance(dt, ArrayType):
+                return _unorderable(dt.elementType)
+            if isinstance(dt, StructType):
+                return any(_unorderable(f.dataType) for f in dt.fields)
+            return False
+
+        bad_ord = [
+            f.name
+            for f in stream_df.schema.fields
+            if f.name not in keys
+            and f.name != order_col
+            and _unorderable(f.dataType)
+        ]
+        if bad_ord:
+            raise ValueError(
+                f"columns {bad_ord} have unorderable types (map) and cannot "
+                "serve as deterministic tie-break columns for the within-"
+                "batch collapse; drop them or re-encode them (e.g. "
+                "to_json) upstream"
+            )
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():

@@ -391,6 +391,48 @@ def test_snapshot_diff_stream_tied_order_col_deterministic(spark, tmp_path):
     assert cur == {1: "a", 2: "z"}
 
 
+def test_snapshot_diff_stream_rejects_unorderable_tiebreak_column(
+    spark, tmp_path
+):
+    """A map-typed non-key column cannot serve as a deterministic
+    tie-break column: the runner rejects it at START time (same
+    convention as the key/compare/order name checks) instead of an
+    opaque StreamingQueryException inside foreachBatch (ADVICE r10)."""
+    import pytest
+
+    from pyspark_skyline_spark.streaming.curation import run_snapshot_diff_stream
+
+    schema = "k long, v string, ts long, attrs map<string,string>"
+    src = str(tmp_path / "src")
+    os.makedirs(src, exist_ok=True)
+    spark.createDataFrame(
+        [(1, "a", 1, {"x": "y"})], schema
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "b0.parquet"))
+    stream = spark.readStream.schema(schema).parquet(src + "/*")
+    with pytest.raises(ValueError, match="unorderable"):
+        run_snapshot_diff_stream(
+            stream,
+            str(tmp_path / "out"),
+            str(tmp_path / "state"),
+            ["k"],
+            checkpoint_dir=str(tmp_path / "chk"),
+            compare_cols=["v"],
+            order_col="ts",
+        )
+    # without order_col there is no tie-break ordering: the same schema
+    # must be accepted (the underlying snapshot_diff duplicate check
+    # guards ambiguity instead)
+    q = run_snapshot_diff_stream(
+        stream,
+        str(tmp_path / "out2"),
+        str(tmp_path / "state2"),
+        ["k"],
+        checkpoint_dir=str(tmp_path / "chk2"),
+        compare_cols=["v"],
+    )
+    assert q.awaitTermination(300)
+
+
 def test_compact_snapshot_log_preserves_view_and_shrinks(spark, tmp_path):
     """compact_snapshot_log: the latest-wins view is IDENTICAL before
     and after compaction; subsumed delta dirs are removed; the stream
