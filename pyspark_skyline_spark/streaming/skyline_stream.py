@@ -33,11 +33,10 @@ foreachBatch restart can produce still yields the exactly-once result.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 
 from pyspark_skyline_spark.operators.skyline import skyline
+from pyspark_skyline_spark.streaming import fsio
 
 __all__ = ["SkylineStreamState", "run_skyline_stream"]
 
@@ -51,7 +50,13 @@ class SkylineStreamState:
     With ``state_dir`` the frontier also persists across processes:
     versioned parquet directories plus a marker file naming the last
     fully-written version (write-new-then-publish, never overwrite in
-    place — a crash mid-write leaves the previous version live)."""
+    place — a crash mid-write leaves the previous version live). All
+    state-dir I/O goes through the Hadoop FileSystem API (fsio), so
+    ``state_dir`` may be local, HDFS, or an object store (r10 verdict
+    ask #2); if the marker is missing (first run, or a crash inside
+    the marker's delete-then-rename publish window) recovery falls
+    back to the newest COMMITTED ``frontier_v*`` directory — the
+    versioned payload is never lost with the marker."""
 
     def __init__(
         self,
@@ -65,38 +70,57 @@ class SkylineStreamState:
         self.algo = algo
         self.kwargs = skyline_kwargs
         self.state_dir = state_dir
+        self._spark = spark
         self.current: DataFrame | None = None
         self._version = 0
         if state_dir:
-            os.makedirs(state_dir, exist_ok=True)
-            marker = os.path.join(state_dir, _MARKER)
-            if os.path.exists(marker):
-                if spark is None:
-                    raise ValueError("spark= is required to recover from state_dir")
-                with open(marker) as fh:
-                    self._version = int(fh.read().strip())
+            if spark is None:
+                raise ValueError(
+                    "spark= is required with state_dir (the filesystem "
+                    "probes run through the session's Hadoop conf)"
+                )
+            self._version = self._recover_version(spark, state_dir)
+            if self._version:
                 self.current = spark.read.parquet(
-                    os.path.join(state_dir, f"frontier_v{self._version}")
+                    fsio.join(state_dir, f"frontier_v{self._version}")
                 ).localCheckpoint(eager=True)
 
-    def _publish(self, df: DataFrame) -> None:
-        """Persist the frontier: write a NEW versioned directory, then
-        publish it with an atomic marker rename. Readers (including a
-        recovering process) only ever see fully-written versions."""
-        import shutil
-        import tempfile
+    @staticmethod
+    def _recover_version(spark: SparkSession, state_dir: str) -> int:
+        """Last fully-published frontier version: the marker's content
+        when present, else the newest committed ``frontier_v*`` dir
+        (``_SUCCESS``-gated — a crash mid-write leaves no marker update
+        AND no commit, so partials are invisible either way)."""
+        text = fsio.read_text(spark, fsio.join(state_dir, _MARKER))
+        if text is not None:
+            return int(text.strip())
+        versions = [
+            int(name[len("frontier_v"):])
+            for name in fsio.list_names(spark, state_dir)
+            if name.startswith("frontier_v")
+            and name[len("frontier_v"):].isdigit()
+            and fsio.exists(spark, fsio.join(state_dir, name, "_SUCCESS"))
+        ]
+        return max(versions, default=0)
 
+    def _publish(self, df: DataFrame) -> None:
+        """Persist the frontier: write a NEW versioned directory (the
+        job commit's ``_SUCCESS`` lands last), then publish it with the
+        marker's write-tmp-then-rename. Readers (including a recovering
+        process) only ever see fully-written versions; the old version
+        is pruned only after the new one is published, and a prune
+        failure raises instead of silently accumulating (fsio)."""
+        spark = self._spark
         nxt = self._version + 1
-        path = os.path.join(self.state_dir, f"frontier_v{nxt}")
+        path = fsio.join(self.state_dir, f"frontier_v{nxt}")
         df.write.mode("overwrite").parquet(path)
-        fd, tmp = tempfile.mkstemp(dir=self.state_dir)
-        with os.fdopen(fd, "w") as fh:
-            fh.write(str(nxt))
-        os.replace(tmp, os.path.join(self.state_dir, _MARKER))
-        # prune all but the published version (best-effort)
-        old = os.path.join(self.state_dir, f"frontier_v{self._version}")
-        if self._version and os.path.isdir(old):
-            shutil.rmtree(old, ignore_errors=True)
+        fsio.write_text_atomic(
+            spark, fsio.join(self.state_dir, _MARKER), str(nxt)
+        )
+        if self._version:
+            fsio.delete(
+                spark, fsio.join(self.state_dir, f"frontier_v{self._version}")
+            )
         self._version = nxt
 
     def update(self, batch_df: DataFrame) -> DataFrame:
