@@ -18,6 +18,7 @@ from pyspark_skyline_spark.operators.skyline import (
     skyline_witness,
     representative_skyline,
     skyline_sql,
+    warm_up,
     windowed_skyline,
 )
 from pyspark_skyline_spark.operators.asof import asof_join

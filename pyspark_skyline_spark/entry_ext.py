@@ -1304,6 +1304,20 @@ def _q_gather_sequences_documents(spark, sf_dir):
     return gather_sequences(docs, plan, "doc_id")
 
 
+def _q_pack_ffd_documents(spark, sf_dir):
+    """Boundary-respecting FFD packing (round-11 addition;
+    operators/sample.py::pack_documents_ffd): whole documents
+    first-fit-decreasing-packed into 1024-char bins, hash-sharded.
+    Sequential greedy per shard — no SQL form (rows-only at the gate,
+    like representative_skyline); the FFD laws, oversize guard, and
+    gather-executor composition are Hypothesis/pytest-graded
+    (tests/test_properties_ops.py)."""
+    from pyspark_skyline_spark.operators.sample import pack_documents_ffd
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_documents_ffd(docs, "doc_id", "n_chars", 1024, n_shards=8)
+
+
 def _q_cohort_retention_events(spark, sf_dir):
     """Weekly cohort retention (operators/funnel.py::cohort_retention):
     users cohorted by ISO-week of first event, distinct-user counts per
@@ -1671,6 +1685,11 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # dedup stays gate-graded inside dedup_corpus_documents phase 1.
     "windowed_skyline_events": _q_windowed_skyline_events,
     "dedup_incremental_documents": _q_dedup_incremental_documents,
+    # round-11 addition: boundary-respecting FFD bin packing — the
+    # SFT-mode complement of the gate-graded concat-and-split family;
+    # no oracle (sequential greedy per shard, like
+    # representative_skyline) — laws graded by the Hypothesis suite
+    "pack_documents_ffd_documents": _q_pack_ffd_documents,
 }
 
 

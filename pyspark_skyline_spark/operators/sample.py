@@ -37,6 +37,7 @@ __all__ = [
     "pack_batches",
     "pack_by_length",
     "pack_sequences",
+    "pack_documents_ffd",
     "gather_sequences",
     "gather_token_sequences",
     "sessionize",
@@ -349,6 +350,121 @@ def pack_sequences(
         (ov_end - off).cast("long").alias("tok_end"),
         (ov_start - seq_start).cast("long").alias("pos_in_seq"),
     )
+
+
+def pack_documents_ffd(
+    df: DataFrame,
+    id_col: str,
+    len_col: str,
+    seq_len: int,
+    n_shards: int = 64,
+    seed: int = 0,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """BOUNDARY-RESPECTING sequence packing: first-fit-decreasing bin
+    packing of whole documents into ``seq_len``-capacity sequences —
+    the packing SFT/instruction-tuning pipelines need (no document is
+    split across sequences, so attention never spans a document
+    boundary; the residual capacity per bin is padding). The complement
+    of :func:`pack_sequences` (concat-and-split, zero padding,
+    documents broken at boundaries — the pretraining mode).
+
+    Returns one row per document::
+
+        (seq_id, id_col, tok_start, tok_end, pos_in_seq)
+
+    in the SAME plan schema as :func:`pack_sequences` (``tok_start=0``,
+    ``tok_end=len`` — whole documents), so
+    :func:`gather_sequences` / :func:`gather_token_sequences` execute
+    FFD plans unchanged. Rows with non-positive ``len_col`` are absent
+    (as in ``pack_sequences``); a document LONGER than ``seq_len``
+    cannot be packed whole and raises loudly in-plan with its id
+    (truncate or route such rows to ``pack_sequences`` upstream).
+
+    Scale design: FFD is inherently sequential, so the corpus is
+    hash-sharded (``pmod(hash(id, seed), n_shards)``) and each shard
+    packs independently inside one ``applyInPandas`` group over the
+    (id, len) METADATA ONLY — text never enters the shuffle, groups are
+    corpus/n_shards rows of two integers each. Bin ids pack
+    (shard, local_bin) into a long exactly as :func:`pack_by_length`
+    does. Waste stays bounded: FFD uses at most 11/9·OPT+1 bins per
+    shard, and shard-locality adds at most one trailing partial bin per
+    shard — negligible against the corpus at n_shards << n_docs.
+    Deterministic for fixed keys regardless of partitioning or cluster
+    size (shard assignment is a pure row hash; within a shard items are
+    FFD'd in (len desc, id asc) order)."""
+    if seq_len < 1:
+        raise ValueError(f"seq_len must be >= 1, got {seq_len}")
+    if not 1 <= n_shards <= (1 << 23):
+        raise ValueError(
+            f"n_shards must be in [1, 2^23] (the seq_id shard prefix is "
+            f"23 bits over a 40-bit local bin counter), got {n_shards}"
+        )
+    for c in (id_col, len_col):
+        if c not in df.columns:
+            raise ValueError(f"column {c!r} not found")
+    key = F.col(id_col).cast("string")
+    h = hash64_expr(key, F.lit(seed), hash_mode)
+    t = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.col(len_col).cast("long").alias("__len"),
+        )
+        .where(F.col("__len") > 0)
+        .withColumn("__shard", F.pmod(h, F.lit(int(n_shards))).cast("long"))
+    )
+    L = int(seq_len)
+
+    def pack(pdf):
+        import numpy as np
+        import pandas as pd
+
+        shard = int(pdf["__shard"].iloc[0])
+        order = pdf.sort_values(
+            ["__len", "__id"], ascending=[False, True], kind="mergesort"
+        )
+        lens = order["__len"].to_numpy()
+        if len(lens) and int(lens[0]) > L:
+            bad = order["__id"].iloc[0]
+            raise ValueError(
+                f"pack_documents_ffd: document {bad!r} has length "
+                f"{int(lens[0])} > seq_len={L}; whole-document packing "
+                "cannot place it — truncate upstream or use pack_sequences"
+            )
+        # first-fit over open bins: remaining capacity per bin; argmax
+        # of the fit mask is the FIRST fitting bin (vectorized per item)
+        caps = np.empty(len(lens), dtype=np.int64)  # <= n items bins
+        n_bins = 0
+        bin_of = np.empty(len(lens), dtype=np.int64)
+        off_of = np.empty(len(lens), dtype=np.int64)
+        for i, ln in enumerate(lens):
+            fit = caps[:n_bins] >= ln
+            if fit.any():
+                b = int(np.argmax(fit))
+            else:
+                b = n_bins
+                caps[b] = L
+                n_bins += 1
+            off_of[i] = L - caps[b]
+            caps[b] -= ln
+            bin_of[i] = b
+        out = pd.DataFrame(
+            {
+                "seq_id": shard * (1 << 40) + bin_of,
+                "__id": order["__id"].to_numpy(),
+                "tok_start": np.zeros(len(lens), dtype=np.int64),
+                "tok_end": lens,
+                "pos_in_seq": off_of,
+            }
+        )
+        return out
+
+    out_schema = (
+        f"seq_id long, __id {dict(t.dtypes)['__id']}, tok_start long, "
+        f"tok_end long, pos_in_seq long"
+    )
+    packed = t.groupBy("__shard").applyInPandas(pack, schema=out_schema)
+    return packed.withColumnRenamed("__id", id_col)
 
 
 def gather_sequences(

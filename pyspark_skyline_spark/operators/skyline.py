@@ -40,7 +40,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark_skyline_spark.kernel import _dominated_by, find_skyline_mask, to_min_space
 from pyspark_skyline_spark.parser import parse_skyline_query
 
-__all__ = ["skyline", "skyline_sql", "skyline_antijoin", "skyline_layers", "skyline_witness", "representative_skyline", "windowed_skyline", "ALGORITHMS"]
+__all__ = ["skyline", "skyline_sql", "skyline_antijoin", "skyline_layers", "skyline_witness", "representative_skyline", "windowed_skyline", "warm_up", "ALGORITHMS"]
 
 ALGORITHMS = ("MR_DIM", "MR_DIM_Q", "MR_GRID", "MR_ANGLE", "auto")
 
@@ -822,6 +822,57 @@ def representative_skyline(
         [(p,) for p in picked], [id_col]
     )
     return df.join(F.broadcast(picked_df), id_col, "left_semi")
+
+
+def warm_up(
+    spark,
+    d: int,
+    algo: str = "auto",
+    rows: int = 20_000,
+    passes: int = 2,
+) -> int:
+    """Pre-warm the skyline execution path for ``d``-dimensional
+    queries on a COLD JVM/worker fleet (r10 verdict ask #7: the
+    d7/1e7 sweep's first pass ran ~4x steady state, a monotone
+    JIT/Arrow warm-in decay, not data work).
+
+    Runs the full skyline pipeline ``passes`` times over a tiny
+    synthetic ``rows`` x ``d`` integer table (xxhash64-mixed,
+    deterministic, generated JVM-side — no driver data transfer).
+    What it warms, in cost order:
+
+    * whole-stage-codegen classes for the d-column keying/prune plan
+      shape (Janino compile is per shape, cached thereafter) and the
+      C2 tier of their hot loops (~10k row-iterations crosses the
+      default compile threshold; the second pass executes compiled
+      code and lets async C2 land);
+    * the Arrow serialization bridge both ways (first use lazy-inits
+      writers/readers per JVM);
+    * the Python worker fleet: process spawn + numpy/pandas/kernel
+      imports (~1 s per worker if paid inside a real query).
+
+    Bounded by construction: tiny input, no data dependence, a few
+    seconds once per executor lifetime — on a real cluster call it
+    right after session start; bench.py --sweep calls it per distinct
+    d before timing. Returns the warm-up frontier size (forces full
+    execution)."""
+    if d < 1:
+        raise ValueError(f"d must be >= 1, got {d}")
+    cols = [f"__w{i}" for i in range(d)]
+    base = spark.range(0, int(rows), 1, spark.sparkContext.defaultParallelism)
+    df = base.select(
+        *[
+            F.pmod(F.xxhash64(F.col("id"), F.lit(i)), F.lit(1_000_000_000))
+            .cast("long")
+            .alias(c)
+            for i, c in enumerate(cols)
+        ]
+    )
+    dims = [(c, "min") for c in cols]
+    n = 0
+    for _ in range(max(1, int(passes))):
+        n = skyline(df, dims, algo=algo).count()
+    return n
 
 
 def windowed_skyline(

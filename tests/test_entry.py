@@ -75,11 +75,12 @@ def test_registry_tallies_match_documented_counts():
     oracled), and different counters included different halves. Pin
     both halves and the union.
 
-    Documented tally (round 11): 50 driver rows (all oracled) + 65
-    extras total = 60 entry_ext extras (58 oracled + 2 rows-only:
+    Documented tally (round 11): 50 driver rows (all oracled) + 66
+    extras total = 61 entry_ext extras (58 oracled + 3 rows-only:
     representative_skyline_part — sequential greedy has no SQL form;
-    semantic_dedup_embeddings — iterative k-means likewise) + 5 extra
-    skyline rows (all oracled)."""
+    semantic_dedup_embeddings — iterative k-means likewise;
+    pack_documents_ffd_documents — sequential first-fit greedy
+    likewise) + 5 extra skyline rows (all oracled)."""
     from pyspark_skyline_spark.entry_ext import ext_extra_queries
 
     qs = entry_mod.queries()
@@ -87,12 +88,13 @@ def test_registry_tallies_match_documented_counts():
     extra_oracled = set(entry_mod.extra_oracle_sql())
     ext_extras = ext_extra_queries()
     assert len(qs) == 50
-    assert len(ext_extras) == 60
-    assert len(extras) == 65  # 60 entry_ext + 5 extra skyline dims
+    assert len(ext_extras) == 61
+    assert len(extras) == 66  # 61 entry_ext + 5 extra skyline dims
     assert len(extra_oracled) == 63
     assert set(extras) - extra_oracled == {
         "representative_skyline_part",
         "semantic_dedup_embeddings",
+        "pack_documents_ffd_documents",
     }
     skyline_extras = set(extras) - set(ext_extras)
     assert len(skyline_extras) == 5

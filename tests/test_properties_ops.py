@@ -264,3 +264,93 @@ def test_pack_sequences_laws(spark, rows, L):
     if total:
         n_seqs = (total + L - 1) // L
         assert {s for s, *_ in got} == set(range(n_seqs))
+
+
+@given(rows=_pack_rows, L=st.integers(1, 16), shards=st.integers(1, 4))
+@_SETTINGS
+def test_pack_documents_ffd_laws(spark, rows, L, shards):
+    """pack_documents_ffd laws on arbitrary (id, length) corpora with
+    lengths clamped into [0, L]: every positive-length doc is assigned
+    exactly once as a WHOLE span (tok_start=0, tok_end=len); per-bin
+    fills are contiguous from 0 in pos order and total <= L; the bin
+    count respects the FFD guarantee per shard (<= 11/9*OPT_shard + 1,
+    summed); assignment is invariant under input repartitioning."""
+    from pyspark_skyline_spark.operators.sample import pack_documents_ffd
+
+    rows = [(d, min(n, L)) for d, n in rows]
+    schema = "doc_id long, n int"
+    df = (
+        spark.createDataFrame(rows, schema)
+        if rows
+        else spark.createDataFrame([], schema)
+    )
+    out = sorted(
+        (r["seq_id"], r["doc_id"], r["tok_start"], r["tok_end"], r["pos_in_seq"])
+        for r in pack_documents_ffd(
+            df, "doc_id", "n", L, n_shards=shards
+        ).collect()
+    )
+    positive = {d: n for d, n in rows if n > 0}
+    assert sorted(t[1] for t in out) == sorted(positive)
+    assert all(a == 0 and b == positive[d] for _, d, a, b, _ in out)
+    by_bin: dict[int, list] = {}
+    for t in out:
+        by_bin.setdefault(t[0], []).append(t)
+    for _bin, items in by_bin.items():
+        items.sort(key=lambda t: t[4])
+        fill = 0
+        for _, d, _a, b, pos in items:
+            assert pos == fill  # contiguous tiling from offset 0
+            fill += b
+        assert fill <= L
+    # FFD bin-count guarantee, shard-local: group by shard prefix
+    by_shard: dict[int, list] = {}
+    for t in out:
+        by_shard.setdefault(t[0] >> 40, []).append(positive[t[1]])
+    total_bins = len(by_bin)
+    bound = 0
+    for lens in by_shard.values():
+        opt_lb = -(-sum(lens) // L)
+        bound += (11 * opt_lb) // 9 + 2  # 11/9*OPT + 1, integer slack
+    assert total_bins <= max(bound, len(by_shard))
+    # partitioning invariance (the determinism contract)
+    out2 = sorted(
+        (r["seq_id"], r["doc_id"], r["tok_start"], r["tok_end"], r["pos_in_seq"])
+        for r in pack_documents_ffd(
+            df.repartition(7), "doc_id", "n", L, n_shards=shards
+        ).collect()
+    )
+    assert out == out2
+
+
+def test_pack_documents_ffd_rejects_oversize_and_feeds_gather(spark):
+    """A document longer than seq_len raises loudly with its id; and an
+    FFD plan executes through the SAME gather executors as
+    pack_sequences (whole-document spans reassemble bin content in pos
+    order)."""
+    import pytest
+
+    from pyspark_skyline_spark.operators.sample import (
+        gather_sequences,
+        pack_documents_ffd,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa"), (2, "bb"), (3, "cccc"), (4, "d")],
+        "doc_id long, text string",
+    ).withColumn("n", F.length("text"))
+    plan = pack_documents_ffd(docs, "doc_id", "n", seq_len=5, n_shards=1)
+    got = {
+        r["seq_id"]: r["seq_text"]
+        for r in gather_sequences(docs, plan, "doc_id").collect()
+    }
+    # FFD order: lens desc, id asc -> aaaa(4), cccc(4), bb(2), d(1):
+    # bin0 = aaaa + d? no: first-fit — aaaa->bin0(cap1), cccc->bin1(cap1),
+    # bb->bin2(cap3), d->bin0 (first bin with cap>=1)
+    assert sorted(got.values()) == ["aaaad", "bb", "cccc"]
+    big = spark.createDataFrame(
+        [(9, 10)], "doc_id long, n int"
+    )
+    with pytest.raises(Exception, match="seq_len"):
+        pack_documents_ffd(big, "doc_id", "n", seq_len=5).collect()

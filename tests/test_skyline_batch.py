@@ -409,6 +409,20 @@ def test_broadcast_merge_property_vs_antijoin(spark):
     check()
 
 
+def test_warm_up_runs_full_pipeline_and_is_deterministic(spark):
+    """warm_up must execute the REAL skyline path (a frontier comes
+    back, deterministic for a given d/rows — it's xxhash64-mixed
+    synthetic data) and reject nonsense d. Timing effects are graded
+    by the sweep protocol, not here."""
+    from pyspark_skyline_spark.operators.skyline import warm_up
+
+    a = warm_up(spark, 3, rows=2000, passes=1)
+    b = warm_up(spark, 3, rows=2000, passes=1)
+    assert a == b > 0
+    with pytest.raises(ValueError, match="d must be"):
+        warm_up(spark, 0)
+
+
 def test_skyline_excludes_nan_dims(spark):
     # NaN rows are incomparable under IEEE comparisons (the kernel would
     # keep all of them) and engines disagree on NaN ordering — so NaN
