@@ -403,8 +403,10 @@ def pack_documents_ffd(
     for c in (id_col, len_col):
         if c not in df.columns:
             raise ValueError(f"column {c!r} not found")
-    key = F.col(id_col).cast("string")
-    h = hash64_expr(key, F.lit(seed), hash_mode)
+    # the hash keys on the RENAMED __id so it resolves on the projected
+    # metadata frame (hashing the string form of the original id value,
+    # same determinism contract as pack_batches)
+    h = hash64_expr(F.col("__id").cast("string"), F.lit(seed), hash_mode)
     t = (
         df.select(
             F.col(id_col).alias("__id"),
