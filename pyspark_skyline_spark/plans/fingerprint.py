@@ -62,6 +62,16 @@ _RULES: list[tuple[re.Pattern[str], str]] = [
     (re.compile(r"@[0-9a-f]{6,}"), "@addr"),
     # InMemoryFileIndex path counts are layout noise
     (re.compile(r"InMemoryFileIndex\([0-9]+ paths\)"), "InMemoryFileIndex(<paths>)"),
+    # localCheckpoint scans report the checkpointed RDD's ACTUAL
+    # partition count as UnknownPartitioning(N) — runtime state of the
+    # builder's probe jobs (AQE coalesce outcome on the capture day),
+    # not a plan property: the r10->r11 diff flagged equi_depth /
+    # global_shuffle as "expr-level change" on bit-identical code
+    # (verified: the r10 tree rebuilt today yields the r11 hash). The
+    # MEANINGFUL partition counts (hashpartitioning(keys, 32),
+    # rangepartitioning(..., 32)) carry a partitioning NAME and are
+    # untouched by this rule.
+    (re.compile(r"UnknownPartitioning\(\d+\)"), "UnknownPartitioning(n)"),
 ]
 
 

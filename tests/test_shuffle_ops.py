@@ -726,6 +726,22 @@ def test_gather_token_sequences_subword_pipeline(spark):
     assert got == want
 
 
+def test_pack_documents_ffd_plan_one_metadata_exchange(spark, sf_dir):
+    """pack_documents_ffd's plan budget: exactly ONE exchange (the
+    shard clustering for the per-shard greedy) over the (id, len)
+    metadata projection — the text column must never enter the plan."""
+    from pyspark_skyline_spark.operators.sample import pack_documents_ffd
+    from pyspark_skyline_spark.plans.explain import (
+        assert_max_exchanges,
+        formatted_plan,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = pack_documents_ffd(docs, "doc_id", "n_chars", 1024, n_shards=8)
+    assert_max_exchanges(plan, 1)
+    assert "text#" not in formatted_plan(plan)
+
+
 def test_pack_sequences_plan_two_narrow_exchanges(spark, sf_dir):
     """pack_sequences' plan budget: exactly the two documented narrow
     exchanges (the prefix sum's range shuffle + the window's gpid
