@@ -97,6 +97,7 @@ __all__ = [
     "skyline_witness",
     "representative_skyline",
     "k_skyband",
+    "warm_up",
     "windowed_skyline",
     "asof_join",
     "range_join",

@@ -32,6 +32,7 @@ importable and otherwise falls back to ``fake`` with a warning;
 from __future__ import annotations
 
 import hashlib
+import io
 import struct
 from collections.abc import Iterator
 
@@ -76,6 +77,13 @@ def sniff_image_meta(raw: bytes) -> tuple[int, int, str] | None:
                 if raw[i] != 0xFF:
                     return None
                 marker = raw[i + 1]
+                if marker == 0xFF:
+                    # optional 0xFF fill bytes before a marker are legal
+                    # (ISO 10918-1 B.1.1.2) — skip one pad byte and
+                    # re-read (review find: the old walk misparsed
+                    # padded spec-valid JPEGs)
+                    i += 1
+                    continue
                 if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                     i += 2
                     continue
@@ -130,6 +138,29 @@ def _pil_image_module():
         return None
 
 
+def _resolve_decode_mode(decode_mode: str, op: str, fallback: str):
+    """Executor-side mode resolution shared by the four media ops:
+    probe Pillow where the work runs, honor the explicit contracts
+    (``pil`` -> ImportError, ``strict`` -> NotImplementedError when
+    absent), degrade ``auto`` to ``fallback``. Returns
+    (effective_mode, PIL.Image module or None)."""
+    if decode_mode not in ("pil", "auto", "strict"):
+        return decode_mode, None
+    image_mod = _pil_image_module()
+    if image_mod is not None:
+        return "pil", image_mod
+    if decode_mode == "pil":
+        raise ImportError(
+            f"decode_mode='pil' {op} requires Pillow on the executors"
+        )
+    if decode_mode == "strict":
+        raise NotImplementedError(
+            f"decode_mode='strict' {op} requires Pillow on the executors; "
+            f"use 'auto' to degrade to '{fallback}' or pick a mode explicitly"
+        )
+    return fallback, None
+
+
 def decode_media_meta(
     df: DataFrame,
     id_col: str,
@@ -150,24 +181,9 @@ def decode_media_meta(
     sel = df.select(F.col(id_col).alias("id"), F.col(blob_col).alias("blob"))
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        image_mod = None
-        mode = decode_mode
-        if mode in ("pil", "auto", "strict"):
-            image_mod = _pil_image_module()
-            if image_mod is None:
-                if mode == "pil":
-                    raise ImportError(
-                        "decode_mode='pil' requires Pillow on the executors"
-                    )
-                if mode == "strict":
-                    raise NotImplementedError(
-                        "decode_mode='strict' requires a full pixel decoder "
-                        "(Pillow) on the executors; use 'auto' to degrade to "
-                        "header-only metadata or 'headers'/'fake' explicitly"
-                    )
-                mode = "headers"  # auto fallback: real header decode
-            else:
-                mode = "pil"
+        mode, image_mod = _resolve_decode_mode(
+            decode_mode, "media decode", fallback="headers"
+        )
         for pdf in batches:
             metas = []
             for _id, blob in zip(pdf["id"], pdf["blob"]):
@@ -180,8 +196,6 @@ def decode_media_meta(
                         ["png", "jpeg", "webp"][digest[2] % 3],
                     )
                 elif mode == "pil":
-                    import io  # noqa: PLC0415
-
                     try:
                         with image_mod.open(io.BytesIO(raw)) as im:
                             meta = (
@@ -240,40 +254,42 @@ def sample_frames(
     sel = df.select(F.col(id_col).alias("id"), F.col(blob_col).alias("blob"))
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        image_mod = None
-        mode = decode_mode
-        if mode in ("auto", "strict"):
-            image_mod = _pil_image_module()
-            if image_mod is None:
-                if mode == "strict":
-                    raise NotImplementedError(
-                        "decode_mode='strict' frame sampling requires Pillow "
-                        "(or an ffmpeg wrapper) on the executors"
-                    )
-                mode = "fake"
-            else:
-                mode = "pil"
+        mode, image_mod = _resolve_decode_mode(
+            decode_mode, "frame sampling", fallback="fake"
+        )
         for pdf in batches:
             rows = []
             for _id, blob in zip(pdf["id"], pdf["blob"]):
                 raw = bytes(blob) if blob is not None else b""
                 if mode == "pil":
-                    import io  # noqa: PLC0415
-
-                    with image_mod.open(io.BytesIO(raw)) as im:
-                        n_frames = getattr(im, "n_frames", 1)
-                        for i in range(n_frames):
-                            im.seek(i)
-                            rows.append(
-                                {
-                                    "id": int(_id),
-                                    "frame_idx": i,
-                                    "ts_ms": i * frame_ms,
-                                    "frame_checksum": hashlib.md5(
-                                        im.convert("RGB").tobytes()
-                                    ).hexdigest(),
-                                }
-                            )
+                    # an undecodable payload yields ONE null-frame row
+                    # (id visible downstream, frame_idx NULL) instead of
+                    # failing the task — one corrupt blob must not kill
+                    # the batch (review find)
+                    try:
+                        with image_mod.open(io.BytesIO(raw)) as im:
+                            n_frames = getattr(im, "n_frames", 1)
+                            for i in range(n_frames):
+                                im.seek(i)
+                                rows.append(
+                                    {
+                                        "id": int(_id),
+                                        "frame_idx": i,
+                                        "ts_ms": i * frame_ms,
+                                        "frame_checksum": hashlib.md5(
+                                            im.convert("RGB").tobytes()
+                                        ).hexdigest(),
+                                    }
+                                )
+                    except Exception:
+                        rows.append(
+                            {
+                                "id": int(_id),
+                                "frame_idx": None,
+                                "ts_ms": None,
+                                "frame_checksum": None,
+                            }
+                        )
                     continue
                 n_frames = len(raw) % 5 + 1
                 for i in range(n_frames):
@@ -315,32 +331,24 @@ def resize_media(
     schema = "id long, width int, height int, resized binary"
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        image_mod = None
-        mode = decode_mode
-        if mode in ("auto", "strict"):
-            image_mod = _pil_image_module()
-            if image_mod is None:
-                if mode == "strict":
-                    raise NotImplementedError(
-                        "decode_mode='strict' resize requires Pillow on the "
-                        "executors"
-                    )
-                mode = "fake"
-            else:
-                mode = "pil"
+        mode, image_mod = _resolve_decode_mode(
+            decode_mode, "resize", fallback="fake"
+        )
         for pdf in batches:
             out = []
             for _id, blob in zip(pdf["id"], pdf["blob"]):
                 raw = bytes(blob) if blob is not None else b""
                 if mode == "pil":
-                    import io  # noqa: PLC0415
-
-                    with image_mod.open(io.BytesIO(raw)) as im:
-                        buf = io.BytesIO()
-                        im.convert("RGB").resize(
-                            (width, height), image_mod.Resampling.LANCZOS
-                        ).save(buf, format="PNG")
-                    payload = buf.getvalue()
+                    # undecodable payload -> NULL output, not a dead task
+                    try:
+                        with image_mod.open(io.BytesIO(raw)) as im:
+                            buf = io.BytesIO()
+                            im.convert("RGB").resize(
+                                (width, height), image_mod.Resampling.LANCZOS
+                            ).save(buf, format="PNG")
+                        payload = buf.getvalue()
+                    except Exception:
+                        payload = None
                 else:
                     payload = hashlib.sha256(raw).digest()
                 out.append(
@@ -379,35 +387,27 @@ def embed_media(
     schema = "id long, embedding array<double>"
 
     def embed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        image_mod = None
-        mode = decode_mode
-        if mode in ("auto", "strict"):
-            image_mod = _pil_image_module()
-            if image_mod is None:
-                if mode == "strict":
-                    raise NotImplementedError(
-                        "decode_mode='strict' media embedding requires Pillow "
-                        "(or a learned encoder) on the executors"
-                    )
-                mode = "fake"
-            else:
-                mode = "pil"
+        mode, image_mod = _resolve_decode_mode(
+            decode_mode, "media embedding", fallback="fake"
+        )
         side = max(1, int(dim**0.5))
         for pdf in batches:
             out = []
             for _id, blob in zip(pdf["id"], pdf["blob"]):
                 raw = bytes(blob) if blob is not None else b""
                 if mode == "pil":
-                    import io  # noqa: PLC0415
-
-                    with image_mod.open(io.BytesIO(raw)) as im:
-                        px = list(
-                            im.convert("L")
-                            .resize((side, side), image_mod.Resampling.BILINEAR)
-                            .getdata()
-                        )
-                    vec = [p / 255.0 for p in px][:dim]
-                    vec += [0.0] * (dim - len(vec))
+                    # undecodable payload -> NULL embedding, not a dead task
+                    try:
+                        with image_mod.open(io.BytesIO(raw)) as im:
+                            px = list(
+                                im.convert("L")
+                                .resize((side, side), image_mod.Resampling.BILINEAR)
+                                .getdata()
+                            )
+                        vec = [p / 255.0 for p in px][:dim]
+                        vec += [0.0] * (dim - len(vec))
+                    except Exception:
+                        vec = None
                 else:
                     material = hashlib.sha256(raw).digest()
                     while len(material) < dim:

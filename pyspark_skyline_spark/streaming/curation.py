@@ -240,6 +240,28 @@ def run_paragraph_dedup_stream(
     return writer.start()
 
 
+def _state_epoch_covered(spark: SparkSession, state_dir: str, epoch_id: int) -> bool:
+    """True when the delta log already ACCOUNTS for ``epoch_id``: either
+    its own ``epoch=N`` delta committed, or a committed compact base
+    ``epoch=M.compact`` with M >= N subsumes it. The replay done-guard
+    must use this, not a bare directory probe — inline compaction
+    legitimately DELETES the epoch dir it folds into the base, and a
+    crash-replay after that would otherwise recompute the whole batch
+    and re-append a duplicate delta (review find; the out-dir _SUCCESS
+    check kept results correct, but the documented skip contract and
+    the log's compaction were silently undone)."""
+    import re
+
+    for d in _committed_epoch_dirs(spark, state_dir):
+        m = re.match(r"epoch=(\d+)(\.compact)?$", d.rsplit("/", 1)[-1])
+        if not m:
+            continue
+        n = int(m.group(1))
+        if n == int(epoch_id) or (m.group(2) and n >= int(epoch_id)):
+            return True
+    return False
+
+
 def committed_snapshot_state(
     spark: SparkSession,
     state_dir: str,
@@ -404,12 +426,9 @@ def run_snapshot_diff_stream(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        done = all(
-            fsio.exists(
-                spark, fsio.join(d, f"epoch={int(epoch_id)}", "_SUCCESS")
-            )
-            for d in (out_dir, state_dir)
-        )
+        done = fsio.exists(
+            spark, fsio.join(out_dir, f"epoch={int(epoch_id)}", "_SUCCESS")
+        ) and _state_epoch_covered(spark, state_dir, int(epoch_id))
         if done:
             return
         if order_col is not None:

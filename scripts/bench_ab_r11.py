@@ -68,8 +68,19 @@ def run_arm(names: list[str]) -> dict:
         [sys.executable, os.path.join(REPO, "bench.py"), "--queries", ",".join(names)],
         capture_output=True, text=True, cwd=REPO, timeout=3600,
     )
-    last = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
-    payload = json.loads(last)
+    json_lines = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]
+    if proc.returncode != 0 or not json_lines:
+        # a crashed invocation must not abort the interleaved protocol
+        # or hide the bench's own diagnostics (review find): record the
+        # failure as an arm entry and keep going
+        return {
+            "wall_sec": round(time.time() - t0, 1),
+            "error": f"bench rc={proc.returncode}",
+            "stderr_tail": proc.stderr[-2000:],
+            "calib": None, "total": None, "common_total": None,
+            "queries": {}, "passes": {}, "errors": [],
+        }
+    payload = json.loads(json_lines[-1])
     # pass pairs from the stderr passes line (keyed evidence per row)
     passes = {}
     for line in proc.stderr.splitlines():

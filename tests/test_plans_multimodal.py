@@ -179,6 +179,20 @@ def test_decode_media_meta_headers_mode_real_formats(spark):
     assert all(got[i][3] == len(p) for i, p in payloads)
 
 
+def test_sniff_image_meta_jpeg_fill_bytes(spark):
+    """Optional 0xFF fill bytes before a JPEG marker are legal (ISO
+    10918-1 B.1.1.2); the sniffer must skip them, not misparse the
+    segment length from shifted bytes (review find)."""
+    import struct
+
+    base = _jpeg_header_bytes(320, 200)
+    # inject two fill bytes before the SOF0 marker
+    sof_at = base.index(b"\xff\xc0")
+    padded = base[:sof_at] + b"\xff\xff" + base[sof_at:]
+    assert M.sniff_image_meta(padded) == (320, 200, "jpeg")
+    assert M.sniff_image_meta(base) == (320, 200, "jpeg")
+
+
 def test_decode_media_meta_auto_mode_decodes_generated_png(spark):
     """auto mode performs a REAL decode of a generated PNG blob in any
     environment: full Pillow decode when installed, the stdlib header

@@ -456,6 +456,27 @@ def test_snapshot_diff_stream_auto_compaction_bounds_the_log(spark, tmp_path):
         )
 
 
+def test_state_epoch_covered_honors_compact_base(spark, tmp_path):
+    """The replay done-guard treats a committed compact base as covering
+    every epoch it folded (review find: inline compaction deletes the
+    epoch dir the old guard probed, so a post-compaction replay
+    recomputed the batch and re-appended a duplicate delta)."""
+    from pyspark_skyline_spark.streaming.curation import _state_epoch_covered
+
+    state = str(tmp_path / "state")
+    for name in ("epoch=5.compact", "epoch=6"):
+        d = os.path.join(state, name)
+        os.makedirs(d)
+        open(os.path.join(d, "_SUCCESS"), "w").close()
+    assert _state_epoch_covered(spark, state, 3)   # folded into the base
+    assert _state_epoch_covered(spark, state, 5)   # the base itself
+    assert _state_epoch_covered(spark, state, 6)   # live delta
+    assert not _state_epoch_covered(spark, state, 7)  # future epoch
+    # an UNcommitted dir (no _SUCCESS) covers nothing
+    os.makedirs(os.path.join(state, "epoch=7"))
+    assert not _state_epoch_covered(spark, state, 7)
+
+
 def test_snapshot_diff_stream_rejects_unorderable_tiebreak_column(
     spark, tmp_path
 ):
