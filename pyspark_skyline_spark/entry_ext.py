@@ -1304,6 +1304,34 @@ def _q_gather_sequences_documents(spark, sf_dir):
     return gather_sequences(docs, plan, "doc_id")
 
 
+def _q_gather_token_sequences_documents(spark, sf_dir):
+    """Token-unit packing round trip (round-11 addition;
+    operators/sample.py::gather_token_sequences): tokenize with the
+    BPE-ish pre-lexer runs, plan on token counts, gather the token
+    arrays into 512-token sequences. Output is the sequence id plus
+    the tokens joined on chr(31) — a plain string column both engines
+    hash identically (the oracle reproduces the same global
+    token-stream positions, so separator collisions cannot make
+    differing gathers compare equal). Exactly oracled."""
+    from pyspark_skyline_spark.operators.sample import (
+        gather_token_sequences,
+        pack_sequences,
+    )
+    from pyspark_skyline_spark.operators.text import _SUBWORD_SPLIT
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.withColumn(
+        "tokens",
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(_SUBWORD_SPLIT), 0),
+    ).withColumn("n_tok", F.size("tokens"))
+    plan = pack_sequences(toks, "doc_id", "n_tok", seq_len=512)
+    out = gather_token_sequences(toks, plan, "doc_id")
+    return out.select(
+        "seq_id",
+        F.array_join("seq_tokens", chr(31)).alias("seq_tokens_joined"),
+    )
+
+
 def _q_pack_ffd_documents(spark, sf_dir):
     """Boundary-respecting FFD packing (round-11 addition;
     operators/sample.py::pack_documents_ffd): whole documents
@@ -1690,6 +1718,10 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # no oracle (sequential greedy per shard, like
     # representative_skyline) — laws graded by the Hypothesis suite
     "pack_documents_ffd_documents": _q_pack_ffd_documents,
+    # round-11 addition: token-unit packing round trip (plan on token
+    # counts, gather token arrays) — exactly oracled via the global
+    # token-stream position formulation
+    "gather_token_sequences_documents": _q_gather_token_sequences_documents,
 }
 
 

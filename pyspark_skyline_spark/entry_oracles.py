@@ -1606,6 +1606,31 @@ SELECT CAST(seq AS BIGINT) AS seq_id,
        string_agg(span, '' ORDER BY pos) AS seq_text
 FROM spans GROUP BY seq
 """,
+    # round-11 token-unit packing round trip: instead of mirroring the
+    # slice-per-span executor, the oracle assigns every token its
+    # GLOBAL stream position (doc exclusive-cumsum offset + in-doc
+    # index) and aggregates tokens per pos//512 window in position
+    # order — provably the same sequence content, far simpler SQL.
+    # DuckDB zips parallel unnests in one SELECT (token ↔ index).
+    "gather_token_sequences_documents": r"""
+WITH d AS (SELECT doc_id,
+                  regexp_extract_all(lower(text),
+                    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+') AS toks
+           FROM documents),
+c AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n
+      FROM d WHERE len(toks) > 0),
+o AS (SELECT doc_id, toks, n,
+             CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS off
+      FROM c),
+tok AS (SELECT off + CAST(unnest(range(n)) AS BIGINT) AS p,
+               unnest(toks) AS token
+        FROM o)
+SELECT CAST(p // 512 AS BIGINT) AS seq_id,
+       string_agg(token, chr(31) ORDER BY p) AS seq_tokens_joined
+FROM tok GROUP BY 1
+""",
     # stream-static inner join emits every match of the replay, so the
     # plain batch join is exact
     "stream_enrich_events": """
