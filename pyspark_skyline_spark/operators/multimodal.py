@@ -265,13 +265,19 @@ def sample_frames(
                     # an undecodable payload yields ONE null-frame row
                     # (id visible downstream, frame_idx NULL) instead of
                     # failing the task — one corrupt blob must not kill
-                    # the batch (review find)
+                    # the batch (review find). Frames accumulate in a
+                    # payload-local list published only after the whole
+                    # demux succeeds: a container that decodes frames
+                    # 0..k-1 then fails at seek(k) (truncated animation)
+                    # must not emit partial frames ALONGSIDE the null
+                    # marker row (review find, round 12)
+                    payload_rows = []
                     try:
                         with image_mod.open(io.BytesIO(raw)) as im:
                             n_frames = getattr(im, "n_frames", 1)
                             for i in range(n_frames):
                                 im.seek(i)
-                                rows.append(
+                                payload_rows.append(
                                     {
                                         "id": int(_id),
                                         "frame_idx": i,
@@ -281,6 +287,7 @@ def sample_frames(
                                         ).hexdigest(),
                                     }
                                 )
+                        rows.extend(payload_rows)
                     except Exception:
                         rows.append(
                             {

@@ -58,6 +58,20 @@ def test_multimodal_decode_fake(spark, sf_dir):
         assert r.n_bytes > 0
 
 
+def _pillow_installed() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    _pillow_installed(),
+    reason="strict mode SUCCEEDS when Pillow is importable — the raise "
+    "contract is only reachable without it (review find, round 12)",
+)
 def test_multimodal_decode_strict_raises(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(2)
     with pytest.raises(Exception, match="NotImplementedError|media decode"):
@@ -93,6 +107,11 @@ def test_sample_frames_deterministic_and_bounded(spark):
     assert [t[2] for t in per_id[1]] == [0, 40, 80, 120, 160][: len(per_id[1])]
 
 
+@pytest.mark.skipif(
+    _pillow_installed(),
+    reason="strict mode SUCCEEDS when Pillow is importable — the raise "
+    "contract is only reachable without it (review find, round 12)",
+)
 def test_resize_and_embed_strict_raise(spark):
     from pyspark_skyline_spark.operators import multimodal as M
 

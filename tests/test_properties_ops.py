@@ -310,7 +310,13 @@ def test_pack_documents_ffd_laws(spark, rows, L, shards):
     total_bins = len(by_bin)
     bound = 0
     for lens in by_shard.values():
-        opt_lb = -(-sum(lens) // L)
+        # OPT lower bound: volume alone understates OPT when mid-size
+        # docs dominate (12 docs of len 2 at L=3: FFD=OPT=12 bins but
+        # ceil(sum/L)=8 -> the 11/9 bound on the volume LB is a false
+        # theorem, a latent Hypothesis flake — review find, round 12).
+        # Docs strictly longer than L/2 cannot share a bin, so their
+        # count is a second valid OPT lower bound; take the max.
+        opt_lb = max(-(-sum(lens) // L), sum(1 for x in lens if 2 * x > L))
         bound += (11 * opt_lb) // 9 + 2  # 11/9*OPT + 1, integer slack
     assert total_bins <= max(bound, len(by_shard))
     # partitioning invariance (the determinism contract)
