@@ -32,6 +32,7 @@ __all__ = [
     "join",
     "exists",
     "list_names",
+    "list_statuses",
     "delete",
     "write_text_atomic",
     "read_text",
@@ -70,6 +71,42 @@ def list_names(spark: SparkSession, path: str) -> list[str]:
     return sorted(
         st.getPath().getName() for st in fs.listStatus(jpath)
     )
+
+
+def list_statuses(spark: SparkSession, path: str) -> list[dict]:
+    """Recursive data-file census of ``path`` via ``fs.listFiles(path,
+    recursive=True)``: one dict per FILE (directories are not emitted)
+    with ``path`` (full URI string), ``name`` (basename), ``size``
+    (bytes), and ``local_path`` — the plain OS path when the backing
+    FileSystem is the local one (scheme ``file``), else None. [] if the
+    directory does not exist.
+
+    This is what the batch layout census (`sources/sinks.py`) walks
+    instead of ``os.walk``, so ``file_stats``/``compact_table`` see the
+    same files on ``hdfs://``/``s3a://`` tables as on local ones (r11
+    verdict ask #1 — the streaming ledger made this move in r10).
+    Driver-side cost is a few py4j round trips per file; against a
+    compaction job over those same files that's noise, but don't call
+    it in a per-row loop."""
+    fs, jpath = _fs_path(spark, path)
+    if not fs.exists(jpath):
+        return []
+    is_local = str(fs.getScheme()) == "file"
+    it = fs.listFiles(jpath, True)
+    out: list[dict] = []
+    while it.hasNext():
+        st = it.next()
+        p = st.getPath()
+        out.append(
+            {
+                "path": str(p.toString()),
+                "name": str(p.getName()),
+                "size": int(st.getLen()),
+                "local_path": str(p.toUri().getPath()) if is_local else None,
+            }
+        )
+    out.sort(key=lambda d: d["path"])
+    return out
 
 
 def delete(spark: SparkSession, path: str) -> bool:

@@ -229,3 +229,27 @@ def test_compact_table_partitioned_sizing_threads_through(spark, tmp_path):
     back = spark.read.parquet(tight)
     assert back.count() == 40_000
     assert back.agg(F.sum("id")).first()[0] == df.agg(F.sum("id")).first()[0]
+
+
+def test_compact_table_explicit_file_uri(spark, tmp_path):
+    """The layout census must see scheme-qualified URIs, not just bare
+    OS paths (r11 verdict ask #1 — the same call shape an hdfs:// or
+    s3a:// table arrives in): census + compaction driven through
+    explicit file: URIs, and the same-path guard must equate the
+    qualified URI with its bare-path spelling."""
+    import pytest
+
+    from pyspark_skyline_spark.sources.sinks import compact_table, file_stats
+
+    small = str(tmp_path / "small_uri")
+    spark.range(0, 20_000).repartition(16).write.parquet(small)
+    uri = "file://" + small
+    stats = file_stats(uri)
+    assert stats["n_files"] == 16
+    assert stats["n_rows"] == 20_000
+    out = str(tmp_path / "compact_uri")
+    got = compact_table(spark, uri, "file://" + out)
+    assert got["n_files"] == 1
+    assert got["n_rows"] == 20_000
+    with pytest.raises(ValueError, match="NEW directory"):
+        compact_table(spark, uri, small)
