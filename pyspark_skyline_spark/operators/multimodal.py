@@ -138,15 +138,25 @@ def _pil_image_module():
         return None
 
 
-def _resolve_decode_mode(decode_mode: str, op: str, fallback: str):
+def _resolve_decode_mode(
+    decode_mode: str, op: str, fallback: str, image_module=None
+):
     """Executor-side mode resolution shared by the four media ops:
     probe Pillow where the work runs, honor the explicit contracts
     (``pil`` -> ImportError, ``strict`` -> NotImplementedError when
     absent), degrade ``auto`` to ``fallback``. Returns
-    (effective_mode, PIL.Image module or None)."""
+    (effective_mode, PIL.Image module or None).
+
+    ``image_module`` overrides the Pillow probe with an explicit
+    ``PIL.Image``-shaped module (`fakepil` in tests — the pil branches
+    must execute somewhere even where Pillow is absent, r11 verdict
+    ask #2). It must be an importable MODULE: the value rides inside a
+    mapInPandas closure to the worker processes, where cloudpickle
+    resolves modules by re-import — a non-module stub would need to be
+    picklable by value and a driver monkeypatch would never arrive."""
     if decode_mode not in ("pil", "auto", "strict"):
         return decode_mode, None
-    image_mod = _pil_image_module()
+    image_mod = image_module if image_module is not None else _pil_image_module()
     if image_mod is not None:
         return "pil", image_mod
     if decode_mode == "pil":
@@ -166,6 +176,7 @@ def decode_media_meta(
     id_col: str,
     blob_col: str = "blob",
     decode_mode: str = "fake",
+    _image_module=None,
 ) -> DataFrame:
     """Partition-wise media decode via ``mapInPandas`` (Arrow batches —
     the right shape for wrapping PIL/ffmpeg at scale; one Python worker
@@ -182,7 +193,8 @@ def decode_media_meta(
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         mode, image_mod = _resolve_decode_mode(
-            decode_mode, "media decode", fallback="headers"
+            decode_mode, "media decode", fallback="headers",
+            image_module=_image_module,
         )
         for pdf in batches:
             metas = []
@@ -233,6 +245,7 @@ def sample_frames(
     blob_col: str = "blob",
     frame_ms: int = 40,
     decode_mode: str = "fake",
+    _image_module=None,
 ) -> DataFrame:
     """Frame sampling: one output row per sampled frame (the 1-to-N
     ``mapInPandas`` shape video pipelines need — batch in, multiple
@@ -255,7 +268,8 @@ def sample_frames(
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         mode, image_mod = _resolve_decode_mode(
-            decode_mode, "frame sampling", fallback="fake"
+            decode_mode, "frame sampling", fallback="fake",
+            image_module=_image_module,
         )
         for pdf in batches:
             rows = []
@@ -324,6 +338,7 @@ def resize_media(
     width: int = 224,
     height: int = 224,
     decode_mode: str = "fake",
+    _image_module=None,
 ) -> DataFrame:
     """Resize plumbing: binary in, binary out, target dims in metadata.
     ``fake`` mode passes a deterministic sha256-derived payload of
@@ -339,7 +354,8 @@ def resize_media(
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         mode, image_mod = _resolve_decode_mode(
-            decode_mode, "resize", fallback="fake"
+            decode_mode, "resize", fallback="fake",
+            image_module=_image_module,
         )
         for pdf in batches:
             out = []
@@ -377,6 +393,7 @@ def embed_media(
     blob_col: str = "blob",
     dim: int = 16,
     decode_mode: str = "fake",
+    _image_module=None,
 ) -> DataFrame:
     """Feature extraction: binary -> ``array<double>`` embedding, ready
     for the similarity operators (``cosine_topk``/``cosine_topk_ivf``).
@@ -395,7 +412,8 @@ def embed_media(
 
     def embed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         mode, image_mod = _resolve_decode_mode(
-            decode_mode, "media embedding", fallback="fake"
+            decode_mode, "media embedding", fallback="fake",
+            image_module=_image_module,
         )
         side = max(1, int(dim**0.5))
         for pdf in batches:
