@@ -266,7 +266,11 @@ def test_pack_sequences_laws(spark, rows, L):
         assert {s for s, *_ in got} == set(range(n_seqs))
 
 
-@given(rows=_pack_rows, L=st.integers(1, 16), shards=st.integers(1, 4))
+@given(
+    rows=_pack_rows,
+    L=st.integers(1, 16),
+    shards=st.one_of(st.none(), st.integers(1, 4)),
+)
 @_SETTINGS
 def test_pack_documents_ffd_laws(spark, rows, L, shards):
     """pack_documents_ffd laws on arbitrary (id, length) corpora with
@@ -274,7 +278,9 @@ def test_pack_documents_ffd_laws(spark, rows, L, shards):
     exactly once as a WHOLE span (tok_start=0, tok_end=len); per-bin
     fills are contiguous from 0 in pos order and total <= L; the bin
     count respects the FFD guarantee per shard (<= 11/9*OPT_shard + 1,
-    summed); assignment is invariant under input repartitioning."""
+    summed); assignment is invariant under input repartitioning. shards
+    of None exercises the AUTO path (session-derived shard count, r11
+    verdict ask #6) — all laws must hold under it too."""
     from pyspark_skyline_spark.operators.sample import pack_documents_ffd
 
     rows = [(d, min(n, L)) for d, n in rows]
