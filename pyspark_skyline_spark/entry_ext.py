@@ -9,6 +9,7 @@ hashes, same regex splits)."""
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -351,6 +352,30 @@ def _q_multimodal_meta(spark, sf_dir):
         F.col("id").alias("doc_id"), "width", "height", "format"
     )
     return meta.join(dec, "doc_id")
+
+
+#: genuine-container fixture for the REAL-decode gate row (generated by
+#: scripts/gen_media_fixture.py with truth recorded at gen time)
+_MEDIA_FIXTURE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "fixtures",
+    "media_blobs.parquet",
+)
+
+
+def _q_multimodal_decode_real(spark, sf_dir):
+    """REAL container-header decode at the hard gate (rotation #12,
+    r11 verdict ask #5; operators/multimodal.py::decode_media_meta
+    decode_mode='headers'): genuine PNG/JPEG/GIF/BMP/WEBP payloads from
+    the committed fixture, whose TRUE dims/format were recorded at
+    fixture-generation time — the oracle SELECTs the stored truth, so a
+    sniffer regression hash-mismatches instead of hiding behind a
+    round-tripped formula. Corrupt/truncated payloads must come back as
+    (NULL, NULL, 'unknown') rows, not dead tasks. The fixture is
+    sf-independent (the real-decode contract doesn't scale with TPC-H
+    rows); ``sf_dir`` is unused."""
+    blobs = spark.read.parquet(_MEDIA_FIXTURE)
+    return M.decode_media_meta(blobs, "id", "blob", decode_mode="headers")
 
 
 def _q_windowed_skyline_events(spark, sf_dir):
@@ -1382,7 +1407,13 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "set_ops_customers": _q_set_ops_customers,
     "topk_orders_per_customer": _q_topk_orders,
     "agg_lineitem_pricing": _q_agg_pricing,
-    "multimodal_meta_documents": _q_multimodal_meta,
+    # round-12 rotation: the REAL header decode replaces the fake-mode
+    # multimodal row at the gate (r11 verdict ask #5) — same mapInPandas
+    # engine path, but the oracle is stored GENERATION-TIME truth over
+    # genuine containers instead of a round-tripped hash formula; the
+    # fake-mode row (which also grades blob_meta) moves to extras with
+    # its exact oracle retained.
+    "multimodal_decode_real_documents": _q_multimodal_decode_real,
     "stream_skyline_orders": _q_stream_skyline_orders,
     "stream_window_stats_orders": _q_stream_window_stats_orders,
     # stream_session_stats_events rotated to extras in round 4: session
@@ -1518,7 +1549,13 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # dedup_incremental_documents — rationale at their extra entries.
     "dsir_select_documents": _q_dsir_select_documents,
     "pack_sequences_documents": _q_pack_sequences_documents,
-    "gather_sequences_documents": _q_gather_sequences_documents,
+    # round-12 rotation: the TOKEN-unit gather (what a tokenizer-based
+    # pretraining pipeline actually feeds to training — F.slice over
+    # token arrays, judge re-oracled sf0.1 in r11) graduates; the
+    # character-unit gather moves to extras with its exact oracle — the
+    # packing family keeps planner + richer executor at the gate
+    # without holding 3 of 50 slots.
+    "gather_token_sequences_documents": _q_gather_token_sequences_documents,
 }
 
 #: Retired from the driver's 50-entry gate as redundant with rows that
@@ -1718,10 +1755,20 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # no oracle (sequential greedy per shard, like
     # representative_skyline) — laws graded by the Hypothesis suite
     "pack_documents_ffd_documents": _q_pack_ffd_documents,
-    # round-11 addition: token-unit packing round trip (plan on token
-    # counts, gather token arrays) — exactly oracled via the global
-    # token-stream position formulation
-    "gather_token_sequences_documents": _q_gather_token_sequences_documents,
+    # gather_token_sequences moved to the driver gate (rotation #12 —
+    # judge re-oracled clean at sf0.1 in round 11).
+    # round-12 rotation out of the 50-cap (swapped for the token-unit
+    # gather above): the character-unit gather executes the SAME plan
+    # shape (plan join + bounded span reassembly) over substring spans;
+    # the gate keeps the planner (pack_sequences) + the token executor,
+    # and this row keeps its exact string_agg oracle here.
+    "gather_sequences_documents": _q_gather_sequences_documents,
+    # round-12 rotation out of the 50-cap (swapped for the real-decode
+    # row): fake-mode decode grades the same mapInPandas plumbing with
+    # a hash-formula oracle — strictly weaker than the stored-truth
+    # real decode now at the gate; blob_meta's md5/octet_length stays
+    # exactly oracled here.
+    "multimodal_meta_documents": _q_multimodal_meta,
 }
 
 

@@ -9,6 +9,8 @@ read; the driver compares row counts, schemas, and value hashes.
 
 from __future__ import annotations
 
+import os
+
 from pyspark_skyline_spark.operators import filtering as FL
 from pyspark_skyline_spark.operators import sample as SA
 from pyspark_skyline_spark.operators import text as T
@@ -1192,6 +1194,19 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 """,
     "multimodal_meta_documents": _multimodal_meta_oracle(),
+    # real-decode gate row (rotation #12): the oracle is a plain SELECT
+    # of the truth columns recorded by scripts/gen_media_fixture.py at
+    # generation time — independent of the engine's sniffer by
+    # construction. read_parquet on the committed fixture path (the
+    # fixture doesn't scale with sf, so it's not an sf_dir view).
+    "multimodal_decode_real_documents": f"""
+SELECT CAST(id AS BIGINT) AS id,
+       CAST(octet_length(blob) AS BIGINT) AS n_bytes,
+       CAST(true_width AS INTEGER) AS width,
+       CAST(true_height AS INTEGER) AS height,
+       true_format AS format
+FROM read_parquet('{os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "fixtures", "media_blobs.parquet")}')
+""",
     "multimodal_frame_sample": """
 WITH b AS (
   SELECT doc_id AS id, text,
