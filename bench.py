@@ -433,7 +433,15 @@ def main() -> None:
         # every pass (measured: the md5-signature row at 15-20 s in the
         # full run vs 4.5 s steady-state alone). A long-running cluster
         # sizes this cache to its workload; so does the bench.
-        .config("spark.sql.codegen.cache.maxEntries", "2000")
+        # 2000 entries was MARGINAL at sf1 (round 12, measured): the
+        # 50-row suite (warmup + 2 passes) generates enough codegen
+        # units to cycle a 2000-entry cache, so a heavy row's generated
+        # classes are evicted between its passes and EVERY pass pays
+        # cold-class warm-in — dedup_corpus at sf1 ran [127 s, 154 s]
+        # across both passes while its steady-state (3rd same-session
+        # repetition, classes resident) is ~10 s. min-of-passes can't
+        # see steady state when the cache cycles faster than a pass.
+        .config("spark.sql.codegen.cache.maxEntries", "8192")
         # the 2000-entry codegen cache keeps every generated class
         # ALIVE, and the default 240 MB JIT code cache fills after ~a
         # pass and a half of the 50-query suite — the JVM then silently

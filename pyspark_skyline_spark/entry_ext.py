@@ -1357,6 +1357,29 @@ def _q_gather_token_sequences_documents(spark, sf_dir):
     )
 
 
+def _q_pack_positions_documents(spark, sf_dir):
+    """Position/segment-id emission (round-12 addition;
+    operators/sample.py::pack_position_ids): the third packed-sequence
+    tensor (beside the token ids) — document-relative position_ids and
+    block-diagonal-attention segment_ids per sequence, derived entirely
+    from the integer plan. Arrays joined on ',' for hash-stable
+    compare; exactly oracled (range-unnest per span + ordered
+    string_agg)."""
+    from pyspark_skyline_spark.operators.sample import (
+        pack_position_ids,
+        pack_sequences,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = pack_sequences(docs, "doc_id", "n_chars", seq_len=2048)
+    out = pack_position_ids(plan)
+    return out.select(
+        "seq_id",
+        F.array_join("position_ids", ",").alias("position_ids_joined"),
+        F.array_join("segment_ids", ",").alias("segment_ids_joined"),
+    )
+
+
 def _q_pack_ffd_documents(spark, sf_dir):
     """Boundary-respecting FFD packing (round-11 addition;
     operators/sample.py::pack_documents_ffd): whole documents
@@ -1769,6 +1792,9 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # real decode now at the gate; blob_meta's md5/octet_length stays
     # exactly oracled here.
     "multimodal_meta_documents": _q_multimodal_meta,
+    # round-12 addition: position/segment-id emission for packed
+    # sequences — plan-only, exactly oracled
+    "pack_positions_documents": _q_pack_positions_documents,
 }
 
 

@@ -1621,6 +1621,37 @@ SELECT CAST(seq AS BIGINT) AS seq_id,
        string_agg(span, '' ORDER BY pos) AS seq_text
 FROM spans GROUP BY seq
 """,
+    # round-12 position/segment-id emission: same cumsum plan, one
+    # range-unnest per span; positions are doc-relative (tok_start ..
+    # tok_end-1), segment index = rank of the span within its sequence
+    "pack_positions_documents": """
+WITH t AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n FROM documents
+           WHERE n_chars > 0),
+o AS (SELECT doc_id, n,
+             CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS off
+      FROM t),
+s AS (SELECT doc_id, n, off,
+             unnest(range(off // 2048, (off + n - 1) // 2048 + 1)) AS seq
+      FROM o),
+spans AS (
+  SELECT seq,
+         greatest(off, seq * 2048) - off AS tstart,
+         least(off + n, seq * 2048 + 2048) - off AS tend,
+         greatest(off, seq * 2048) - seq * 2048 AS pos
+  FROM s),
+seg AS (SELECT seq, tstart, tend, pos,
+               row_number() OVER (PARTITION BY seq ORDER BY pos) - 1 AS segidx
+        FROM spans),
+toks AS (SELECT seq, pos, segidx, unnest(range(tstart, tend)) AS p FROM seg)
+SELECT CAST(seq AS BIGINT) AS seq_id,
+       string_agg(CAST(p AS VARCHAR), ',' ORDER BY pos, p)
+         AS position_ids_joined,
+       string_agg(CAST(segidx AS VARCHAR), ',' ORDER BY pos, p)
+         AS segment_ids_joined
+FROM toks GROUP BY seq
+""",
     # round-11 token-unit packing round trip: instead of mirroring the
     # slice-per-span executor, the oracle assigns every token its
     # GLOBAL stream position (doc exclusive-cumsum offset + in-doc

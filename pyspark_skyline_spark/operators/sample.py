@@ -40,6 +40,7 @@ __all__ = [
     "pack_documents_ffd",
     "gather_sequences",
     "gather_token_sequences",
+    "pack_position_ids",
     "sessionize",
 ]
 
@@ -598,6 +599,66 @@ def gather_token_sequences(
     )
     return spans.groupBy("seq_id").agg(
         F.flatten(F.transform(ordered, lambda s: s["__span"])).alias(out_col)
+    )
+
+
+def pack_position_ids(
+    plan: DataFrame,
+    pos_col: str = "position_ids",
+    seg_col: str = "segment_ids",
+) -> DataFrame:
+    """Per-sequence ``position_ids`` / ``segment_ids`` from a packing
+    plan (:func:`pack_sequences` or :func:`pack_documents_ffd` output)
+    — the third tensor a packed-sequence training dataloader needs
+    beside the token ids: block-diagonal (document-causal) attention
+    is keyed on segment ids, and rotary/learned position embeddings on
+    document-relative positions. Returns one row per sequence::
+
+        (seq_id, pos_col: array<long>, seg_col: array<int>)
+
+    where element ``i`` of both arrays describes token ``i`` of the
+    packed sequence: ``seg_col[i]`` is the 0-based index of the
+    document that token belongs to within the sequence (in
+    ``pos_in_seq`` order), and ``pos_col[i]`` is the token's position
+    WITHIN its document (``tok_start + offset``) — it restarts at 0 at
+    every document start and, for a document SPLIT across sequences by
+    concat-and-split packing, CONTINUES from where the previous chunk
+    stopped, so a document's positional encoding is consistent across
+    its chunks. (Pipelines that want plain ``0..seq_len-1`` positions
+    don't need this operator — that's just a range.)
+
+    Plan-only: derived entirely from the integer plan columns, the
+    corpus text/tokens never enter. Exactly SQL-oracle-able (the plan
+    is a window cumsum + range explode; positions are
+    ``range(tok_start, tok_end)`` per plan row).
+
+    Scale shape: one grouped aggregation per sequence; the
+    ``collect_list`` is bounded by construction at the plan's
+    ``seq_len`` total elements per group (the spans tile the fixed
+    window) — the sanctioned bounded-reassembly pattern shared with
+    both gather executors. No join, no text, one exchange."""
+    for c in ("seq_id", "tok_start", "tok_end", "pos_in_seq"):
+        if c not in plan.columns:
+            raise ValueError(f"plan column {c!r} not found")
+    spans = plan.withColumn(
+        "__pos", F.sequence(F.col("tok_start"), F.col("tok_end") - F.lit(1))
+    )
+    g = spans.groupBy("seq_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("pos_in_seq"), F.col("__pos")))
+        ).alias("__ord")
+    )
+    return g.select(
+        "seq_id",
+        F.flatten(F.transform(F.col("__ord"), lambda s: s["__pos"])).alias(
+            pos_col
+        ),
+        F.flatten(
+            F.transform(
+                F.col("__ord"),
+                lambda s, i: F.array_repeat(i.cast("int"), F.size(s["__pos"])),
+            )
+        ).alias(seg_col),
     )
 
 

@@ -366,3 +366,60 @@ def test_pack_documents_ffd_rejects_oversize_and_feeds_gather(spark):
     )
     with pytest.raises(Exception, match="seq_len"):
         pack_documents_ffd(big, "doc_id", "n", seq_len=5).collect()
+
+
+def test_pack_position_ids_laws(spark):
+    """pack_position_ids laws over a concat-and-split plan: both arrays
+    tile the sequence exactly (length == sum of span lengths); segment
+    ids start at 0 and step by at most 1 in order; positions are
+    contiguous ascending WITHIN a segment; a document split across
+    sequences CONTINUES its positions in the next chunk (rotary
+    consistency across chunks); and an FFD (whole-document) plan yields
+    positions restarting at 0 for every segment."""
+    from pyspark.sql import functions as F
+
+    from pyspark_skyline_spark.operators.sample import (
+        pack_documents_ffd,
+        pack_position_ids,
+        pack_sequences,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, 5), (2, 3), (3, 9), (4, 2), (5, 7)], "doc_id long, n int"
+    )
+    plan = pack_sequences(docs, "doc_id", "n", seq_len=8)
+    got = {
+        r.seq_id: (list(r.position_ids), list(r.segment_ids))
+        for r in pack_position_ids(plan).collect()
+    }
+    total = 5 + 3 + 9 + 2 + 7
+    n_seqs = -(-total // 8)
+    assert set(got) == set(range(n_seqs))
+    assert sum(len(p) for p, _ in got.values()) == total
+    for sid, (pos, seg) in got.items():
+        assert len(pos) == len(seg)
+        if sid < n_seqs - 1:
+            assert len(pos) == 8  # full sequences tile exactly
+        assert seg[0] == 0
+        assert all(b - a in (0, 1) for a, b in zip(seg, seg[1:]))
+        # contiguous ascending positions within each segment
+        for s_idx in set(seg):
+            chunk = [p for p, g in zip(pos, seg) if g == s_idx]
+            assert chunk == list(range(chunk[0], chunk[0] + len(chunk)))
+    # doc 3 (len 9, offsets 5+3=8..17) spans seqs 1-2: its positions
+    # must CONTINUE across the boundary: seq 1 carries 0..7, seq 2
+    # opens with 8
+    assert got[1][0] == list(range(8)) and got[1][1] == [0] * 8
+    assert got[2][0][0] == 8
+    # FFD plan: whole documents only -> every segment restarts at 0
+    ffd = pack_documents_ffd(docs, "doc_id", "n", seq_len=16, n_shards=1)
+    for r in pack_position_ids(ffd).collect():
+        pos, seg = list(r.position_ids), list(r.segment_ids)
+        for s_idx in set(seg):
+            chunk = [p for p, g in zip(pos, seg) if g == s_idx]
+            assert chunk[0] == 0 and chunk == list(range(len(chunk)))
+    # plan column validation is loud
+    import pytest
+
+    with pytest.raises(ValueError, match="seq_id"):
+        pack_position_ids(docs)
