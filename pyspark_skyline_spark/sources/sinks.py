@@ -71,6 +71,57 @@ def write_table(
     w.save(path)
 
 
+class _HadoopReadable:
+    """Minimal seekable file-like over ``fsio.read_bytes`` — exactly the
+    surface ``pyarrow.parquet.ParquetFile`` needs (read/seek/tell/size/
+    closed) to parse a FOOTER from a remote (hdfs://, s3a://, ...)
+    file. Each ``read`` is one bounded Hadoop-stream range read (a few
+    py4j round trips); a parquet footer costs 2-3 of them, so exact
+    remote row counts stay a driver-side metadata pass. Not for bulk
+    data — scans belong to Spark."""
+
+    closed = False
+
+    def __init__(self, spark: SparkSession, path: str, size: int):
+        self._spark = spark
+        self._path = path
+        self._size = int(size)
+        self._pos = 0
+
+    def size(self) -> int:
+        return self._size
+
+    def tell(self) -> int:
+        return self._pos
+
+    def seek(self, offset: int, whence: int = 0) -> int:
+        base = (0, self._pos, self._size)[whence]
+        self._pos = max(0, min(self._size, base + int(offset)))
+        return self._pos
+
+    def read(self, n: int = -1) -> bytes:
+        from pyspark_skyline_spark.streaming.fsio import read_bytes
+
+        if n is None or n < 0:
+            n = self._size - self._pos
+        n = min(n, self._size - self._pos)
+        if n <= 0:
+            return b""
+        out = read_bytes(self._spark, self._path, self._pos, n)
+        self._pos += len(out)
+        return out
+
+    def close(self) -> None:
+        self.closed = True
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
+
+
 def file_stats(
     path: str, suffix: str = ".parquet", spark: SparkSession | None = None
 ) -> dict:
@@ -87,12 +138,14 @@ def file_stats(
     fallback — a local-only walk is exactly the defect this replaces.
 
     ``n_rows`` (exact, from parquet FOOTERS — no data pages touched) is
-    included when the table is on the LOCAL filesystem, where pyarrow
-    can read the footers directly. On remote schemes it is omitted and
-    callers fall back to a Spark-side count (``compact_table`` does,
-    and says so in its sizing contract) — footer reads over a py4j
-    stream adapter would cost several round trips per file for a number
-    one distributed metadata scan produces anyway."""
+    included for every scheme: on the LOCAL filesystem pyarrow reads
+    the footers directly; on remote schemes (hdfs/s3a/...) it reads
+    them through a bounded-range Hadoop-stream adapter
+    (``_HadoopReadable`` over ``fsio.read_bytes`` — a footer is 2-3
+    few-KB reads, so the census stays a metadata pass, no Spark job).
+    If a footer read fails, ``n_rows`` is omitted and callers fall back
+    to a Spark-side count (``compact_table`` does, and says so in its
+    sizing contract)."""
     if spark is None:
         spark = SparkSession.getActiveSession()
         if spark is None:
@@ -109,15 +162,16 @@ def file_stats(
     ]
     sizes = [st["size"] for st in files]
     n_rows = 0
-    rows_known = suffix == ".parquet" and all(
-        st["local_path"] is not None for st in files
-    )
+    rows_known = suffix == ".parquet"
     if rows_known:
         try:
             import pyarrow.parquet as _pq
 
             for st in files:
-                n_rows += _pq.ParquetFile(st["local_path"]).metadata.num_rows
+                src = st["local_path"] or _HadoopReadable(
+                    spark, st["path"], st["size"]
+                )
+                n_rows += _pq.ParquetFile(src).metadata.num_rows
         except Exception:
             rows_known = False
     total = sum(sizes)
@@ -188,9 +242,10 @@ def compact_table(
         # gets ceil(dir_bytes / target_mb) files regardless of how rows
         # distribute across values — deterministic, no salting, no
         # per-directory stats pass.
-        # remote schemes omit n_rows from the census (footers not
-        # locally readable) — the fallback is one distributed metadata
-        # count over the table being compacted anyway
+        # n_rows comes from the census footers on every scheme (local
+        # pyarrow or the Hadoop-stream adapter); if a footer read
+        # failed the fallback is one distributed metadata count over
+        # the table being compacted anyway
         n_rows = stats.get("n_rows") or df.count()
         bytes_per_row = stats["total_bytes"] / max(n_rows, 1)
         per_file = max(1, int(target_mb * 1024 * 1024 / max(bytes_per_row, 1e-9)))

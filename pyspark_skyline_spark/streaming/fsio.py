@@ -33,6 +33,8 @@ __all__ = [
     "exists",
     "list_names",
     "list_statuses",
+    "read_bytes",
+    "file_size",
     "delete",
     "write_text_atomic",
     "read_text",
@@ -121,6 +123,36 @@ def delete(spark: SparkSession, path: str) -> bool:
     if not fs.delete(jpath, True):
         raise RuntimeError(f"filesystem delete failed for {path}")
     return True
+
+
+def read_bytes(spark: SparkSession, path: str, offset: int, length: int) -> bytes:
+    """``length`` bytes of ``path`` starting at ``offset``, through the
+    Hadoop FileSystem API. One open + seek + bounded read per call (a
+    few py4j round trips) — the primitive behind remote parquet FOOTER
+    reads (`sources/sinks.py::_HadoopReadable`): a footer is 2-3 such
+    reads of a few KB each, so exact row counts come off hdfs://s3a://
+    metadata without a Spark job. Do not call it for bulk data."""
+    fs, jpath = _fs_path(spark, path)
+    stream = fs.open(jpath)
+    try:
+        stream.seek(int(offset))
+        jvm = spark._jvm
+        # commons-io toByteArray(InputStream, int) returns byte[] ->
+        # py4j converts a RETURNED byte[] to Python bytes directly (no
+        # element-wise jarray copies)
+        return bytes(
+            jvm.org.apache.commons.io.IOUtils.toByteArray(
+                stream, int(length)
+            )
+        )
+    finally:
+        stream.close()
+
+
+def file_size(spark: SparkSession, path: str) -> int:
+    """Length of ``path`` in bytes (``fs.getFileStatus``)."""
+    fs, jpath = _fs_path(spark, path)
+    return int(fs.getFileStatus(jpath).getLen())
 
 
 def write_text_atomic(spark: SparkSession, path: str, text: str) -> None:

@@ -253,3 +253,37 @@ def test_compact_table_explicit_file_uri(spark, tmp_path):
     assert got["n_rows"] == 20_000
     with pytest.raises(ValueError, match="NEW directory"):
         compact_table(spark, uri, small)
+
+
+def test_hadoop_readable_footer_parity(spark, tmp_path):
+    """_HadoopReadable (the bounded-range Hadoop-stream adapter behind
+    remote parquet footer reads) must hand pyarrow the exact same
+    footer a local read sees: num_rows/schema parity on a real file,
+    plus the file-like semantics pyarrow relies on (seek whence, tell,
+    bounded reads past EOF)."""
+    import pyarrow.parquet as pq
+
+    from pyspark_skyline_spark.sources.sinks import _HadoopReadable
+
+    p = str(tmp_path / "t")
+    spark.range(0, 12_345).repartition(1).write.parquet(p)
+    f = next(
+        str(x) for x in (tmp_path / "t").iterdir()
+        if x.name.endswith(".parquet") and not x.name.startswith(("_", "."))
+    )
+    import os
+
+    size = os.path.getsize(f)
+    local_meta = pq.ParquetFile(f).metadata
+    adapter = _HadoopReadable(spark, "file://" + f, size)
+    remote_meta = pq.ParquetFile(adapter).metadata
+    assert remote_meta.num_rows == local_meta.num_rows == 12_345
+    assert remote_meta.num_columns == local_meta.num_columns
+    # file-like contract
+    a = _HadoopReadable(spark, "file://" + f, size)
+    assert a.size() == size and a.tell() == 0
+    assert a.seek(-8, 2) == size - 8  # whence=2: from end
+    tail = a.read(100)  # bounded at EOF
+    assert tail == open(f, "rb").read()[-8:]
+    assert a.read() == b"" and a.tell() == size
+    assert a.seek(4) == 4 and a.read(4) == open(f, "rb").read()[4:8]
