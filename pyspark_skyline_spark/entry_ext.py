@@ -9,7 +9,6 @@ hashes, same regex splits)."""
 
 from __future__ import annotations
 
-import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -34,6 +33,7 @@ from pyspark_skyline_spark.sources.tables import load_table
 # sibling modules; names are re-exported here so existing importers
 # (scripts, tests) keep working unchanged
 from pyspark_skyline_spark.entry_params import (
+    _MEDIA_FIXTURE,
     _BATCH_PROBE_IDS,
     _BATCH_SEED,
     _BM25_TERMS,
@@ -352,15 +352,6 @@ def _q_multimodal_meta(spark, sf_dir):
         F.col("id").alias("doc_id"), "width", "height", "format"
     )
     return meta.join(dec, "doc_id")
-
-
-#: genuine-container fixture for the REAL-decode gate row (generated by
-#: scripts/gen_media_fixture.py with truth recorded at gen time)
-_MEDIA_FIXTURE = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    "fixtures",
-    "media_blobs.parquet",
-)
 
 
 def _q_multimodal_decode_real(spark, sf_dir):

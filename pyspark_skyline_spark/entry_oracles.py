@@ -9,7 +9,6 @@ read; the driver compares row counts, schemas, and value hashes.
 
 from __future__ import annotations
 
-import os
 
 from pyspark_skyline_spark.operators import filtering as FL
 from pyspark_skyline_spark.operators import sample as SA
@@ -17,6 +16,7 @@ from pyspark_skyline_spark.operators import text as T
 from pyspark_skyline_spark.oracles import skyline_oracle_sql
 
 from pyspark_skyline_spark.entry_params import (
+    _MEDIA_FIXTURE,
     _BATCH_PROBE_IDS,
     _BM25_TERMS,
     _DSIR_BUCKETS,
@@ -1205,7 +1205,7 @@ SELECT CAST(id AS BIGINT) AS id,
        CAST(true_width AS INTEGER) AS width,
        CAST(true_height AS INTEGER) AS height,
        true_format AS format
-FROM read_parquet('{os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "fixtures", "media_blobs.parquet")}')
+FROM read_parquet('{_MEDIA_FIXTURE}')
 """,
     "multimodal_frame_sample": """
 WITH b AS (

@@ -87,6 +87,7 @@ class _HadoopReadable:
         self._path = path
         self._size = int(size)
         self._pos = 0
+        self._stream = None  # one FSDataInputStream, opened on first read
 
     def size(self) -> int:
         return self._size
@@ -100,18 +101,30 @@ class _HadoopReadable:
         return self._pos
 
     def read(self, n: int = -1) -> bytes:
-        from pyspark_skyline_spark.streaming.fsio import read_bytes
+        from pyspark_skyline_spark.streaming.fsio import (
+            open_read,
+            read_stream_bytes,
+        )
 
         if n is None or n < 0:
             n = self._size - self._pos
         n = min(n, self._size - self._pos)
         if n <= 0:
             return b""
-        out = read_bytes(self._spark, self._path, self._pos, n)
+        if self._stream is None:
+            # ONE stream per adapter lifetime: a footer parse issues
+            # 2-3 reads, and re-opening per read would triple the
+            # round trips (an open is an HTTP request on object
+            # stores) — review find, round 12
+            self._stream = open_read(self._spark, self._path)
+        out = read_stream_bytes(self._spark, self._stream, self._pos, n)
         self._pos += len(out)
         return out
 
     def close(self) -> None:
+        if self._stream is not None:
+            self._stream.close()
+            self._stream = None
         self.closed = True
 
     def __enter__(self):
@@ -168,10 +181,11 @@ def file_stats(
             import pyarrow.parquet as _pq
 
             for st in files:
-                src = st["local_path"] or _HadoopReadable(
-                    spark, st["path"], st["size"]
-                )
-                n_rows += _pq.ParquetFile(src).metadata.num_rows
+                if st["local_path"] is not None:
+                    n_rows += _pq.ParquetFile(st["local_path"]).metadata.num_rows
+                else:
+                    with _HadoopReadable(spark, st["path"], st["size"]) as h:
+                        n_rows += _pq.ParquetFile(h).metadata.num_rows
         except Exception:
             rows_known = False
     total = sum(sizes)

@@ -33,6 +33,8 @@ __all__ = [
     "exists",
     "list_names",
     "list_statuses",
+    "open_read",
+    "read_stream_bytes",
     "read_bytes",
     "file_size",
     "delete",
@@ -93,7 +95,12 @@ def list_statuses(spark: SparkSession, path: str) -> list[dict]:
     fs, jpath = _fs_path(spark, path)
     if not fs.exists(jpath):
         return []
-    is_local = str(fs.getScheme()) == "file"
+    # scheme from the QUALIFIED path's URI, not fs.getScheme(): the
+    # Hadoop FileSystem base implementation of getScheme() throws
+    # UnsupportedOperationException, so connectors that never override
+    # it would crash the census before the first status (review find,
+    # round 12)
+    is_local = str(fs.makeQualified(jpath).toUri().getScheme()) == "file"
     it = fs.listFiles(jpath, True)
     out: list[dict] = []
     while it.hasNext():
@@ -125,26 +132,36 @@ def delete(spark: SparkSession, path: str) -> bool:
     return True
 
 
-def read_bytes(spark: SparkSession, path: str, offset: int, length: int) -> bytes:
-    """``length`` bytes of ``path`` starting at ``offset``, through the
-    Hadoop FileSystem API. One open + seek + bounded read per call (a
-    few py4j round trips) — the primitive behind remote parquet FOOTER
-    reads (`sources/sinks.py::_HadoopReadable`): a footer is 2-3 such
-    reads of a few KB each, so exact row counts come off hdfs://s3a://
-    metadata without a Spark job. Do not call it for bulk data."""
+def open_read(spark: SparkSession, path: str):
+    """Open an ``FSDataInputStream`` on ``path`` for bounded random
+    reads (`read_stream_bytes`). The caller owns the stream and must
+    ``.close()`` it — `sources/sinks.py::_HadoopReadable` holds ONE per
+    file for its lifetime so a parquet footer's 2-3 range reads don't
+    pay 2-3 opens (an open is an HTTP request on object stores —
+    review find, round 12)."""
     fs, jpath = _fs_path(spark, path)
-    stream = fs.open(jpath)
+    return fs.open(jpath)
+
+
+def read_stream_bytes(spark: SparkSession, stream, offset: int, length: int) -> bytes:
+    """``length`` bytes at ``offset`` from an open ``FSDataInputStream``
+    (seek + commons-io bounded read; the returned ``byte[]`` converts
+    to Python bytes in one py4j hop — no element-wise jarray copies).
+    Do not call it for bulk data — scans belong to Spark."""
+    stream.seek(int(offset))
+    jvm = spark._jvm
+    return bytes(
+        jvm.org.apache.commons.io.IOUtils.toByteArray(stream, int(length))
+    )
+
+
+def read_bytes(spark: SparkSession, path: str, offset: int, length: int) -> bytes:
+    """One-shot ``length`` bytes of ``path`` at ``offset`` (open + seek
+    + bounded read + close). For repeated reads of the same file hold
+    an `open_read` stream and use `read_stream_bytes`."""
+    stream = open_read(spark, path)
     try:
-        stream.seek(int(offset))
-        jvm = spark._jvm
-        # commons-io toByteArray(InputStream, int) returns byte[] ->
-        # py4j converts a RETURNED byte[] to Python bytes directly (no
-        # element-wise jarray copies)
-        return bytes(
-            jvm.org.apache.commons.io.IOUtils.toByteArray(
-                stream, int(length)
-            )
-        )
+        return read_stream_bytes(spark, stream, offset, length)
     finally:
         stream.close()
 

@@ -82,22 +82,24 @@ def gif_bytes(width: int, height: int) -> bytes:
 
 
 def bmp_bytes(width: int, height: int, top_down: bool) -> bytes:
+    # spec-consistent sizes: 14-byte file header + 40-byte
+    # BITMAPINFOHEADER (+ the trailing reserved zeros we emit), with
+    # bfSize/bfOffBits matching the actual byte count — a hardened
+    # sniffer that validates the declared sizes must still accept
+    # these (review find, round 12: declared != actual is exactly the
+    # drift that would flip the gate row on a correct sniffer change)
     h = -height if top_down else height
-    return (
-        b"BM"
-        + struct.pack("<IHHI", 122, 0, 0, 122)
-        + struct.pack("<IiiHH", 40, width, h, 1, 24)
-        + b"\x00" * 24
-    )
+    dib = struct.pack("<IiiHH", 40, width, h, 1, 24) + b"\x00" * 24
+    total = 14 + len(dib)
+    return b"BM" + struct.pack("<IHHI", total, 0, 0, total) + dib
 
 
 def webp_vp8l_bytes(width: int, height: int) -> bytes:
     bits = (width - 1) | ((height - 1) << 14)
-    return (
-        b"RIFF\x1a\x00\x00\x00WEBPVP8L\x0e\x00\x00\x00\x2f"
-        + bits.to_bytes(4, "little")
-        + b"\x00\x00\x00"
-    )
+    payload = b"\x2f" + bits.to_bytes(4, "little") + b"\x00\x00\x00"
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    riff_size = 4 + len(chunk)  # "WEBP" + the VP8L chunk
+    return b"RIFF" + struct.pack("<I", riff_size) + b"WEBP" + chunk
 
 
 def main() -> None:
