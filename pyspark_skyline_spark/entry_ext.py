@@ -1348,6 +1348,29 @@ def _q_gather_token_sequences_documents(spark, sf_dir):
     )
 
 
+def _q_temperature_mix_documents(spark, sf_dir):
+    """Temperature-sampled corpus mixture (round-12 addition;
+    operators/shuffle.py::temperature_targets + mix_corpus): targets
+    allocated across sources proportional to count^0.5 — the standard
+    multilingual up-sample-the-tail rule — via highest-averages with
+    EXACT integer sqrt comparisons (n_a*(k_b+1)^2 vs n_b*(k_a+1)^2, no
+    float anywhere at tau=0.5), then the md5-order mixture take. The
+    oracle states the allocation as the top-``total`` of the
+    ``n/j^2`` grid (the highest-averages equivalence); at fixture
+    scales distinct grid rationals are separated far beyond a double
+    ulp, so the DESC sort is exact."""
+    from pyspark_skyline_spark.operators.shuffle import (
+        mix_corpus,
+        temperature_targets,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    targets = temperature_targets(docs, "source", total=200, tau=0.5)
+    return mix_corpus(docs, "source", targets, ["doc_id"]).select(
+        "doc_id", "source", "mix_rank"
+    )
+
+
 def _q_pack_positions_documents(spark, sf_dir):
     """Position/segment-id emission (round-12 addition;
     operators/sample.py::pack_position_ids): the third packed-sequence
@@ -1786,6 +1809,10 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-12 addition: position/segment-id emission for packed
     # sequences — plan-only, exactly oracled
     "pack_positions_documents": _q_pack_positions_documents,
+    # round-12 addition: temperature-based mixture targets (count^0.5
+    # highest-averages, exact integer comparisons) + mixture take —
+    # exactly oracled via the n/j^2 grid formulation
+    "temperature_mix_documents": _q_temperature_mix_documents,
 }
 
 

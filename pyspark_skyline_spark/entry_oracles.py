@@ -1621,6 +1621,35 @@ SELECT CAST(seq AS BIGINT) AS seq_id,
        string_agg(span, '' ORDER BY pos) AS seq_text
 FROM spans GROUP BY seq
 """,
+    # round-12 temperature mixture: highest-averages (D'Hondt) with
+    # weight sqrt(n) == the top-200 of the n/j^2 grid (ties by source,
+    # then j); distinct grid rationals at fixture scale are separated
+    # >> a double ulp (min gap ~1/j_max^4 of the value vs ulp ~1e-13),
+    # so the DESC double sort reproduces the engine's exact integer
+    # comparisons. Then the standard md5(seed=42|doc_id) mixture take.
+    "temperature_mix_documents": """
+WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents
+           WHERE source IS NOT NULL GROUP BY source),
+grid AS (SELECT source, n, unnest(range(1, 201)) AS j FROM c),
+seats AS (
+  SELECT source, j,
+         row_number() OVER (
+           ORDER BY CAST(n AS DOUBLE) / (j * j) DESC, source, j
+         ) AS rk
+  FROM grid),
+tgt AS (SELECT source, CAST(count(*) AS BIGINT) AS target
+        FROM seats WHERE rk <= 200 GROUP BY source),
+t AS (SELECT doc_id, source,
+             md5(concat_ws('|', '42', CAST(doc_id AS VARCHAR))) AS __o
+      FROM documents),
+r AS (SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source ORDER BY __o) - 1
+               AS mix_rank
+      FROM t)
+SELECT doc_id, source, CAST(mix_rank AS BIGINT) AS mix_rank
+FROM r JOIN tgt USING (source)
+WHERE mix_rank < target
+""",
     # round-12 position/segment-id emission: same cumsum plan, one
     # range-unnest per span; positions are doc-relative (tok_start ..
     # tok_end-1), segment index = rank of the span within its sequence

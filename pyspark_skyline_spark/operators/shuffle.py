@@ -64,6 +64,7 @@ __all__ = [
     "ntile_global",
     "ntile_by_group",
     "allocate_mixture",
+    "temperature_targets",
     "mix_corpus",
     "rank_ensemble",
     "write_shards",
@@ -709,6 +710,68 @@ def allocate_mixture(weights: dict[str, float], total: int) -> dict[str, int]:
     by_rem = sorted(quotas, key=lambda k: (-(quotas[k] - alloc[k]), k))
     for k in by_rem[:leftover]:
         alloc[k] += 1
+    return alloc
+
+
+def temperature_targets(
+    df: DataFrame, domain_col: str, total: int, tau: float = 0.5
+) -> dict[str, int]:
+    """Temperature-based mixture targets: allocate ``total`` rows
+    across domains proportional to ``count^tau`` — the standard
+    multilingual/domain sampling rule (tau=1 is proportional, tau=0 is
+    uniform; tau in between up-samples small domains). Feed the result
+    straight to :func:`mix_corpus`.
+
+    Allocation is HIGHEST-AVERAGES (D'Hondt): seats go one at a time to
+    the domain maximizing ``n^tau / (k+1)`` (k = seats held), ties to
+    the lexicographically smaller domain. Equivalently: the ``total``
+    largest values of the grid ``{n_d^tau / j : j >= 1}`` — which is
+    how the SQL oracle states it. At the default ``tau=0.5`` the
+    comparison ``sqrt(n_a)/(k_a+1) > sqrt(n_b)/(k_b+1)`` is evaluated
+    as ``n_a*(k_b+1)^2 > n_b*(k_a+1)^2`` — EXACT integer arithmetic,
+    no float anywhere, so the allocation is bit-reproducible across
+    engines (the fold-order-free exactness discipline of the DSIR
+    decimal scores). Other ``tau`` values use float averages —
+    deterministic on the driver, but not cross-engine-exact.
+
+    Driver-side by design: one ``groupBy(domain).count()`` collect —
+    bounded by the DOMAIN count (a mixture spec is human-sized), never
+    by rows. NULL domains are excluded (``mix_corpus`` drops them
+    anyway). A domain's target may exceed its row count when ``total``
+    is large; ``mix_corpus`` then keeps all of its rows (documented
+    there). O(total * domains) time; ``total`` is a training-mixture
+    size knob, not a row count — pass sequence/sample COUNTS, not
+    corpus cardinalities.
+    """
+    if total < 0:
+        raise ValueError(f"total must be >= 0, got {total}")
+    rows = (
+        df.where(F.col(domain_col).isNotNull())
+        .groupBy(domain_col)
+        .count()
+        .collect()
+    )
+    counts = {str(r[domain_col]): int(r["count"]) for r in rows}
+    alloc = {k: 0 for k in counts}
+    if not counts:
+        return alloc
+    domains = sorted(counts)
+    for _ in range(int(total)):
+        best = domains[0]
+        for d in domains[1:]:
+            if tau == 0.5:
+                # exact cross-multiplied sqrt comparison (ints only)
+                better = counts[d] * (alloc[best] + 1) ** 2 > counts[best] * (
+                    alloc[d] + 1
+                ) ** 2
+            else:
+                better = (
+                    counts[d] ** tau / (alloc[d] + 1)
+                    > counts[best] ** tau / (alloc[best] + 1)
+                )
+            if better:
+                best = d
+        alloc[best] += 1
     return alloc
 
 

@@ -757,3 +757,47 @@ def test_pack_sequences_plan_two_narrow_exchanges(spark, sf_dir):
     plan = pack_sequences(docs, "doc_id", "n_chars", 2048)
     assert_max_exchanges(plan, 2)
     assert "text#" not in formatted_plan(plan)
+
+
+def test_temperature_targets_laws(spark):
+    """temperature_targets laws: allocations sum to total; bigger
+    domains never get fewer seats (monotone in count); tau=0.5 exact
+    integer comparisons agree with a float highest-averages reference;
+    tau=1 approaches proportional; tau=0 is uniform-ish (max spread 1);
+    deterministic across calls; empty/zero edges."""
+    import pytest
+
+    from pyspark_skyline_spark.operators.shuffle import temperature_targets
+
+    rows = [(i, f"src{j}") for j, m in enumerate([320, 80, 20, 5]) for i in range(m)]
+    ids = [(k, s) for k, (_, s) in enumerate(rows)]
+    df = spark.createDataFrame(ids, "doc_id long, source string")
+    counts = {"src0": 320, "src1": 80, "src2": 20, "src3": 5}
+
+    t = temperature_targets(df, "source", total=100, tau=0.5)
+    assert sum(t.values()) == 100 and set(t) == set(counts)
+    assert t["src0"] >= t["src1"] >= t["src2"] >= t["src3"]
+
+    # float highest-averages reference (greedy, same tie rule)
+    def ref(counts, total, tau):
+        alloc = {k: 0 for k in counts}
+        for _ in range(total):
+            best = min(
+                sorted(counts),
+                key=lambda d: (-(counts[d] ** tau / (alloc[d] + 1)), d),
+            )
+            alloc[best] += 1
+        return alloc
+
+    assert t == ref(counts, 100, 0.5)
+    # sqrt flattening: small domains get MORE than proportional share
+    prop = temperature_targets(df, "source", total=100, tau=1.0)
+    assert t["src3"] >= prop["src3"]
+    uni = temperature_targets(df, "source", total=100, tau=0.0)
+    assert max(uni.values()) - min(uni.values()) <= 1
+    assert temperature_targets(df, "source", total=100, tau=0.5) == t
+    assert temperature_targets(df, "source", total=0) == {k: 0 for k in counts}
+    empty = spark.createDataFrame([], "doc_id long, source string")
+    assert temperature_targets(empty, "source", total=10) == {}
+    with pytest.raises(ValueError, match="total"):
+        temperature_targets(df, "source", total=-1)
