@@ -52,6 +52,8 @@ hive-partitioned, order-preserving shard files.
 
 from __future__ import annotations
 
+import math
+import struct
 import warnings
 
 from pyspark.sql import DataFrame, Window, functions as F
@@ -64,6 +66,7 @@ __all__ = [
     "ntile_global",
     "ntile_by_group",
     "allocate_mixture",
+    "dhondt_allocate",
     "temperature_targets",
     "mix_corpus",
     "rank_ensemble",
@@ -713,45 +716,17 @@ def allocate_mixture(weights: dict[str, float], total: int) -> dict[str, int]:
     return alloc
 
 
-def temperature_targets(
-    df: DataFrame, domain_col: str, total: int, tau: float = 0.5
+def _dhondt_allocate_loop(
+    counts: dict[str, int], total: int, tau: float = 0.5
 ) -> dict[str, int]:
-    """Temperature-based mixture targets: allocate ``total`` rows
-    across domains proportional to ``count^tau`` — the standard
-    multilingual/domain sampling rule (tau=1 is proportional, tau=0 is
-    uniform; tau in between up-samples small domains). Feed the result
-    straight to :func:`mix_corpus`.
-
-    Allocation is HIGHEST-AVERAGES (D'Hondt): seats go one at a time to
-    the domain maximizing ``n^tau / (k+1)`` (k = seats held), ties to
-    the lexicographically smaller domain. Equivalently: the ``total``
-    largest values of the grid ``{n_d^tau / j : j >= 1}`` — which is
-    how the SQL oracle states it. At the default ``tau=0.5`` the
-    comparison ``sqrt(n_a)/(k_a+1) > sqrt(n_b)/(k_b+1)`` is evaluated
-    as ``n_a*(k_b+1)^2 > n_b*(k_a+1)^2`` — EXACT integer arithmetic,
-    no float anywhere, so the allocation is bit-reproducible across
-    engines (the fold-order-free exactness discipline of the DSIR
-    decimal scores). Other ``tau`` values use float averages —
-    deterministic on the driver, but not cross-engine-exact.
-
-    Driver-side by design: one ``groupBy(domain).count()`` collect —
-    bounded by the DOMAIN count (a mixture spec is human-sized), never
-    by rows. NULL domains are excluded (``mix_corpus`` drops them
-    anyway). A domain's target may exceed its row count when ``total``
-    is large; ``mix_corpus`` then keeps all of its rows (documented
-    there). O(total * domains) time; ``total`` is a training-mixture
-    size knob, not a row count — pass sequence/sample COUNTS, not
-    corpus cardinalities.
+    """Seat-at-a-time D'Hondt reference: grant ``total`` seats one by
+    one to the domain maximizing ``n^tau / (k+1)`` (k = seats held),
+    ties to the lexicographically smaller domain.  O(total * domains)
+    — RETAINED ONLY as the differential-test oracle for
+    :func:`dhondt_allocate` (which computes the identical allocation
+    in O(domains * log) via divisor bisection); production callers go
+    through :func:`dhondt_allocate` / :func:`temperature_targets`.
     """
-    if total < 0:
-        raise ValueError(f"total must be >= 0, got {total}")
-    rows = (
-        df.where(F.col(domain_col).isNotNull())
-        .groupBy(domain_col)
-        .count()
-        .collect()
-    )
-    counts = {str(r[domain_col]): int(r["count"]) for r in rows}
     alloc = {k: 0 for k in counts}
     if not counts:
         return alloc
@@ -773,6 +748,201 @@ def temperature_targets(
                 best = d
         alloc[best] += 1
     return alloc
+
+
+def _float_key(x: float) -> int:
+    """Monotone int encoding of a positive double (IEEE-754 ordering:
+    for x, y > 0, x < y iff key(x) < key(y)) — lets the generic-tau
+    path bisect over the FINITE float grid instead of pretending the
+    reals are searchable."""
+    return struct.unpack("<q", struct.pack("<d", x))[0]
+
+
+def _key_float(k: int) -> float:
+    return struct.unpack("<d", struct.pack("<q", k))[0]
+
+
+def dhondt_allocate(
+    counts: dict[str, int], total: int, tau: float = 0.5
+) -> dict[str, int]:
+    """Highest-averages (D'Hondt) allocation of ``total`` seats across
+    domains with weights ``counts[d]^tau``, bit-identical to the
+    seat-at-a-time loop (ties to the lexicographically smaller domain)
+    but SUBLINEAR IN ``total``: O(domains * log(total * resolution))
+    comparisons via divisor bisection, so real training-mixture totals
+    (1e6–1e9 sequence slots) allocate in milliseconds instead of the
+    loop's minutes-to-never.
+
+    Method: the allocation is the ``total`` largest values of the grid
+    ``{n_d^tau / j : j >= 1}``.  For a threshold value v, domain d has
+    ``#{j : n_d^tau / j >= v}`` grid values above it — a closed-form
+    floor at tau=0.5, a per-domain binary search otherwise — so the
+    count-above-threshold function is cheap and monotone, and the
+    total-th largest grid value is found by bisection.  Seats strictly
+    above that value are granted outright; the remaining (<= domains)
+    boundary seats are exact ties and are granted in lexicographic
+    domain order, each domain taking its full equal-value run before
+    the next — precisely the loop's tie behavior.
+
+    At the default ``tau=0.5`` every comparison is EXACT integer
+    arithmetic: thresholds live on the integer grid ``m / M`` with
+    ``M = 4*max(n)^2 + 1`` chosen so distinct grid rationals
+    ``j^2 / n_d`` (which differ by >= 1/max(n)^2) never share a cell,
+    and the count above ``sqrt(M/m)``-ish thresholds is
+    ``isqrt(n_d * m // M)`` — no float anywhere, bit-reproducible
+    across engines.  Other ``tau`` values bisect over the float grid
+    itself (``_float_key``), reproducing the loop's float-division
+    comparisons EXACTLY — including values that collapse to equal
+    doubles — deterministic on any IEEE-754 driver.
+    """
+    if total < 0:
+        raise ValueError(f"total must be >= 0, got {total}")
+    alloc = {k: 0 for k in counts}
+    if not counts or total == 0:
+        return alloc
+    total = int(total)
+    domains = sorted(counts)
+    if any(counts[d] <= 0 for d in domains):
+        raise ValueError("domain counts must be positive")
+    if tau == 0.5:
+        n = {d: int(counts[d]) for d in domains}
+        # resolution: distinct exact grid values j^2/n differ by at
+        # least 1/max(n)^2, so cells of width 1/M hold at most one
+        # distinct value (= one exact-tie class)
+        big = max(n.values())
+        M = 4 * big * big + 1
+
+        def seats(m: int) -> dict[str, int]:
+            # #{j >= 1 : j^2/n_d <= m/M} = isqrt(floor(n_d*m/M))
+            return {d: math.isqrt(n[d] * m // M) for d in domains}
+
+        def tot(m: int) -> int:
+            return sum(math.isqrt(n[d] * m // M) for d in domains)
+
+        # bracket then bisect the smallest m with tot(m) >= total;
+        # float estimate of the divisor seeds hi (doubling repairs any
+        # rounding), so the bisection range is tight
+        sq = sum(math.sqrt(x) for x in n.values())
+        # int(float)*M, never float*M: M is ~4*max(n)^2 and would push
+        # the float product to inf for large counts
+        hi = M * (int((total / sq) ** 2 * 2) + 1)
+        while tot(hi) < total:
+            hi *= 2
+        lo = 1
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if tot(mid) >= total:
+                hi = mid
+            else:
+                lo = mid + 1
+        ge = seats(lo)  # includes the boundary-value tie class
+        gt = seats(lo - 1)  # strictly above the boundary value
+    else:
+        a = {d: float(counts[d]) ** tau for d in domains}
+        if not all(math.isfinite(x) and x > 0 for x in a.values()):
+            raise ValueError(
+                f"counts**tau must be finite and positive for every "
+                f"domain (tau={tau}); got a non-finite or zero weight"
+            )
+
+        def seats_d(d: str, v: float) -> int:
+            # largest j in [0, total] with float(a_d / j) >= v; float
+            # division by a growing positive int is monotone
+            # non-increasing, so binary search is exact w.r.t. the
+            # loop's own float comparisons.  Capped at ``total``: no
+            # domain can hold more seats than exist.
+            ad = a[d]
+            if ad < v:
+                return 0
+            if ad / total >= v:
+                return total
+            j_lo, j_hi = 1, total  # a/j_lo >= v > a/j_hi
+            while j_hi - j_lo > 1:
+                j_mid = (j_lo + j_hi) // 2
+                if ad / j_mid >= v:
+                    j_lo = j_mid
+                else:
+                    j_hi = j_mid
+            return j_lo
+
+        def tot_v(v: float) -> int:
+            return sum(seats_d(d, v) for d in domains)
+
+        v_hi = max(a.values())  # the largest grid value (j=1)
+        v_lo = min(a.values()) / total
+        while v_lo > 5e-324 and tot_v(v_lo) < total:
+            v_lo /= 2  # float-rounding insurance; at the smallest
+            # subnormal every a_d/j >= v_lo, so tot = domains*total
+        k_lo, k_hi = _float_key(v_lo), _float_key(v_hi)
+        if tot_v(v_hi) >= total:
+            k_lo = k_hi  # threshold is the max value itself
+        while k_hi - k_lo > 1:
+            k_mid = (k_lo + k_hi) // 2
+            if tot_v(_key_float(k_mid)) >= total:
+                k_lo = k_mid
+            else:
+                k_hi = k_mid
+        v_star = _key_float(k_lo)
+        v_next = math.nextafter(v_star, math.inf)
+        ge = {d: seats_d(d, v_star) for d in domains}
+        gt = {d: seats_d(d, v_next) for d in domains}
+    # grant everything strictly above the threshold, then hand out the
+    # boundary ties in lexicographic domain order (the loop grants a
+    # tied average to the lex-smaller domain, and a domain whose
+    # consecutive averages collapse to the same value keeps winning
+    # until its run is exhausted)
+    remaining = total - sum(gt.values())
+    for d in domains:
+        if remaining <= 0:
+            break
+        take = min(ge[d] - gt[d], remaining)
+        gt[d] += take
+        remaining -= take
+    assert remaining == 0, "dhondt_allocate: boundary distribution bug"
+    for d in domains:
+        alloc[d] = gt[d]
+    return alloc
+
+
+def temperature_targets(
+    df: DataFrame, domain_col: str, total: int, tau: float = 0.5
+) -> dict[str, int]:
+    """Temperature-based mixture targets: allocate ``total`` rows
+    across domains proportional to ``count^tau`` — the standard
+    multilingual/domain sampling rule (tau=1 is proportional, tau=0 is
+    uniform; tau in between up-samples small domains). Feed the result
+    straight to :func:`mix_corpus`.
+
+    Allocation is HIGHEST-AVERAGES (D'Hondt): the ``total`` largest
+    values of the grid ``{n_d^tau / j : j >= 1}``, ties to the
+    lexicographically smaller domain — which is how the SQL oracle
+    states it.  Computed by :func:`dhondt_allocate` (divisor
+    bisection, O(domains * log) — NOT seat-at-a-time), so ``total``
+    may be a real training-mixture size (1e6–1e9 sequence slots)
+    without a driver wall.  At the default ``tau=0.5`` every
+    comparison is exact integer arithmetic (no float anywhere), so
+    the allocation is bit-reproducible across engines (the
+    fold-order-free exactness discipline of the DSIR decimal scores).
+    Other ``tau`` values use float comparisons — deterministic on the
+    driver, but not cross-engine-exact.
+
+    Driver-side by design: one ``groupBy(domain).count()`` collect —
+    bounded by the DOMAIN count (a mixture spec is human-sized), never
+    by rows. NULL domains are excluded (``mix_corpus`` drops them
+    anyway). A domain's target may exceed its row count when ``total``
+    is large; ``mix_corpus`` then keeps all of its rows (documented
+    there).
+    """
+    if total < 0:
+        raise ValueError(f"total must be >= 0, got {total}")
+    rows = (
+        df.where(F.col(domain_col).isNotNull())
+        .groupBy(domain_col)
+        .count()
+        .collect()
+    )
+    counts = {str(r[domain_col]): int(r["count"]) for r in rows}
+    return dhondt_allocate(counts, total, tau)
 
 
 def mix_corpus(
