@@ -697,6 +697,16 @@ WHERE {dot_ab} / (a.nv * b.nv) >= {threshold}
 """
 
 
+def _vocab_values_sql() -> str:
+    """GREEDY_VOCAB as a SQL VALUES list ``('piece', id), ...`` — the
+    ONE vocab definition (operators/text.py) feeds both the Spark
+    encoder and the DuckDB oracle, so they cannot drift."""
+    return ", ".join(
+        "('" + p.replace("'", "''") + "', " + str(i) + ")"
+        for i, p in enumerate(T.GREEDY_VOCAB)
+    )
+
+
 _ORACLES: dict[str, str] = {
     "dedup_exact_events": "SELECT DISTINCT user_id, event_type, value FROM events",
     "text_stats_documents": r"""
@@ -1649,6 +1659,59 @@ r AS (SELECT doc_id, source,
 SELECT doc_id, source, CAST(mix_rank AS BIGINT) AS mix_rank
 FROM r JOIN tgt USING (source)
 WHERE mix_rank < target
+""",
+    # round-13 greedy longest-match subword tokenizer: the per-(run,
+    # position) longest vocab match is computed RELATIONALLY (LEFT JOIN
+    # vocab on prefix equality + arg_max by piece length — unique, two
+    # distinct equal-length pieces cannot prefix the same position;
+    # unmatched positions advance 1 and emit the unk id -1), then a
+    # recursive CTE walks the jump pointers — greedy sequential
+    # semantics with no aggregate/window inside the recursion, which
+    # engines disallow. Tokenizes DISTINCT runs only (the Zipfian
+    # shortcut the Spark side's per-worker memo mirrors).
+    "subword_encode_documents": f"""
+WITH RECURSIVE vocab(piece, id) AS (VALUES {_vocab_values_sql()}),
+runs AS (
+  SELECT doc_id, u.run, u.i
+  FROM (
+    SELECT doc_id,
+           regexp_extract_all(lower(text),
+             '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+') AS rs
+    FROM documents
+  ), LATERAL (
+    SELECT unnest(rs) AS run, generate_subscripts(rs, 1) AS i
+  ) u
+),
+druns AS (SELECT DISTINCT run FROM runs),
+pos_grid AS (
+  SELECT d.run, p.pos
+  FROM druns d, LATERAL (SELECT unnest(range(length(d.run))) AS pos) p
+),
+jump AS (
+  SELECT g.run, g.pos,
+         coalesce(max(length(v.piece)), 1) AS jlen,
+         coalesce(arg_max(v.id, length(v.piece)), -1) AS tok
+  FROM pos_grid g LEFT JOIN vocab v
+    ON substr(g.run, g.pos + 1, length(v.piece)) = v.piece
+  GROUP BY g.run, g.pos
+),
+walk AS (
+  SELECT run, CAST(0 AS BIGINT) AS pos FROM druns
+  UNION ALL
+  SELECT w.run, w.pos + j.jlen
+  FROM walk w JOIN jump j ON j.run = w.run AND j.pos = w.pos
+  WHERE w.pos + j.jlen < length(w.run)
+),
+run_tokens AS (
+  SELECT w.run, w.pos, j.tok
+  FROM walk w JOIN jump j ON j.run = w.run AND j.pos = w.pos
+)
+SELECT r.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       string_agg(CAST(t.tok AS VARCHAR), '|' ORDER BY r.i, t.pos)
+         AS ids_joined
+FROM runs r JOIN run_tokens t ON t.run = r.run
+GROUP BY r.doc_id
 """,
     # round-12 position/segment-id emission: same cumsum plan, one
     # range-unnest per span; positions are doc-relative (tok_start ..

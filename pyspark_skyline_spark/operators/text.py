@@ -20,6 +20,9 @@ __all__ = [
     "tokens",
     "token_count",
     "subword_count",
+    "subword_encode",
+    "subword_decode",
+    "GREEDY_VOCAB",
     "text_stats",
     "lang_id",
     "fingerprint",
@@ -850,4 +853,164 @@ def bigram_nll(
     return scored.groupBy(id_col).agg(
         F.avg("__nll").alias("avg_nll"),
         F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+    )
+
+
+#: Fixed demonstration vocabulary for :func:`subword_encode` — token id
+#: = position in this tuple.  Layout: the 26 ASCII letters, the 10
+#: digits, the 32 printable ASCII symbols (full single-character
+#: coverage of the ``_SUBWORD_SPLIT`` run alphabet, so encoding never
+#: needs an unk on ASCII text), then common English merges (bigrams and
+#: trigrams a real BPE learns first).  A production pipeline passes its
+#: own learned vocab; this one exists so the oracle row and the tests
+#: pin EXACT greedy-longest-match semantics end-to-end.
+GREEDY_VOCAB: tuple[str, ...] = (
+    *"abcdefghijklmnopqrstuvwxyz",
+    *"0123456789",
+    *"!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~",
+    "th", "he", "in", "er", "an", "re", "on", "at", "en", "nd",
+    "ti", "es", "or", "te", "of", "ed", "is", "it", "al", "ar",
+    "st", "to", "nt", "ng", "se", "ha", "as", "ou", "io", "le",
+    "ve", "co", "me", "de", "hi", "ri", "ro", "ic", "ne", "ea",
+    "ra", "ce", "li", "ch", "ll", "be", "ma", "si", "om", "ur",
+    "the", "and", "ing", "ion", "ent", "for", "tio", "ati", "ter",
+    "her", "tha", "ere", "ate", "his", "con", "res", "ver", "all",
+    "ons", "ght", "ive", "out", "rea", "our", "ust", "ith", "era",
+    "per", "ore", "int",
+)
+
+
+def subword_encode(
+    df: DataFrame,
+    vocab: dict[str, int],
+    text_col: str = "text",
+    out_col: str = "token_ids",
+    unk_id: int | None = None,
+    lowercase: bool = True,
+    memo_cap: int = 1 << 20,
+) -> DataFrame:
+    """Greedy longest-match subword tokenization against a FIXED vocab
+    — real token ids for the packing family (:func:`~pyspark_skyline_spark.
+    operators.sample.pack_sequences` / ``gather_token_sequences`` /
+    ``pack_position_ids``), replacing the regex piece-count proxy of
+    :func:`subword_count` with an actual encoder.
+
+    Semantics (the WordPiece/BPE-inference core, minus the ``##``
+    continuation marker so the rule is plainly SQL-replayable): text is
+    pre-tokenized into ``_SUBWORD_SPLIT`` runs (letter / digit / symbol
+    runs — the pre-tokenization every BPE does), then each run is
+    encoded left to right: at each position emit the LONGEST vocab
+    piece prefixing the remaining run and advance by its length; if no
+    piece matches, emit ``unk_id`` and advance one character (raise if
+    ``unk_id`` is None — the default, so silent lossy encodes are
+    opt-in).  Deterministic: ties are impossible (two distinct
+    equal-length pieces cannot both prefix the same position).
+
+    Scale shape: pre-tokenization stays native/JVM
+    (``regexp_extract_all``); the matcher is ONE ``mapInPandas`` Arrow
+    stage — zero shuffles, scan-shaped like the multimodal decoders —
+    with the vocab shipped once per executor via a Spark broadcast
+    (never per-task pickling) and a per-worker memo over distinct runs
+    (Zipfian corpora hit it constantly; capped at ``memo_cap`` entries
+    so adversarial all-distinct corpora cannot OOM the workers).
+    Python-side work is unavoidable here — greedy longest-match is
+    sequential within a run and Catalyst has no iterative expression —
+    but it is the per-core-bounded, shuffle-free kind.
+
+    Returns ``df`` plus ``out_col: array<int>``.
+    """
+    if not vocab:
+        raise ValueError("vocab must be non-empty")
+    for p in vocab:
+        if not p:
+            raise ValueError("vocab pieces must be non-empty strings")
+    from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
+
+    max_piece = max(len(p) for p in vocab)
+    bc = df.sparkSession.sparkContext.broadcast(dict(vocab))
+    source = df.withColumn(
+        "__runs",
+        F.regexp_extract_all(
+            F.lower(F.col(text_col)) if lowercase else F.col(text_col),
+            F.lit(_SUBWORD_SPLIT),
+            0,
+        ),
+    )
+    keep = [f.name for f in df.schema.fields]
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [StructField(out_col, ArrayType(IntegerType(), False), False)]
+    )
+
+    def encode_batches(batches):
+        v = bc.value
+        memo: dict[str, list[int]] = {}
+
+        def enc(run: str) -> list[int]:
+            got = memo.get(run)
+            if got is not None:
+                return got
+            ids: list[int] = []
+            pos, n = 0, len(run)
+            while pos < n:
+                for k in range(min(max_piece, n - pos), 0, -1):
+                    tid = v.get(run[pos : pos + k])
+                    if tid is not None:
+                        ids.append(tid)
+                        pos += k
+                        break
+                else:
+                    if unk_id is None:
+                        raise ValueError(
+                            f"subword_encode: no vocab piece matches "
+                            f"{run[pos]!r} and unk_id is None"
+                        )
+                    ids.append(unk_id)
+                    pos += 1
+            if len(memo) < memo_cap:
+                memo[run] = ids
+            return ids
+
+        for pdf in batches:
+            runs = pdf["__runs"]
+            out = pdf[keep].copy()
+            out[out_col] = [
+                [t for r in rs for t in enc(r)] for rs in runs
+            ]
+            yield out
+
+    return source.mapInPandas(encode_batches, out_schema)
+
+
+def subword_decode(
+    df: DataFrame,
+    vocab: dict[str, int],
+    ids_col: str = "token_ids",
+    out_col: str = "decoded",
+    unk_piece: str = "",
+) -> DataFrame:
+    """Inverse of :func:`subword_encode` up to pre-tokenization:
+    concatenate each id's vocab piece (ids without a piece render as
+    ``unk_piece``).  ``decode(encode(t))`` equals ``t``'s runs joined —
+    i.e. the lowercased text with whitespace removed — whenever the
+    vocab covers the text (the round-trip law the tests pin).  Fully
+    native: one map literal + ``transform`` + ``array_join``, no
+    Python in the row path."""
+    inv: dict[int, str] = {}
+    for piece, tid in vocab.items():
+        if tid in inv:
+            raise ValueError(f"duplicate token id {tid} in vocab")
+        inv[tid] = piece
+    m = F.create_map(
+        *[F.lit(x) for tid in sorted(inv) for x in (tid, inv[tid])]
+    )
+    return df.withColumn(
+        out_col,
+        F.array_join(
+            F.transform(
+                F.col(ids_col),
+                lambda i: F.coalesce(m[i], F.lit(unk_piece)),
+            ),
+            "",
+        ),
     )
