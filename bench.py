@@ -521,6 +521,26 @@ def main() -> None:
         # filter once — the loops below need no membership guards
         bench_queries = {k: bench_queries[k] for k in sorted(only)}
 
+    # r12 find: a codegen class cache that cycles faster than a pass
+    # reads as DATA-GROWTH pathology (sf1 total 320 s -> 216 s and
+    # dedup_corpus 127 s -> 27 s when the cache went 2000 -> 8192) —
+    # heavy rows pay cold-class C2 warm-in on every pass and
+    # min-of-passes never sees steady state. Each row contributes
+    # several codegen units, so warn whenever the configured cache is
+    # under ~4x the benched row count.
+    cache_entries = int(
+        spark.conf.get("spark.sql.codegen.cache.maxEntries", "100")
+    )
+    if cache_entries < 4 * len(bench_queries):
+        print(
+            f"# WARNING: codegen class cache ({cache_entries} entries) is "
+            f"under 4x the benched row count ({len(bench_queries)}) — the "
+            "suite can cycle the cache between a row's passes, and "
+            "cold-class recompilation then masquerades as data-growth "
+            "pathology; raise spark.sql.codegen.cache.maxEntries",
+            file=sys.stderr,
+        )
+
     warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     if os.path.isdir(warm_dir) and os.path.abspath(warm_dir) != os.path.abspath(sf_dir):
         for name, fn in sorted(bench_queries.items()):

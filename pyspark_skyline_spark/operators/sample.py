@@ -417,6 +417,19 @@ def pack_documents_ffd(
         raise ValueError(f"seq_len must be >= 1, got {seq_len}")
     if n_shards is None:
         n_shards = int(df.sparkSession.sparkContext.defaultParallelism)
+        # the derivation is session-dependent, so default-arg callers
+        # silently lose cross-cluster reproducibility of seq_ids/packs
+        # (ADVICE r12: the r11->r12 default change from fixed 64 was
+        # silent at call sites); say so once per process
+        import warnings
+
+        warnings.warn(
+            f"pack_documents_ffd: n_shards derived from the session "
+            f"(defaultParallelism={n_shards}); pin n_shards explicitly "
+            f"for packs that must reproduce across clusters",
+            UserWarning,
+            stacklevel=2,
+        )
     if not 1 <= n_shards <= (1 << 23):
         raise ValueError(
             f"n_shards must be in [1, 2^23] (the seq_id shard prefix is "

@@ -22,6 +22,7 @@ __all__ = [
     "subword_count",
     "subword_encode",
     "subword_decode",
+    "learn_bpe_merges",
     "GREEDY_VOCAB",
     "text_stats",
     "lang_id",
@@ -1014,3 +1015,134 @@ def subword_decode(
             "",
         ),
     )
+
+
+def learn_bpe_merges(
+    df: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    lowercase: bool = True,
+    max_words: int = 1 << 22,
+) -> tuple[list[tuple[str, str]], dict[str, int]]:
+    """Learn a BPE merge table from the corpus and return
+    ``(merges, vocab)`` — the training complement of
+    :func:`subword_encode` (whose fixed GREEDY_VOCAB this replaces
+    with corpus-fit pieces).
+
+    The algorithm is the classic word-histogram BPE (Sennrich et al.,
+    "Neural Machine Translation of Rare Words with Subword Units",
+    2016): start from characters, repeatedly merge the most frequent
+    adjacent symbol pair, frequencies weighted by word count.  The
+    division of labor is the one real trainers use: SPARK computes the
+    exact word histogram (explode ``_SUBWORD_SPLIT`` runs + one
+    map-side-combined count — the only data-sized pass, and the only
+    shuffle), and the merge loop runs driver-local on the HISTOGRAM,
+    whose size is the corpus VOCABULARY (Heaps' law: ~10^6 words at
+    100 TB), never the corpus.  Past ``max_words`` distinct words the
+    histogram is truncated to the most frequent (count desc, word) —
+    and says so with a warning, never silently (tail words are
+    precisely the ones BPE statistics barely see).
+
+    The merge loop is incremental (pair->containing-words index, only
+    affected words re-scanned per merge), so learning is
+    O(total pair updates), not O(n_merges * histogram).
+    Deterministic: ties on pair frequency break lexicographically.
+
+    ``vocab`` maps piece -> id with single characters first (sorted),
+    then merged pieces in LEARN ORDER — feed it straight to
+    :func:`subword_encode` / :func:`subword_decode`.  Greedy
+    longest-match encoding against a BPE-learned piece set is the
+    standard WordPiece-style inference; it is not merge-order BPE
+    inference, and the tests pin the semantics actually promised:
+    every learned piece is reachable and corpus text re-encodes with
+    zero unks.
+    """
+    if n_merges < 0:
+        raise ValueError(f"n_merges must be >= 0, got {n_merges}")
+    if max_words < 1:
+        raise ValueError(f"max_words must be >= 1, got {max_words}")
+    runs = F.explode(
+        F.regexp_extract_all(
+            F.lower(F.col(text_col)) if lowercase else F.col(text_col),
+            F.lit(_SUBWORD_SPLIT),
+            0,
+        )
+    ).alias("__w")
+    hist_df = df.select(runs).groupBy("__w").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    # deterministic bounded collect: top max_words by (count desc, word)
+    rows = (
+        hist_df.orderBy(F.col("__c").desc(), F.col("__w")).limit(max_words + 1)
+    ).collect()
+    if len(rows) > max_words:
+        import warnings
+
+        warnings.warn(
+            f"learn_bpe_merges: corpus has more than {max_words} distinct "
+            f"words; training on the {max_words} most frequent (count "
+            f"desc, word) — the dropped tail is the part BPE statistics "
+            f"barely see, but this is a truncation, not full coverage",
+            UserWarning,
+            stacklevel=2,
+        )
+        rows = rows[:max_words]
+    hist: list[tuple[list[str], int]] = [
+        (list(r["__w"]), int(r["__c"])) for r in rows
+    ]
+    merges: list[tuple[str, str]] = []
+    # pair -> total weighted count; pair -> indices of words containing it
+    pair_counts: dict[tuple[str, str], int] = {}
+    pair_words: dict[tuple[str, str], set[int]] = {}
+    for wi, (syms, cnt) in enumerate(hist):
+        for a, b in zip(syms, syms[1:]):
+            pair_counts[(a, b)] = pair_counts.get((a, b), 0) + cnt
+            pair_words.setdefault((a, b), set()).add(wi)
+    for _ in range(int(n_merges)):
+        best = None
+        for p, c in pair_counts.items():
+            if c <= 0:
+                continue
+            if best is None or c > pair_counts[best] or (
+                c == pair_counts[best] and p < best
+            ):
+                best = p
+        if best is None:
+            break
+        merges.append(best)
+        merged = best[0] + best[1]
+        # re-scan only the words that contain the merged pair
+        for wi in sorted(pair_words.get(best, ())):
+            syms, cnt = hist[wi]
+            # retract this word's pair contributions
+            for a, b in zip(syms, syms[1:]):
+                pair_counts[(a, b)] -= cnt
+                ws = pair_words.get((a, b))
+                if ws is not None:
+                    ws.discard(wi)
+            # apply the merge left-to-right
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == best[0]
+                    and syms[i + 1] == best[1]
+                ):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            hist[wi] = (out, cnt)
+            # re-add the rewritten word's contributions
+            for a, b in zip(out, out[1:]):
+                pair_counts[(a, b)] = pair_counts.get((a, b), 0) + cnt
+                pair_words.setdefault((a, b), set()).add(wi)
+    chars = sorted({c for r in rows for c in r["__w"]})
+    vocab: dict[str, int] = {c: i for i, c in enumerate(chars)}
+    for a, b in merges:
+        piece = a + b
+        if piece not in vocab:
+            vocab[piece] = len(vocab)
+    return merges, vocab

@@ -179,15 +179,33 @@ def file_stats(
     if rows_known:
         try:
             import pyarrow.parquet as _pq
-
-            for st in files:
+        except Exception:
+            rows_known = False
+    if rows_known:
+        # per-FILE failure isolation with the path named before
+        # degrading (ADVICE r12): one unreadable footer / transient
+        # remote read error drops n_rows for the census — that fallback
+        # is documented, but an anonymous blanket except made remote
+        # footer failures undiagnosable.
+        for st in files:
+            try:
                 if st["local_path"] is not None:
                     n_rows += _pq.ParquetFile(st["local_path"]).metadata.num_rows
                 else:
                     with _HadoopReadable(spark, st["path"], st["size"]) as h:
                         n_rows += _pq.ParquetFile(h).metadata.num_rows
-        except Exception:
-            rows_known = False
+            except Exception as exc:
+                import warnings
+
+                warnings.warn(
+                    f"file_stats: footer read failed for {st['path']} "
+                    f"({type(exc).__name__}: {exc}); omitting n_rows — "
+                    f"callers fall back to a Spark-side count",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+                rows_known = False
+                break
     total = sum(sizes)
     out = {
         "n_files": len(sizes),

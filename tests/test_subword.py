@@ -189,3 +189,123 @@ def test_composes_with_packing_family(spark, sf_dir):
                 assert p[i] == p[i - 1] + 1
             else:
                 assert p[i] == 0
+
+
+# ---------------------------------------------------------------------------
+# learn_bpe_merges (round-13 addition)
+# ---------------------------------------------------------------------------
+
+
+def _naive_bpe(word_counts: dict[str, int], n_merges: int):
+    """Textbook recount-everything BPE — the O(n_merges * histogram)
+    reference the incremental learner must match exactly."""
+    hist = {tuple(w): c for w, c in word_counts.items()}
+    merges = []
+    for _ in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for syms, c in hist.items():
+            for p in zip(syms, syms[1:]):
+                pairs[p] = pairs.get(p, 0) + c
+        if not pairs or max(pairs.values()) <= 0:
+            break
+        best = min(pairs, key=lambda p: (-pairs[p], p))
+        merges.append(best)
+        out = {}
+        for syms, c in hist.items():
+            res, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == best:
+                    res.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            out[tuple(res)] = out.get(tuple(res), 0) + c
+        hist = out
+    return merges
+
+
+def test_learn_bpe_sennrich_example(spark):
+    """The worked example from the BPE paper (Sennrich et al. 2016):
+    {low:5, lower:2, newest:6, widest:3} — first merges are (e,s) 9,
+    (es,t) 9, then (l,o) 7 / (lo,w) 7."""
+    from pyspark_skyline_spark.operators.text import learn_bpe_merges
+
+    rows = (
+        [(i, "low") for i in range(5)]
+        + [(100 + i, "lower") for i in range(2)]
+        + [(200 + i, "newest") for i in range(6)]
+        + [(300 + i, "widest") for i in range(3)]
+    )
+    df = spark.createDataFrame(rows, "id long, text string")
+    merges, vocab = learn_bpe_merges(df, 4)
+    assert merges == [("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")]
+    # vocab layout: sorted singles first, then merges in learn order
+    singles = sorted(set("lowernewstid"))
+    assert [p for p, _ in sorted(vocab.items(), key=lambda kv: kv[1])] == (
+        singles + ["es", "est", "lo", "low"]
+    )
+
+
+def test_learn_bpe_matches_naive_reference(spark, sf_dir):
+    """Incremental pair-index learner == textbook recount learner on
+    the real corpus word histogram (both weighted by word count, same
+    lexicographic tie rule)."""
+    import re as _re
+
+    from pyspark_skyline_spark.operators.text import learn_bpe_merges
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(120)
+    merges, _ = learn_bpe_merges(docs, 60)
+    wc: dict[str, int] = {}
+    for r in docs.select("text").collect():
+        for w in _re.findall(_SUBWORD_SPLIT, (r.text or "").lower()):
+            wc[w] = wc.get(w, 0) + 1
+    assert merges == _naive_bpe(wc, 60)
+
+
+def test_learned_vocab_feeds_encoder_with_zero_unks(spark, sf_dir):
+    """Composition: vocab learned FROM the corpus covers the corpus —
+    subword_encode with unk_id=None (raise-on-unk) succeeds, and the
+    decode round-trip holds; more merges => no more tokens."""
+    from pyspark_skyline_spark.operators.text import learn_bpe_merges
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(80)
+    _, vocab = learn_bpe_merges(docs, 40)
+    enc = subword_encode(docs, vocab, "text")  # unk_id=None: any gap raises
+    dec = subword_decode(enc, vocab)
+    bad = dec.withColumn(
+        "__want",
+        F.array_join(
+            F.regexp_extract_all(F.lower("text"), F.lit(_SUBWORD_SPLIT), 0), ""
+        ),
+    ).where(F.col("decoded") != F.col("__want"))
+    assert bad.count() == 0
+    n40 = enc.select(F.sum(F.size("token_ids"))).collect()[0][0]
+    _, vocab0 = learn_bpe_merges(docs, 0)
+    n0 = (
+        subword_encode(docs, vocab0, "text")
+        .select(F.sum(F.size("token_ids")))
+        .collect()[0][0]
+    )
+    assert n40 <= n0  # merges only ever shorten the encoding
+
+
+def test_learn_bpe_truncation_and_validation(spark):
+    import warnings as _w
+
+    from pyspark_skyline_spark.operators.text import learn_bpe_merges
+
+    df = spark.createDataFrame(
+        [(i, f"w{i} common common") for i in range(30)], "id long, text string"
+    )
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        merges, vocab = learn_bpe_merges(df, 3, max_words=5)
+    assert any("distinct words" in str(x.message) for x in rec)
+    # the dominant word still learns its merges from the kept head
+    assert ("c", "o") in merges or ("o", "m") in merges or ("m", "m") in merges
+    with pytest.raises(ValueError, match="n_merges"):
+        learn_bpe_merges(df, -1)
+    with pytest.raises(ValueError, match="max_words"):
+        learn_bpe_merges(df, 1, max_words=0)
