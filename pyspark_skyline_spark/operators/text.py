@@ -23,6 +23,7 @@ __all__ = [
     "subword_encode",
     "subword_decode",
     "learn_bpe_merges",
+    "bpe_encode",
     "GREEDY_VOCAB",
     "text_stats",
     "lang_id",
@@ -1146,3 +1147,112 @@ def learn_bpe_merges(
         if piece not in vocab:
             vocab[piece] = len(vocab)
     return merges, vocab
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    vocab: dict[str, int],
+    text_col: str = "text",
+    out_col: str = "token_ids",
+    unk_id: int | None = None,
+    lowercase: bool = True,
+    memo_cap: int = 1 << 20,
+) -> DataFrame:
+    """TRUE merge-rank BPE inference (the HuggingFace/GPT-2 algorithm),
+    the exact companion of :func:`learn_bpe_merges`: each run starts as
+    characters and repeatedly applies the LOWEST-RANK merge present
+    (rank = training order) until none applies — reproducing training
+    segmentation exactly, which greedy longest-match
+    (:func:`subword_encode`) does not always do (greedy can take a long
+    piece training never built at that position).
+
+    Characters absent from ``vocab`` emit ``unk_id`` (raise when None,
+    the default).  Same scale shape as ``subword_encode``: native
+    pre-tokenization, ONE zero-shuffle ``mapInPandas`` stage, merges +
+    vocab broadcast once per executor, capped per-worker memo over
+    distinct runs.  Returns ``df`` plus ``out_col: array<int>``."""
+    if not vocab:
+        raise ValueError("vocab must be non-empty")
+    ranks = {}
+    for i, m in enumerate(merges):
+        pair = tuple(m)
+        if len(pair) != 2:
+            raise ValueError(f"merges[{i}] must be a (left, right) pair")
+        if pair not in ranks:
+            ranks[pair] = i
+        piece = pair[0] + pair[1]
+        if piece not in vocab:
+            raise ValueError(
+                f"merged piece {piece!r} (merges[{i}]) missing from vocab"
+            )
+    from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
+
+    bc = df.sparkSession.sparkContext.broadcast((ranks, dict(vocab)))
+    source = df.withColumn(
+        "__runs",
+        F.regexp_extract_all(
+            F.lower(F.col(text_col)) if lowercase else F.col(text_col),
+            F.lit(_SUBWORD_SPLIT),
+            0,
+        ),
+    )
+    keep = [f.name for f in df.schema.fields]
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [StructField(out_col, ArrayType(IntegerType(), False), False)]
+    )
+
+    def encode_batches(batches):
+        rk, v = bc.value
+        memo: dict[str, list[int]] = {}
+
+        def enc(run: str) -> list[int]:
+            got = memo.get(run)
+            if got is not None:
+                return got
+            syms = list(run)
+            while len(syms) > 1:
+                best_rank, best_pair = None, None
+                for p in zip(syms, syms[1:]):
+                    r = rk.get(p)
+                    if r is not None and (best_rank is None or r < best_rank):
+                        best_rank, best_pair = r, p
+                if best_pair is None:
+                    break
+                merged, out, i = best_pair[0] + best_pair[1], [], 0
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and syms[i] == best_pair[0]
+                        and syms[i + 1] == best_pair[1]
+                    ):
+                        out.append(merged)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            ids: list[int] = []
+            for s in syms:
+                tid = v.get(s)
+                if tid is None:
+                    if unk_id is None:
+                        raise ValueError(
+                            f"bpe_encode: symbol {s!r} not in vocab and "
+                            f"unk_id is None"
+                        )
+                    ids.append(unk_id)
+                else:
+                    ids.append(tid)
+            if len(memo) < memo_cap:
+                memo[run] = ids
+            return ids
+
+        for pdf in batches:
+            runs = pdf["__runs"]
+            out = pdf[keep].copy()
+            out[out_col] = [[t for r in rs for t in enc(r)] for rs in runs]
+            yield out
+
+    return source.mapInPandas(encode_batches, out_schema)

@@ -309,3 +309,92 @@ def test_learn_bpe_truncation_and_validation(spark):
         learn_bpe_merges(df, -1)
     with pytest.raises(ValueError, match="max_words"):
         learn_bpe_merges(df, 1, max_words=0)
+
+
+# ---------------------------------------------------------------------------
+# bpe_encode (merge-rank inference, round-13 addition)
+# ---------------------------------------------------------------------------
+
+
+def _apply_merges_in_order(run: str, merges):
+    """Reference: apply each merge everywhere, in training order —
+    classically equivalent to repeatedly applying the lowest-rank
+    present pair (what bpe_encode implements)."""
+    syms = list(run)
+    for a, b in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def test_bpe_encode_matches_apply_in_order(spark, sf_dir):
+    """Merge-rank inference == training-order application on the real
+    corpus, with the vocab LEARNED from that corpus — the exact
+    train/infer consistency contract."""
+    import re as _re
+
+    from pyspark_skyline_spark.operators.text import bpe_encode, learn_bpe_merges
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(100)
+    merges, vocab = learn_bpe_merges(docs, 80)
+    got = {
+        r.doc_id: list(r.token_ids)
+        for r in bpe_encode(docs, merges, vocab, "text").collect()
+    }
+    for r in docs.select("doc_id", "text").collect():
+        want = [
+            vocab[s]
+            for run in _re.findall(_SUBWORD_SPLIT, (r.text or "").lower())
+            for s in _apply_merges_in_order(run, merges)
+        ]
+        assert got[r.doc_id] == want, r.doc_id
+
+
+def test_bpe_encode_differs_from_greedy_where_it_should(spark):
+    """The documented divergence: greedy longest-match grabs a piece
+    training order never builds at that position.  merges
+    [(b,c), (a,b)] on 'abc': merge-rank fires rank-0 (b,c) first ->
+    [a, bc] and (a,bc) is no merge, so it stops; greedy sees prefix
+    'ab' in vocab and takes it -> [ab, c].  Same vocab, different
+    (both valid) segmentations — the reason bpe_encode exists."""
+    from pyspark_skyline_spark.operators.text import bpe_encode
+
+    merges = [("b", "c"), ("a", "b")]
+    vocab = {"a": 0, "b": 1, "c": 2, "bc": 3, "ab": 4}
+    df = spark.createDataFrame([(1, "abc")], "id long, text string")
+    rank_ids = list(
+        bpe_encode(df, merges, vocab, "text").collect()[0].token_ids
+    )
+    greedy_ids = list(subword_encode(df, vocab, "text").collect()[0].token_ids)
+    assert rank_ids == [vocab["a"], vocab["bc"]]
+    assert greedy_ids == [vocab["ab"], vocab["c"]]
+
+
+def test_bpe_encode_unk_and_validation(spark):
+    from pyspark_skyline_spark.operators.text import bpe_encode
+
+    df = spark.createDataFrame([(1, "xyz")], "id long, text string")
+    with pytest.raises(ValueError, match="missing from vocab"):
+        bpe_encode(df, [("a", "b")], {"a": 0, "b": 1}, "text")
+    with pytest.raises(Exception, match="not in vocab"):
+        bpe_encode(df, [], {"a": 0}, "text").collect()
+    got = bpe_encode(df, [], {"x": 7}, "text", unk_id=-1).collect()[0].token_ids
+    assert list(got) == [7, -1, -1]
+
+
+def test_bpe_encode_plan_zero_exchanges(spark, sf_dir):
+    from pyspark_skyline_spark.operators.text import bpe_encode
+    from pyspark_skyline_spark.plans.explain import assert_max_exchanges
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert_max_exchanges(
+        bpe_encode(docs, [("t", "h")], {**{c: i for i, c in enumerate("abcdefghijklmnopqrstuvwxyz")}, "th": 26}, "text", unk_id=-1),
+        0,
+    )
