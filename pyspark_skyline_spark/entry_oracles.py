@@ -1705,13 +1705,22 @@ walk AS (
 run_tokens AS (
   SELECT w.run, w.pos, j.tok
   FROM walk w JOIN jump j ON j.run = w.run AND j.pos = w.pos
+),
+agg AS (
+  SELECT r.doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         string_agg(CAST(t.tok AS VARCHAR), '|' ORDER BY r.i, t.pos)
+           AS ids_joined
+  FROM runs r JOIN run_tokens t ON t.run = r.run
+  GROUP BY r.doc_id
 )
-SELECT r.doc_id,
-       CAST(count(*) AS BIGINT) AS n_tokens,
-       string_agg(CAST(t.tok AS VARCHAR), '|' ORDER BY r.i, t.pos)
-         AS ids_joined
-FROM runs r JOIN run_tokens t ON t.run = r.run
-GROUP BY r.doc_id
+-- LEFT JOIN back to documents so zero-run docs (empty/whitespace/NULL
+-- text) emit (doc_id, 0, '') exactly like the Spark side, instead of
+-- silently dropping out of the row set (review find, round 13)
+SELECT d.doc_id,
+       CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+       coalesce(a.ids_joined, '') AS ids_joined
+FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
 """,
     # round-12 position/segment-id emission: same cumsum plan, one
     # range-unnest per span; positions are doc-relative (tok_start ..

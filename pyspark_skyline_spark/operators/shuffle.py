@@ -819,13 +819,13 @@ def dhondt_allocate(
         def tot(m: int) -> int:
             return sum(math.isqrt(n[d] * m // M) for d in domains)
 
-        # bracket then bisect the smallest m with tot(m) >= total;
-        # float estimate of the divisor seeds hi (doubling repairs any
-        # rounding), so the bisection range is tight
-        sq = sum(math.sqrt(x) for x in n.values())
-        # int(float)*M, never float*M: M is ~4*max(n)^2 and would push
-        # the float product to inf for large counts
-        hi = M * (int((total / sq) ** 2 * 2) + 1)
+        # bracket then bisect the smallest m with tot(m) >= total; an
+        # INTEGER estimate of the divisor seeds hi (doubling repairs
+        # any underestimate) — all-int so the documented "no float
+        # anywhere" contract holds even for counts past 2^1024, where
+        # math.sqrt raises OverflowError (review find, round 13)
+        sq = sum(math.isqrt(x) for x in n.values())  # >= 1: counts > 0
+        hi = M * (2 * ((total * total) // (sq * sq)) + 1)
         while tot(hi) < total:
             hi *= 2
         lo = 1

@@ -882,6 +882,62 @@ GREEDY_VOCAB: tuple[str, ...] = (
 )
 
 
+def _runs_encode_stage(
+    df: DataFrame,
+    text_col: str,
+    out_col: str,
+    lowercase: bool,
+    enc_factory,
+) -> DataFrame:
+    """Shared scaffolding of :func:`subword_encode` and
+    :func:`bpe_encode` (review find, round 13 — the plumbing existed
+    twice and fixes had to land twice): native ``regexp_extract_all``
+    pre-tokenization into a reserved ``__runs`` column, ONE zero-shuffle
+    ``mapInPandas`` Arrow stage, output schema = input + ``out_col:
+    array<int>``.  A NULL ``text_col`` encodes to an EMPTY id array
+    (``regexp_extract_all(NULL)`` arrives in the Arrow batch as None —
+    iterating it crashed the worker before this guard).
+    ``enc_factory()`` runs once per worker batch-iterator and returns
+    the per-run encoder, closing over broadcast state and its own memo.
+    """
+    if text_col not in df.columns:
+        raise ValueError(f"column {text_col!r} not found")
+    if out_col in df.columns:
+        raise ValueError(f"output column {out_col!r} already exists")
+    if "__runs" in df.columns:
+        raise ValueError(
+            "column name '__runs' is reserved by the tokenizer stage"
+        )
+    from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
+
+    source = df.withColumn(
+        "__runs",
+        F.regexp_extract_all(
+            F.lower(F.col(text_col)) if lowercase else F.col(text_col),
+            F.lit(_SUBWORD_SPLIT),
+            0,
+        ),
+    )
+    keep = [f.name for f in df.schema.fields]
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [StructField(out_col, ArrayType(IntegerType(), False), False)]
+    )
+
+    def encode_batches(batches):
+        enc = enc_factory()
+        for pdf in batches:
+            runs = pdf["__runs"]
+            out = pdf[keep].copy()
+            out[out_col] = [
+                [] if rs is None else [t for r in rs for t in enc(r)]
+                for rs in runs
+            ]
+            yield out
+
+    return source.mapInPandas(encode_batches, out_schema)
+
+
 def subword_encode(
     df: DataFrame,
     vocab: dict[str, int],
@@ -906,7 +962,8 @@ def subword_encode(
     piece matches, emit ``unk_id`` and advance one character (raise if
     ``unk_id`` is None — the default, so silent lossy encodes are
     opt-in).  Deterministic: ties are impossible (two distinct
-    equal-length pieces cannot both prefix the same position).
+    equal-length pieces cannot both prefix the same position).  NULL
+    text encodes to an empty array.
 
     Scale shape: pre-tokenization stays native/JVM
     (``regexp_extract_all``); the matcher is ONE ``mapInPandas`` Arrow
@@ -926,25 +983,10 @@ def subword_encode(
     for p in vocab:
         if not p:
             raise ValueError("vocab pieces must be non-empty strings")
-    from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
-
     max_piece = max(len(p) for p in vocab)
     bc = df.sparkSession.sparkContext.broadcast(dict(vocab))
-    source = df.withColumn(
-        "__runs",
-        F.regexp_extract_all(
-            F.lower(F.col(text_col)) if lowercase else F.col(text_col),
-            F.lit(_SUBWORD_SPLIT),
-            0,
-        ),
-    )
-    keep = [f.name for f in df.schema.fields]
-    out_schema = StructType(
-        list(df.schema.fields)
-        + [StructField(out_col, ArrayType(IntegerType(), False), False)]
-    )
 
-    def encode_batches(batches):
+    def enc_factory():
         v = bc.value
         memo: dict[str, list[int]] = {}
 
@@ -973,15 +1015,9 @@ def subword_encode(
                 memo[run] = ids
             return ids
 
-        for pdf in batches:
-            runs = pdf["__runs"]
-            out = pdf[keep].copy()
-            out[out_col] = [
-                [t for r in rs for t in enc(r)] for rs in runs
-            ]
-            yield out
+        return enc
 
-    return source.mapInPandas(encode_batches, out_schema)
+    return _runs_encode_stage(df, text_col, out_col, lowercase, enc_factory)
 
 
 def subword_decode(
@@ -990,32 +1026,64 @@ def subword_decode(
     ids_col: str = "token_ids",
     out_col: str = "decoded",
     unk_piece: str = "",
+    native_map_max: int = 1024,
 ) -> DataFrame:
     """Inverse of :func:`subword_encode` up to pre-tokenization:
     concatenate each id's vocab piece (ids without a piece render as
     ``unk_piece``).  ``decode(encode(t))`` equals ``t``'s runs joined —
     i.e. the lowercased text with whitespace removed — whenever the
-    vocab covers the text (the round-trip law the tests pin).  Fully
-    native: one map literal + ``transform`` + ``array_join``, no
-    Python in the row path."""
+    vocab covers the text (the round-trip law the tests pin).
+
+    Small vocabs (<= ``native_map_max`` pieces) decode fully native:
+    one map literal + ``transform`` + ``array_join``, no Python in the
+    row path.  LEARNED/production vocabs (10k-100k pieces) switch to a
+    broadcast dict + one zero-shuffle ``mapInPandas`` stage — a map
+    LITERAL at that size is a 2|V|-argument CreateMap expression
+    (codegen blowup + per-element py4j chatter, the repo's documented
+    when()-tree pathology), the exact thing the encoder's broadcast
+    pattern avoids (review find, round 13)."""
     inv: dict[int, str] = {}
     for piece, tid in vocab.items():
         if tid in inv:
             raise ValueError(f"duplicate token id {tid} in vocab")
         inv[tid] = piece
-    m = F.create_map(
-        *[F.lit(x) for tid in sorted(inv) for x in (tid, inv[tid])]
-    )
-    return df.withColumn(
-        out_col,
-        F.array_join(
-            F.transform(
-                F.col(ids_col),
-                lambda i: F.coalesce(m[i], F.lit(unk_piece)),
+    if out_col in df.columns:
+        raise ValueError(f"output column {out_col!r} already exists")
+    if len(inv) <= native_map_max:
+        m = F.create_map(
+            *[F.lit(x) for tid in sorted(inv) for x in (tid, inv[tid])]
+        )
+        return df.withColumn(
+            out_col,
+            F.array_join(
+                F.transform(
+                    F.col(ids_col),
+                    lambda i: F.coalesce(m[i], F.lit(unk_piece)),
+                ),
+                "",
             ),
-            "",
-        ),
+        )
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    bc = df.sparkSession.sparkContext.broadcast(inv)
+    keep = [f.name for f in df.schema.fields]
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, StringType(), True)]
     )
+
+    def decode_batches(batches):
+        iv = bc.value
+        for pdf in batches:
+            out = pdf[keep].copy()
+            out[out_col] = [
+                None
+                if ids is None
+                else "".join(iv.get(int(i), unk_piece) for i in ids)
+                for ids in pdf[ids_col]
+            ]
+            yield out
+
+    return df.mapInPandas(decode_batches, out_schema)
 
 
 def learn_bpe_merges(
@@ -1045,8 +1113,9 @@ def learn_bpe_merges(
     precisely the ones BPE statistics barely see).
 
     The merge loop is incremental (pair->containing-words index, only
-    affected words re-scanned per merge), so learning is
-    O(total pair updates), not O(n_merges * histogram).
+    affected words re-scanned per merge; best pair via a lazy max-heap
+    of count snapshots, never a dict scan), so learning is
+    O(total pair updates x log), not O(n_merges * distinct pairs).
     Deterministic: ties on pair frequency break lexicographically.
 
     ``vocab`` maps piece -> id with single characters first (sorted),
@@ -1091,23 +1160,40 @@ def learn_bpe_merges(
     hist: list[tuple[list[str], int]] = [
         (list(r["__w"]), int(r["__c"])) for r in rows
     ]
+    import heapq
+
     merges: list[tuple[str, str]] = []
-    # pair -> total weighted count; pair -> indices of words containing it
+    # pair -> total weighted count; pair -> indices of words containing
+    # it; plus a LAZY max-heap of (-count, pair) snapshots so best-pair
+    # selection is O(log) pop-validate, not a full dict scan per merge
+    # (review find, round 13: the scan made the loop O(n_merges x
+    # distinct_pairs), contradicting the incremental design). Every
+    # count update pushes a fresh snapshot; stale snapshots are
+    # skipped when their count no longer matches. Tuple order
+    # (-count, pair) gives the lexicographic tie rule for free.
     pair_counts: dict[tuple[str, str], int] = {}
     pair_words: dict[tuple[str, str], set[int]] = {}
+    heap: list[tuple[int, tuple[str, str]]] = []
+
+    def _bump(pair: tuple[str, str], delta: int) -> None:
+        c = pair_counts.get(pair, 0) + delta
+        pair_counts[pair] = c
+        if c > 0:
+            heapq.heappush(heap, (-c, pair))
+
     for wi, (syms, cnt) in enumerate(hist):
         for a, b in zip(syms, syms[1:]):
             pair_counts[(a, b)] = pair_counts.get((a, b), 0) + cnt
             pair_words.setdefault((a, b), set()).add(wi)
+    heap = [(-c, p) for p, c in pair_counts.items() if c > 0]
+    heapq.heapify(heap)
     for _ in range(int(n_merges)):
         best = None
-        for p, c in pair_counts.items():
-            if c <= 0:
-                continue
-            if best is None or c > pair_counts[best] or (
-                c == pair_counts[best] and p < best
-            ):
+        while heap:
+            negc, p = heapq.heappop(heap)
+            if pair_counts.get(p, 0) == -negc:
                 best = p
+                break
         if best is None:
             break
         merges.append(best)
@@ -1117,7 +1203,7 @@ def learn_bpe_merges(
             syms, cnt = hist[wi]
             # retract this word's pair contributions
             for a, b in zip(syms, syms[1:]):
-                pair_counts[(a, b)] -= cnt
+                _bump((a, b), -cnt)
                 ws = pair_words.get((a, b))
                 if ws is not None:
                     ws.discard(wi)
@@ -1138,7 +1224,7 @@ def learn_bpe_merges(
             hist[wi] = (out, cnt)
             # re-add the rewritten word's contributions
             for a, b in zip(out, out[1:]):
-                pair_counts[(a, b)] = pair_counts.get((a, b), 0) + cnt
+                _bump((a, b), cnt)
                 pair_words.setdefault((a, b), set()).add(wi)
     chars = sorted({c for r in rows for c in r["__w"]})
     vocab: dict[str, int] = {c: i for i, c in enumerate(chars)}
@@ -1168,10 +1254,12 @@ def bpe_encode(
     piece training never built at that position).
 
     Characters absent from ``vocab`` emit ``unk_id`` (raise when None,
-    the default).  Same scale shape as ``subword_encode``: native
-    pre-tokenization, ONE zero-shuffle ``mapInPandas`` stage, merges +
-    vocab broadcast once per executor, capped per-worker memo over
-    distinct runs.  Returns ``df`` plus ``out_col: array<int>``."""
+    the default).  NULL text encodes to an empty array.  Same scale
+    shape as ``subword_encode`` (shared ``_runs_encode_stage``
+    scaffolding): native pre-tokenization, ONE zero-shuffle
+    ``mapInPandas`` stage, merges + vocab broadcast once per executor,
+    capped per-worker memo over distinct runs.  Returns ``df`` plus
+    ``out_col: array<int>``."""
     if not vocab:
         raise ValueError("vocab must be non-empty")
     ranks = {}
@@ -1186,24 +1274,9 @@ def bpe_encode(
             raise ValueError(
                 f"merged piece {piece!r} (merges[{i}]) missing from vocab"
             )
-    from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
-
     bc = df.sparkSession.sparkContext.broadcast((ranks, dict(vocab)))
-    source = df.withColumn(
-        "__runs",
-        F.regexp_extract_all(
-            F.lower(F.col(text_col)) if lowercase else F.col(text_col),
-            F.lit(_SUBWORD_SPLIT),
-            0,
-        ),
-    )
-    keep = [f.name for f in df.schema.fields]
-    out_schema = StructType(
-        list(df.schema.fields)
-        + [StructField(out_col, ArrayType(IntegerType(), False), False)]
-    )
 
-    def encode_batches(batches):
+    def enc_factory():
         rk, v = bc.value
         memo: dict[str, list[int]] = {}
 
@@ -1249,10 +1322,6 @@ def bpe_encode(
                 memo[run] = ids
             return ids
 
-        for pdf in batches:
-            runs = pdf["__runs"]
-            out = pdf[keep].copy()
-            out[out_col] = [[t for r in rs for t in enc(r)] for rs in runs]
-            yield out
+        return enc
 
-    return source.mapInPandas(encode_batches, out_schema)
+    return _runs_encode_stage(df, text_col, out_col, lowercase, enc_factory)

@@ -398,3 +398,122 @@ def test_bpe_encode_plan_zero_exchanges(spark, sf_dir):
         bpe_encode(docs, [("t", "h")], {**{c: i for i, c in enumerate("abcdefghijklmnopqrstuvwxyz")}, "th": 26}, "text", unk_id=-1),
         0,
     )
+
+
+# ---------------------------------------------------------------------------
+# round-13 review fixes
+# ---------------------------------------------------------------------------
+
+
+def test_null_and_empty_text_encode_to_empty_array(spark):
+    """regexp_extract_all(NULL) arrives in the Arrow batch as None —
+    the encoders must emit [] instead of crashing the worker."""
+    from pyspark_skyline_spark.operators.text import bpe_encode
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   "), (4, "ab")], "id long, text string"
+    )
+    got = {
+        r.id: list(r.token_ids)
+        for r in subword_encode(df, VOCAB, "text").collect()
+    }
+    assert got[1] == [] and got[2] == [] and got[3] == []
+    assert got[4] == [VOCAB["a"], VOCAB["b"]]  # 'ab' is not a GREEDY_VOCAB piece
+    got2 = {
+        r.id: list(r.token_ids)
+        for r in bpe_encode(
+            df, [("a", "b")], {"a": 0, "b": 1, "ab": 2}, "text"
+        ).collect()
+    }
+    assert got2[1] == [] and got2[4] == [2]
+
+
+def test_column_collision_guards(spark):
+    from pyspark_skyline_spark.operators.text import bpe_encode
+
+    df = spark.createDataFrame([(1, "a")], "id long, text string")
+    with pytest.raises(ValueError, match="already exists"):
+        subword_encode(df.withColumn("token_ids", F.lit(0)), VOCAB, "text")
+    with pytest.raises(ValueError, match="reserved"):
+        subword_encode(df.withColumn("__runs", F.lit(0)), VOCAB, "text")
+    with pytest.raises(ValueError, match="not found"):
+        subword_encode(df, VOCAB, "no_such_col")
+    with pytest.raises(ValueError, match="already exists"):
+        bpe_encode(
+            df.withColumn("token_ids", F.lit(0)), [], {"a": 0}, "text"
+        )
+    with pytest.raises(ValueError, match="already exists"):
+        subword_decode(
+            df.withColumn("token_ids", F.array(F.lit(0)))
+            .withColumn("decoded", F.lit("x")),
+            {"a": 0},
+        )
+
+
+def test_decode_big_vocab_broadcast_path(spark):
+    """Past native_map_max the decoder switches to broadcast +
+    mapInPandas (a 2|V|-arg CreateMap literal is the documented codegen
+    pathology); both paths must agree, NULL ids decode to NULL."""
+    big_vocab = {f"w{i:05d}": i for i in range(2000)}
+    big_vocab["a"] = 2000
+    df = spark.createDataFrame(
+        [(1, [2000, 5, 2000]), (2, None)],
+        "id long, token_ids array<int>",
+    )
+    lo = subword_decode(df, big_vocab, native_map_max=5000).collect()
+    hi = subword_decode(df, big_vocab, native_map_max=10).collect()
+    as_map = lambda rows: {r.id: r.decoded for r in rows}
+    want = {1: "aw00005a", 2: None}
+    got_lo, got_hi = as_map(lo), as_map(hi)
+    # native path renders NULL ids arrays as NULL too (array_join of
+    # NULL is NULL), matching the broadcast path
+    assert got_hi == want
+    assert got_lo == want
+
+
+def test_dhondt_huge_counts_no_float_overflow():
+    """counts >= 2^1024 overflow math.sqrt; the exact path must stay
+    all-integer (review find) and agree with the retained loop."""
+    from pyspark_skyline_spark.operators.shuffle import (
+        _dhondt_allocate_loop,
+        dhondt_allocate,
+    )
+
+    counts = {"a": 2**1100, "b": 2**1099, "c": 3}
+    got = dhondt_allocate(counts, 11, 0.5)
+    assert got == _dhondt_allocate_loop(counts, 11, 0.5)
+    assert sum(got.values()) == 11
+    assert dhondt_allocate({"a": 2**1100}, 5, 0.5) == {"a": 5}
+
+
+def test_subword_oracle_emits_zero_run_docs(spark, tmp_path):
+    """The extras oracle must keep (doc_id, 0, '') rows for docs whose
+    text yields no runs (empty/whitespace/NULL), matching the Spark
+    side — pinned on a synthetic documents table containing all three.
+    """
+    import duckdb
+
+    from pyspark_skyline_spark.entry_ext import _q_subword_encode_documents
+    from pyspark_skyline_spark.entry_oracles import _ORACLES
+
+    p = str(tmp_path / "sf")
+    spark.createDataFrame(
+        [(1, "hello world"), (2, ""), (3, "   "), (4, None)],
+        "doc_id long, text string",
+    ).write.parquet(f"{p}/documents.parquet")
+    sdf = _q_subword_encode_documents(spark, p).orderBy("doc_id").collect()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{p}/documents.parquet/*.parquet')"
+    )
+    odf = con.execute(
+        "SELECT * FROM ("
+        + _ORACLES["subword_encode_documents"]
+        + ") ORDER BY doc_id"
+    ).fetchall()
+    assert len(sdf) == len(odf) == 4
+    for s, o in zip(sdf, odf):
+        assert (s.doc_id, s.n_tokens, s.ids_joined) == (o[0], o[1], o[2])
+    assert sdf[1].n_tokens == 0 and sdf[1].ids_joined == ""
+    assert sdf[3].n_tokens == 0 and sdf[3].ids_joined == ""
