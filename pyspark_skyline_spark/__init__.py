@@ -72,12 +72,17 @@ from pyspark_skyline_spark.operators.similarity import (
 )
 from pyspark_skyline_spark.operators.skewjoin import salted_join
 from pyspark_skyline_spark.operators.text import (
+    bpe_encode,
+    bpe_from_histogram,
     chunk_documents,
     extract_domains,
     fingerprint,
     lang_id,
+    learn_bpe_merges,
     quality_flags,
     subword_count,
+    subword_decode,
+    subword_encode,
     text_stats,
     token_count,
     winnow_fingerprints,
@@ -125,6 +130,11 @@ __all__ = [
     "lang_id",
     "quality_flags",
     "subword_count",
+    "subword_encode",
+    "subword_decode",
+    "learn_bpe_merges",
+    "bpe_from_histogram",
+    "bpe_encode",
     "text_stats",
     "token_count",
     "winnow_fingerprints",

@@ -23,6 +23,7 @@ __all__ = [
     "subword_encode",
     "subword_decode",
     "learn_bpe_merges",
+    "bpe_from_histogram",
     "bpe_encode",
     "GREEDY_VOCAB",
     "text_stats",
@@ -1157,8 +1158,22 @@ def learn_bpe_merges(
             stacklevel=2,
         )
         rows = rows[:max_words]
+    return bpe_from_histogram(
+        {r["__w"]: int(r["__c"]) for r in rows}, n_merges
+    )
+
+
+def bpe_from_histogram(
+    word_counts: dict[str, int], n_merges: int
+) -> tuple[list[tuple[str, str]], dict[str, int]]:
+    """Pure driver-local BPE merge learning over a word histogram —
+    the Spark-free core of :func:`learn_bpe_merges` (factored out so
+    the merge loop is property-testable without a session; same
+    algorithm, same lexicographic tie rule, same vocab layout)."""
+    if n_merges < 0:
+        raise ValueError(f"n_merges must be >= 0, got {n_merges}")
     hist: list[tuple[list[str], int]] = [
-        (list(r["__w"]), int(r["__c"])) for r in rows
+        (list(w), int(c)) for w, c in word_counts.items()
     ]
     import heapq
 
@@ -1226,7 +1241,7 @@ def learn_bpe_merges(
             for a, b in zip(out, out[1:]):
                 _bump((a, b), cnt)
                 pair_words.setdefault((a, b), set()).add(wi)
-    chars = sorted({c for r in rows for c in r["__w"]})
+    chars = sorted({c for w in word_counts for c in w})
     vocab: dict[str, int] = {c: i for i, c in enumerate(chars)}
     for a, b in merges:
         piece = a + b

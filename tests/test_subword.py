@@ -517,3 +517,73 @@ def test_subword_oracle_emits_zero_run_docs(spark, tmp_path):
         assert (s.doc_id, s.n_tokens, s.ids_joined) == (o[0], o[1], o[2])
     assert sdf[1].n_tokens == 0 and sdf[1].ids_joined == ""
     assert sdf[3].n_tokens == 0 and sdf[3].ids_joined == ""
+
+
+def test_subword_encode_on_structured_stream(spark, sf_dir, tmp_path):
+    """The tokenizer composes with Structured Streaming unchanged:
+    mapInPandas is stream-capable, so a readStream -> subword_encode ->
+    memory-sink availableNow pass must produce exactly the batch
+    result — the property a streaming ingest+tokenize pipeline relies
+    on (no rewrite between backfill and live paths)."""
+    import shutil
+    import uuid
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # readStream needs a DIRECTORY source; the fixture is a bare file
+    src = tmp_path / "in"
+    src.mkdir()
+    shutil.copy(f"{sf_dir}/documents.parquet", src / "part-0.parquet")
+    stream = spark.readStream.schema(docs.schema).parquet(str(src))
+    enc = subword_encode(stream, VOCAB, "text").select(
+        "doc_id", F.size("token_ids").alias("n_tok")
+    )
+    name = f"tok_{uuid.uuid4().hex[:8]}"
+    q = (
+        enc.writeStream.format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation", str(tmp_path / "ckpt")
+        )
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.doc_id: r.n_tok for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    want = {
+        r.doc_id: r.n_tok
+        for r in subword_encode(docs, VOCAB, "text")
+        .select("doc_id", F.size("token_ids").alias("n_tok"))
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_bpe_from_histogram_hypothesis_matches_naive():
+    """Property: the incremental lazy-heap learner == the textbook
+    recount learner on random histograms (words over a 3-letter
+    alphabet maximize merge collisions/overlaps), any n_merges. Also:
+    re-encoding every histogram word with the learned merges
+    (training-order application) uses only vocab pieces."""
+    from hypothesis import given, settings, strategies as st
+
+    from pyspark_skyline_spark.operators.text import bpe_from_histogram
+
+    words = st.dictionaries(
+        st.text(alphabet="abc", min_size=1, max_size=8),
+        st.integers(min_value=1, max_value=50),
+        min_size=1,
+        max_size=12,
+    )
+
+    @given(wc=words, n=st.integers(min_value=0, max_value=15))
+    @settings(max_examples=150, deadline=None)
+    def inner(wc, n):
+        merges, vocab = bpe_from_histogram(wc, n)
+        assert merges == _naive_bpe(wc, n)
+        for w in wc:
+            for s in _apply_merges_in_order(w, merges):
+                assert s in vocab
+
+    inner()
