@@ -1371,6 +1371,38 @@ def _q_temperature_mix_documents(spark, sf_dir):
     )
 
 
+def _q_temperature_mix_skewed_documents(spark, sf_dir):
+    """Skewed-domain companion of temperature_mix_documents (round-13):
+    the corpus sources are equal-count, so that row's oracle match
+    exercises only the all-ties path of the D'Hondt allocation; this
+    row derives a deterministic 5:3:2 domain split (doc_id % 10) and a
+    non-divisible total, so the divisor-BISECTION path (round-13
+    rewrite of temperature_targets) is oracle-graded cross-engine on
+    genuinely distinct sqrt-averages — with the incidental exact
+    cross-domain ties (n_a*j_b^2 == n_b*j_a^2) still falling to the
+    shared lexicographic rule in both engines."""
+    from pyspark_skyline_spark.operators.shuffle import (
+        mix_corpus,
+        temperature_targets,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .withColumn(
+            "skew_dom",
+            F.expr(
+                "CASE WHEN doc_id % 10 < 5 THEN 'a' "
+                "WHEN doc_id % 10 < 8 THEN 'b' ELSE 'c' END"
+            ),
+        )
+    )
+    targets = temperature_targets(docs, "skew_dom", total=137, tau=0.5)
+    return mix_corpus(docs, "skew_dom", targets, ["doc_id"]).select(
+        "doc_id", "skew_dom", "mix_rank"
+    )
+
+
 def _q_pack_positions_documents(spark, sf_dir):
     """Position/segment-id emission (round-12 addition;
     operators/sample.py::pack_position_ids): the third packed-sequence
@@ -1850,6 +1882,11 @@ _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # real token ids for the packing family; exactly oracled via the
     # relational jump table + recursive pointer walk
     "subword_encode_documents": _q_subword_encode_documents,
+    # round-13 addition: skewed-domain temperature mixture — the
+    # non-tie bisection path of the round-13 D'Hondt rewrite,
+    # oracle-graded (the original row's equal-count fixture only
+    # exercises ties)
+    "temperature_mix_skewed_documents": _q_temperature_mix_skewed_documents,
     # round-12 addition: temperature-based mixture targets (count^0.5
     # highest-averages, exact integer comparisons) + mixture take —
     # exactly oracled via the n/j^2 grid formulation

@@ -1637,6 +1637,38 @@ FROM spans GROUP BY seq
     # >> a double ulp (min gap ~1/j_max^4 of the value vs ulp ~1e-13),
     # so the DESC double sort reproduces the engine's exact integer
     # comparisons. Then the standard md5(seed=42|doc_id) mixture take.
+    # round-13 skewed-domain companion: same highest-averages grid
+    # formulation over a derived 5:3:2 domain and total=137, so the
+    # oracle grades the bisection's NON-tie path; ties (exact rational
+    # equality) still break (source, j) — the shared lex rule
+    "temperature_mix_skewed_documents": """
+WITH d AS (SELECT doc_id,
+                  CASE WHEN doc_id % 10 < 5 THEN 'a'
+                       WHEN doc_id % 10 < 8 THEN 'b' ELSE 'c' END
+                    AS skew_dom
+           FROM documents),
+c AS (SELECT skew_dom, CAST(count(*) AS BIGINT) AS n FROM d
+      GROUP BY skew_dom),
+grid AS (SELECT skew_dom, n, unnest(range(1, 201)) AS j FROM c),
+seats AS (
+  SELECT skew_dom, j,
+         row_number() OVER (
+           ORDER BY CAST(n AS DOUBLE) / (j * j) DESC, skew_dom, j
+         ) AS rk
+  FROM grid),
+tgt AS (SELECT skew_dom, CAST(count(*) AS BIGINT) AS target
+        FROM seats WHERE rk <= 137 GROUP BY skew_dom),
+t AS (SELECT doc_id, skew_dom,
+             md5(concat_ws('|', '42', CAST(doc_id AS VARCHAR))) AS __o
+      FROM d),
+r AS (SELECT doc_id, skew_dom,
+             row_number() OVER (PARTITION BY skew_dom ORDER BY __o) - 1
+               AS mix_rank
+      FROM t)
+SELECT doc_id, skew_dom, CAST(mix_rank AS BIGINT) AS mix_rank
+FROM r JOIN tgt USING (skew_dom)
+WHERE mix_rank < target
+""",
     "temperature_mix_documents": """
 WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents
            WHERE source IS NOT NULL GROUP BY source),

@@ -75,8 +75,8 @@ def test_registry_tallies_match_documented_counts():
     oracled), and different counters included different halves. Pin
     both halves and the union.
 
-    Documented tally (round 13): 50 driver rows (all oracled) + 71
-    extras total = 66 entry_ext extras (63 oracled + 3 rows-only:
+    Documented tally (round 13): 50 driver rows (all oracled) + 72
+    extras total = 67 entry_ext extras (64 oracled + 3 rows-only:
     representative_skyline_part — sequential greedy has no SQL form;
     semantic_dedup_embeddings — iterative k-means likewise;
     pack_documents_ffd_documents — sequential first-fit greedy
@@ -88,9 +88,9 @@ def test_registry_tallies_match_documented_counts():
     extra_oracled = set(entry_mod.extra_oracle_sql())
     ext_extras = ext_extra_queries()
     assert len(qs) == 50
-    assert len(ext_extras) == 66
-    assert len(extras) == 71  # 66 entry_ext + 5 extra skyline dims
-    assert len(extra_oracled) == 68
+    assert len(ext_extras) == 67
+    assert len(extras) == 72  # 67 entry_ext + 5 extra skyline dims
+    assert len(extra_oracled) == 69
     assert set(extras) - extra_oracled == {
         "representative_skyline_part",
         "semantic_dedup_embeddings",
