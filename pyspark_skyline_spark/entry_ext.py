@@ -1229,13 +1229,17 @@ def _q_dsir_logweights_documents(spark, sf_dir):
     from pyspark_skyline_spark.operators.selection import dsir_logweights
 
     docs = load_table(spark, sf_dir, "documents")
+    # target_filter (round-13): the target corpus is the English SLICE
+    # of the same table, so the predicate form fits both multinomials
+    # from one flagged explode — identical integer counts, one fewer
+    # corpus text pass (see _dsir_model)
     return dsir_logweights(
         docs,
-        docs.filter(F.col("lang") == _DSIR_TARGET_LANG),
-        "doc_id",
-        "text",
+        id_col="doc_id",
+        text_col="text",
         n_buckets=_DSIR_BUCKETS,
         hash_mode="md5",
+        target_filter=F.col("lang") == _DSIR_TARGET_LANG,
     )
 
 
@@ -1252,14 +1256,17 @@ def _q_dsir_select_documents(spark, sf_dir):
     from pyspark_skyline_spark.operators.selection import dsir_select_exact
 
     docs = load_table(spark, sf_dir, "documents")
+    # target_filter (round-13): one corpus text pass total — the
+    # checkpointed per-(doc, bucket) count table carries the target
+    # flag and feeds both the model fit and the exact-decimal scoring
     return dsir_select_exact(
         docs,
-        docs.filter(F.col("lang") == _DSIR_TARGET_LANG),
-        "doc_id",
-        "text",
+        id_col="doc_id",
+        text_col="text",
         keep_frac=_DSIR_KEEP,
         n_buckets=_DSIR_BUCKETS,
         hash_mode="md5",
+        target_filter=F.col("lang") == _DSIR_TARGET_LANG,
     )
 
 

@@ -33,9 +33,9 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
-from pyspark_skyline_spark.operators.dedup import hash64_expr
+from pyspark_skyline_spark.operators.dedup import hash64_expr, spread_for_compute
 from pyspark_skyline_spark.operators.shuffle import _global_row_number_with_total
 from pyspark_skyline_spark.operators.text import adjacent_pairs, tokens
 
@@ -65,14 +65,73 @@ def _feature_occurrences(
     return df.select(F.col(id_col), F.explode(feats).alias("__feat"))
 
 
+def _occ_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int,
+    include_bigrams: bool,
+    hash_mode: str,
+    target_filter: Column | None = None,
+) -> DataFrame:
+    """(id[, __tgt], __b) bucketed-occurrence table from ONE projected,
+    compute-spread scan+explode of ``df``.
+
+    Round-13 optimization (guide §2.5 input skew + §2.3 project before
+    the exchange): the tokenize→md5→explode pipeline is compute-dense,
+    and a single-parquet-file corpus scans as ONE partition — profiled
+    at sf0.1, the whole DSIR fit ran on one core (1.3–2.3 s single-task
+    stages). ``spread_for_compute`` round-robins the PROJECTED (id,
+    text[, flag]) rows to cluster parallelism first (a no-op at real
+    scale where splits >= cores), so the hash work parallelizes; only
+    the columns the explode needs cross that exchange."""
+    bucket = lambda c: F.pmod(hash64_expr(c, None, hash_mode), F.lit(n_buckets))  # noqa: E731
+    cols = [F.col(id_col), F.col(text_col)]
+    keep = [id_col]
+    if target_filter is not None:
+        cols.append(target_filter.cast("boolean").alias("__tgt"))
+        keep.append("__tgt")
+    slim = spread_for_compute(df.select(*cols))
+    toks = tokens(F.col(text_col))
+    feats = toks
+    if include_bigrams:
+        pairs = adjacent_pairs(toks, lambda a, b: F.concat(a, F.lit(" "), b))
+        feats = F.concat(toks, pairs)
+    return slim.select(*keep, F.explode(feats).alias("__feat")).select(
+        *keep, bucket(F.col("__feat")).alias("__b")
+    )
+
+
+def _ratio_from_counts(counts: DataFrame, n_buckets: int) -> DataFrame:
+    """Per-bucket log-ratio table from a single (__b, __cq, __cp)
+    counts table (``__cp`` NULL where the bucket has no target
+    occurrences). Bit-identical arithmetic to the two-table join form:
+    same add-one smoothing, same IEEE ``ln`` over the same integers."""
+    totals = counts.agg(
+        F.sum("__cq").alias("__nq"),
+        F.coalesce(F.sum("__cp"), F.lit(0)).alias("__np"),
+    )
+    return counts.crossJoin(F.broadcast(totals)).select(
+        "__b",
+        (
+            F.log(
+                (F.coalesce(F.col("__cp"), F.lit(0)) + 1.0)
+                / (F.col("__np") + F.lit(n_buckets))
+            )
+            - F.log((F.col("__cq") + 1.0) / (F.col("__nq") + F.lit(n_buckets)))
+        ).alias("__lr"),
+    )
+
+
 def dsir_logweights(
     raw_df: DataFrame,
-    target_df: DataFrame,
+    target_df: DataFrame | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     n_buckets: int = 8192,
     include_bigrams: bool = True,
     hash_mode: str = "xxhash64",
+    target_filter: Column | None = None,
 ) -> DataFrame:
     """Per-document DSIR importance log-weight of every raw document
     toward the target corpus's hashed-feature distribution. Returns
@@ -97,9 +156,16 @@ def dsir_logweights(
     side), and ONE broadcast equi-join of raw occurrences against the
     <= B-row log-ratio table, then a per-doc sum. At the paper's B =
     10^4..10^6 the ratio table is 16 bytes/row — always broadcastable.
+
+    ``target_filter`` (mutually exclusive with ``target_df``): a
+    boolean Column selecting the target slice OF ``raw_df`` — both
+    multinomials then fit from one flagged explode (see
+    :func:`_dsir_model`), cutting corpus text passes from 3 to 2.
+    Identical output (integer bucket counts either way).
     """
-    occ_raw, ratio = _dsir_occ_and_ratio(
-        raw_df, target_df, id_col, text_col, n_buckets, include_bigrams, hash_mode
+    occ_raw, ratio = _dsir_model(
+        raw_df, target_df, id_col, text_col, n_buckets, include_bigrams,
+        hash_mode, target_filter, per_doc_counts=False,
     )
     return (
         occ_raw.join(F.broadcast(ratio), "__b")
@@ -111,38 +177,102 @@ def dsir_logweights(
     )
 
 
-def _dsir_occ_and_ratio(
+def _dsir_model(
     raw_df: DataFrame,
-    target_df: DataFrame,
+    target_df: DataFrame | None,
     id_col: str,
     text_col: str,
     n_buckets: int,
     include_bigrams: bool,
     hash_mode: str,
+    target_filter: Column | None,
+    per_doc_counts: bool,
 ) -> tuple[DataFrame, DataFrame]:
     """The DSIR model parts shared by :func:`dsir_logweights` and
-    :func:`dsir_select_exact`: the raw corpus's (id, bucket)
-    occurrence table and the <= B-row per-bucket log-ratio table."""
+    :func:`dsir_select_exact`: the raw corpus's scoring-side table and
+    the <= B-row per-bucket log-ratio table.
+
+    ``per_doc_counts=False`` returns the per-OCCURRENCE (id, __b) table
+    (``dsir_logweights`` sums ``__lr`` per occurrence, preserving its
+    oracle's summation association); ``True`` returns the localCheck-
+    pointed per-(id, __b) integer count table ``docb`` (``__cnt``
+    column; ``dsir_select_exact``'s exact-decimal scoring side).
+
+    ``target_filter`` (round-13 optimization, guide §1.2/§8 "decide
+    with small rows"): when the target corpus is a predicate SLICE of
+    the raw corpus — the common pretraining case, and what the entry
+    rows do — passing the predicate instead of a second DataFrame lets
+    BOTH multinomials fit from ONE flagged explode of the raw corpus:
+    ``__cq`` = all occurrences per bucket, ``__cp`` = the conditional
+    count over target-flagged rows, in one map-side-combined aggregate.
+    Corpus text passes drop from 3 to 1 (``dsir_select_exact``: the
+    checkpointed docb feeds fit AND scoring) or 2 (``dsir_logweights``:
+    fit + the per-occurrence scoring join). Bucket counts are integers
+    either way, so results are bit-identical to the two-DataFrame path
+    (pinned by tests/test_selection.py's equivalence test).
+    """
     if n_buckets < 2:
         raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
-    bucket = lambda c: F.pmod(hash64_expr(c, None, hash_mode), F.lit(n_buckets))  # noqa: E731
-    occ_raw = _feature_occurrences(raw_df, id_col, text_col, include_bigrams).select(
-        id_col, bucket(F.col("__feat")).alias("__b")
+    if (target_df is None) == (target_filter is None):
+        raise ValueError(
+            "exactly one of target_df / target_filter must be provided"
+        )
+    if target_filter is not None:
+        occ = _occ_buckets(
+            raw_df, id_col, text_col, n_buckets, include_bigrams, hash_mode,
+            target_filter,
+        )
+        if per_doc_counts:
+            # ONE corpus pass total: docb carries the per-doc target
+            # flag (constant per doc), so the bucket fit is a tiny
+            # re-aggregate of the checkpointed docb instead of a second
+            # explode. Checkpoint RDDs are reclaimed by the context
+            # cleaner, unlike a pinned persist.
+            docb = (
+                occ.groupBy(id_col, "__tgt", "__b")
+                .agg(F.count(F.lit(1)).alias("__cnt"))
+                .localCheckpoint(eager=False)
+            )
+            counts = docb.groupBy("__b").agg(
+                F.sum("__cnt").alias("__cq"),
+                F.sum(F.when(F.col("__tgt"), F.col("__cnt"))).alias("__cp"),
+            )
+            return docb, _ratio_from_counts(counts, n_buckets)
+        # per-occurrence scoring side: the fit is one conditional
+        # aggregate of the flagged occurrence table (<= B groups,
+        # map-side combined); checkpointed so the totals + ratio
+        # consumers don't re-run the explode
+        counts = occ.groupBy("__b").agg(
+            F.count(F.lit(1)).alias("__cq"),
+            F.sum(F.when(F.col("__tgt"), F.lit(1))).alias("__cp"),
+        ).localCheckpoint(eager=False)
+        return occ.drop("__tgt"), _ratio_from_counts(counts, n_buckets)
+
+    # two-DataFrame path (arbitrary target corpus, not necessarily a
+    # slice of raw): one spread explode per corpus. NOTE totals must
+    # come from the FULL p_counts (a target bucket absent from raw
+    # still contributes to N_p), so the ratio keeps the two-table join.
+    occ_raw = _occ_buckets(
+        raw_df, id_col, text_col, n_buckets, include_bigrams, hash_mode
     )
-    occ_tgt = _feature_occurrences(
-        target_df, id_col, text_col, include_bigrams
-    ).select(bucket(F.col("__feat")).alias("__b"))
-    # both count tables are <= B rows and each feeds two consumers
-    # (totals + ratio); without a lineage cut every consumer re-runs
-    # its corpus explode + aggregate. The lazy checkpoint caps the
-    # explodes at the structural minimum: raw twice (model fit +
-    # scoring join), target once. Checkpoint RDDs are reclaimed by the
-    # context cleaner, unlike a pinned persist.
-    q_counts = (
-        occ_raw.groupBy("__b")
-        .agg(F.count(F.lit(1)).alias("__cq"))
-        .localCheckpoint(eager=False)
-    )
+    occ_tgt = _occ_buckets(
+        target_df, id_col, text_col, n_buckets, include_bigrams, hash_mode
+    ).select("__b")
+    if per_doc_counts:
+        docb = (
+            occ_raw.groupBy(id_col, "__b")
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+            .localCheckpoint(eager=False)
+        )
+        q_counts = docb.groupBy("__b").agg(F.sum("__cnt").alias("__cq"))
+        scoring_side: DataFrame = docb
+    else:
+        q_counts = (
+            occ_raw.groupBy("__b")
+            .agg(F.count(F.lit(1)).alias("__cq"))
+            .localCheckpoint(eager=False)
+        )
+        scoring_side = occ_raw
     p_counts = (
         occ_tgt.groupBy("__b")
         .agg(F.count(F.lit(1)).alias("__cp"))
@@ -168,12 +298,12 @@ def _dsir_occ_and_ratio(
             ).alias("__lr"),
         )
     )
-    return occ_raw, ratio
+    return scoring_side, ratio
 
 
 def dsir_select_exact(
     raw_df: DataFrame,
-    target_df: DataFrame,
+    target_df: DataFrame | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     keep_frac: float = 0.25,
@@ -181,6 +311,7 @@ def dsir_select_exact(
     include_bigrams: bool = True,
     hash_mode: str = "xxhash64",
     num_partitions: int | None = None,
+    target_filter: Column | None = None,
 ) -> DataFrame:
     """Deterministic DSIR top-k selection with a TIE-EXACT ranking key
     — the variant whose full select (not just the score surface) is
@@ -213,10 +344,15 @@ def dsir_select_exact(
     engine."""
     if not (0.0 < keep_frac <= 1.0):
         raise ValueError(f"keep_frac must be in (0, 1], got {keep_frac}")
-    occ_raw, ratio = _dsir_occ_and_ratio(
-        raw_df, target_df, id_col, text_col, n_buckets, include_bigrams, hash_mode
+    # per_doc_counts: _dsir_model returns the checkpointed per-(doc,
+    # bucket) count table, which is BOTH the model-fit input and the
+    # scoring side — with target_filter the whole operator makes one
+    # pass over the corpus text (guide §8: every later decision runs on
+    # the small integer proxy table, never the text again)
+    docb, ratio = _dsir_model(
+        raw_df, target_df, id_col, text_col, n_buckets, include_bigrams,
+        hash_mode, target_filter, per_doc_counts=True,
     )
-    docb = occ_raw.groupBy(id_col, "__b").agg(F.count(F.lit(1)).alias("__cnt"))
     scored = (
         docb.join(F.broadcast(ratio), "__b")
         .withColumn(
@@ -243,7 +379,7 @@ def dsir_select_exact(
 
 def dsir_select(
     raw_df: DataFrame,
-    target_df: DataFrame,
+    target_df: DataFrame | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     keep_frac: float = 0.25,
@@ -253,6 +389,7 @@ def dsir_select(
     sample_mode: str = "topk",
     seed: int = 42,
     num_partitions: int | None = None,
+    target_filter: Column | None = None,
 ) -> DataFrame:
     """DSIR selection: ``dsir_logweights`` plus a ``keep_frac`` cut.
     Returns ``(id_col, logw, n_feats, keep)`` with ``keep`` true for
@@ -290,7 +427,8 @@ def dsir_select(
     if sample_mode not in ("topk", "gumbel"):
         raise ValueError(f"sample_mode must be 'topk' or 'gumbel', got {sample_mode!r}")
     w = dsir_logweights(
-        raw_df, target_df, id_col, text_col, n_buckets, include_bigrams, hash_mode
+        raw_df, target_df, id_col, text_col, n_buckets, include_bigrams,
+        hash_mode, target_filter=target_filter,
     )
     key = F.col("logw")
     if sample_mode == "gumbel":

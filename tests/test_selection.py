@@ -226,3 +226,39 @@ def test_dsir_select_exact_matches_hand_model_and_ties(spark):
 
     with pytest.raises(ValueError, match="keep_frac"):
         dsir_select_exact(df, tgt, keep_frac=0.0)
+
+
+def test_target_filter_path_bit_equal(spark, raw_df):
+    """Round-13 optimization: the single-pass target_filter path must be
+    BIT-identical to the two-DataFrame path for every operator (the fit
+    counts are integers either way, so any divergence is a plan bug,
+    not float noise)."""
+    from pyspark.sql import functions as F
+
+    from pyspark_skyline_spark.operators.selection import dsir_select_exact
+
+    tgt_df = raw_df.filter(F.col("lang") == TARGET_LANG)
+    flt = F.col("lang") == TARGET_LANG
+    for fn, kw in (
+        (dsir_logweights, {}),
+        (dsir_select_exact, {"keep_frac": 0.4}),
+        (dsir_select, {"keep_frac": 0.4, "sample_mode": "gumbel"}),
+    ):
+        a = {
+            r["doc_id"]: r.asDict()
+            for r in fn(
+                raw_df, tgt_df, n_buckets=B, hash_mode="md5", **kw
+            ).collect()
+        }
+        b = {
+            r["doc_id"]: r.asDict()
+            for r in fn(
+                raw_df, n_buckets=B, hash_mode="md5", target_filter=flt, **kw
+            ).collect()
+        }
+        assert a == b, fn.__name__
+
+    with pytest.raises(ValueError, match="exactly one"):
+        dsir_logweights(raw_df, tgt_df, target_filter=flt)
+    with pytest.raises(ValueError, match="exactly one"):
+        dsir_logweights(raw_df)
