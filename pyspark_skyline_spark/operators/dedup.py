@@ -118,6 +118,29 @@ def spread_for_compute(df: DataFrame) -> DataFrame:
     return df.repartition(target)
 
 
+def pin_compute_shuffle(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Hash-repartition by ``key_cols`` at the session's CONFIGURED
+    shuffle parallelism, pinned against AQE partition coalescing.
+
+    AQE coalesces post-shuffle partitions by BYTES (default 1 MB
+    minimum / 64 MB advisory), which is the right call for
+    byte-bound stages but exactly wrong for compute-dense ones: a
+    candidate-pair table is ~16 bytes/row while its verify stage does
+    an O(set size) ``array_intersect`` per row — profiled at sf0.1,
+    the similarity-join verify stages collapsed to 1-2 tasks (1.6-3.6 s
+    single-task walls with 31 cores idle). A user-specified repartition
+    is exempt from AQE coalescing, and placing it on the join/aggregate
+    key means the downstream aggregate or join REUSES the exchange —
+    no extra shuffle, just a pinned partition count.
+
+    The count comes from ``spark.sql.shuffle.partitions`` — the
+    session's scale knob (what the exchange would have used before
+    coalescing) — not from local core count, so cluster configs size it
+    exactly as they size every other reduce stage."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(n, *[F.col(c) for c in key_cols])
+
+
 def dedup_exact(df: DataFrame, subset: list[str], order_col: str | None = None) -> DataFrame:
     """Exact dedup. With ``order_col``, keeps the row with the smallest
     ``order_col`` per duplicate group (deterministic representative);
@@ -539,8 +562,13 @@ def minhash_lsh_pairs(
             & (F.col("a.__id") < F.col("b.__id")),
         )
         .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
-        .dropDuplicates()
     )
+    # pinned-parallelism candidate dedup + verify (see
+    # pin_compute_shuffle): the per-candidate shingle-set intersection
+    # below is compute-dense, and AQE's byte-based coalescing collapses
+    # the ~16-byte/row candidate shuffle to 1-2 tasks; the
+    # dropDuplicates aggregate reuses this exchange
+    cand = pin_compute_shuffle(cand, "id_a", "id_b").dropDuplicates()
 
     # BROADCAST the verify build side when it measurably fits — same
     # rationale and 128 MB budget as ngram_jaccard_pairs (the per-doc
@@ -824,6 +852,13 @@ def ngram_jaccard_pairs(
             F.slice(F.transform("__rsh", lambda x: x["__h"]), F.lit(1), prefix_len)
         ).alias("__pos", "__p"),
     )
+    # pin the prefix self-join's exchange at configured parallelism:
+    # prefix keys are ~16 bytes/row but each matched bucket does
+    # candidate-pair emission + positional filtering — compute-dense,
+    # so AQE's byte-based coalescing undersizes it (see
+    # pin_compute_shuffle); the self-join reuses this one exchange for
+    # both sides
+    pref = pin_compute_shuffle(pref, "__p")
     a, b = pref.alias("a"), pref.alias("b")
     # PPJoin positional filter: overlap through a shared element at
     # 0-based positions (i, j) is at most 1 + min(|A|-i-1, |B|-j-1),
@@ -866,8 +901,13 @@ def ngram_jaccard_pairs(
             ),
         )
         .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
-        .dropDuplicates()
     )
+    # candidate dedup + verify run at pinned parallelism too: the
+    # per-candidate array_intersect is the operator's hottest loop
+    # (profiled 2.0 s on ONE task at sf0.1 under AQE coalescing); the
+    # dropDuplicates aggregate reuses this exchange, so the pin costs
+    # no extra shuffle
+    cand = pin_compute_shuffle(cand, "id_a", "id_b").dropDuplicates()
     # verify arrays come from the materialized ranked table, not a
     # fresh md5 pass — set ops don't care about element order, so the
     # (df, hash)-sorted projection works as-is
@@ -1325,11 +1365,13 @@ def dedup_incremental_neardup(
     led_bands = ledger_sigs.select(
         F.col(ledger_id_col).alias("__lid"), F.posexplode(bk).alias("__bi", "__bk")
     )
-    cand = (
-        new_bands.join(led_bands, ["__bi", "__bk"])
-        .select("__nid", "__lid")
-        .dropDuplicates()
-    )
+    # pinned-parallelism candidate dedup + estimator (see
+    # pin_compute_shuffle): the 64-component signature comparison per
+    # candidate is compute-dense relative to its 16-byte shuffle row
+    cand = pin_compute_shuffle(
+        new_bands.join(led_bands, ["__bi", "__bk"]).select("__nid", "__lid"),
+        "__nid", "__lid",
+    ).dropDuplicates()
     a = sigs_new.select(
         F.col(id_col).alias("__nid"), *[F.col(c).alias(f"__a_{c}") for c in sig_names]
     )
