@@ -50,8 +50,14 @@ def _make_skyline_query(table: str, dims, algo: str, via_sql: bool = False):
         # timestamp results must collect in UTC to match DuckDB's naive
         # timestamps regardless of the harness session's zone
         spark.conf.set("spark.sql.session.timeZone", "UTC")
-        df = load_table(spark, sf_dir, table)
         cols = [c for c, _ in dims]
+        # project to the skyline dimensions BEFORE the operator (round
+        # 13, guide §4.1): the grouped kernel is opaque to Catalyst, so
+        # without this every non-dim column of the table crosses the
+        # shuffle and the Arrow boundary only to be dropped by the
+        # final select — and the parquet scan reads them all. Same
+        # result (dominance + dedup touch only the dims).
+        df = load_table(spark, sf_dir, table).select(*cols)
         if via_sql:
             # K11 parser front door (parser.py): dims travel through the
             # reference's query grammar instead of a Python list, so the

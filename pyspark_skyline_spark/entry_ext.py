@@ -183,7 +183,9 @@ def _q_rolling_stats_events(spark, sf_dir):
 
 
 def _q_k_skyband_part(spark, sf_dir):
-    part = load_table(spark, sf_dir, "part")
+    # project to the skyband dimensions before the counting kernels
+    # (round 13, guide §4.1) — output keeps only dims + the count
+    part = load_table(spark, sf_dir, "part").select("p_retailprice", "p_size")
     return (
         k_skyband(part, [("p_retailprice", "min"), ("p_size", "min")], k=3)
         .select("p_retailprice", "p_size", "n_dominators")
@@ -201,7 +203,12 @@ def _q_sessionize_events(spark, sf_dir):
 
 def _q_skyline_layers_orders(spark, sf_dir):
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    orders = load_table(spark, sf_dir, "orders")
+    # project to the two layer dimensions before the peel loop (round
+    # 13, guide §4.1): every layer's grouped kernel, anti-join and
+    # checkpoint otherwise carries the full 9-column order rows
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_totalprice", "o_orderdate"
+    )
     out = skyline_layers(
         orders, [("o_totalprice", "max"), ("o_orderdate", "min")], n_layers=3
     )
@@ -370,7 +377,9 @@ def _q_multimodal_decode_real(spark, sf_dir):
 
 
 def _q_windowed_skyline_events(spark, sf_dir):
-    ev = load_table(spark, sf_dir, "events")
+    # project to window source + dims before the grouped kernel (round
+    # 13, guide §4.1)
+    ev = load_table(spark, sf_dir, "events").select("ts", "value", "event_id")
     res = windowed_skyline(
         ev, "ts", "1 day", [("value", "max"), ("event_id", "min")]
     )
@@ -386,7 +395,11 @@ def _q_distinct_users_by_type(spark, sf_dir):
 
 
 def _q_skyline_by_status(spark, sf_dir):
-    orders = load_table(spark, sf_dir, "orders")
+    # project to group + dims before the opaque grouped kernel (round
+    # 13, guide §4.1) — the output keeps only these three columns
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
     res = skyline(
         orders,
         [("o_totalprice", "max"), ("o_orderdate", "min")],
@@ -396,8 +409,16 @@ def _q_skyline_by_status(spark, sf_dir):
 
 
 def _q_join_skyline_customer_nation(spark, sf_dir):
-    cust = load_table(spark, sf_dir, "customer")
-    nation = load_table(spark, sf_dir, "nation")
+    # project both join sides to the columns the query keeps (round 13,
+    # guide §4.1/§2.3): the grouped kernel downstream is opaque to
+    # Catalyst, so without this the full customer+nation width crosses
+    # the skyline shuffle and Arrow boundary
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_acctbal", "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
     joined = cust.join(
         F.broadcast(nation), cust.c_nationkey == nation.n_nationkey, "inner"
     )

@@ -139,7 +139,15 @@ def k_skyband(
             }
         )
 
-    cands = dimtbl.groupBy("__cell").applyInPandas(
+    # pinned-parallelism grouped kernels (round 13, see
+    # dedup.pin_compute_shuffle): the (id, cell, d doubles) shuffle rows
+    # are tiny but each group runs a blocked O(n² d) NumPy pass — AQE's
+    # byte-based coalescing packed the whole audit onto 1-2 tasks
+    # (profiled 0.7-0.9 s single-task stages at sf0.1); the repartition
+    # on the group key is reused by the applyInPandas exchange
+    from pyspark_skyline_spark.operators.dedup import pin_compute_shuffle
+
+    cands = pin_compute_shuffle(dimtbl, "__cell").groupBy("__cell").applyInPandas(
         local_counts, "__id long, __cell long, __incell long"
     )
 
@@ -195,7 +203,7 @@ def k_skyband(
             }
         )
 
-    partial = grouped.groupBy("__grp").applyInPandas(
+    partial = pin_compute_shuffle(grouped, "__grp").groupBy("__grp").applyInPandas(
         partial_counts, "__id long, __partial long"
     )
 
