@@ -314,15 +314,22 @@ def _md5_mix_exprs(num_hashes: int) -> list[Column]:
     construction of a 32-seed projection cost ~1.5 s of DRIVER time
     per signature build (py4j chatter + analyzer load) — more than
     the cluster-side execution of the whole signature job."""
+    return [F.expr(s) for s in _md5_mix_sqls(num_hashes)]
+
+
+def _md5_mix_sqls(num_hashes: int) -> list[str]:
+    """The md5-mode per-seed mixes as aliased SQL STRINGS for
+    ``selectExpr`` — one gateway call for the whole projection instead
+    of one ``F.expr`` + one ``.alias`` per seed (round 13: 0.37 →
+    0.16 s of driver time per 64-seed signature build; the JVM-side
+    parse is identical either way)."""
     out = []
     for j in range(num_hashes):
         a, b, c = _mix_param(j)
         out.append(
-            F.expr(
-                f"(({_modmul_sqlstr('__g1', '__g0', a)}) + "
-                f"({_modmul_sqlstr('__h1', '__h0', b)}) + {c}) "
-                f"% {_MERSENNE61}"
-            ).alias(f"__h{j}")
+            f"(({_modmul_sqlstr('__g1', '__g0', a)}) + "
+            f"({_modmul_sqlstr('__h1', '__h0', b)}) + {c}) "
+            f"% {_MERSENNE61} AS __h{j}"
         )
     return out
 
@@ -440,10 +447,10 @@ def minhash_signatures(
     base_hash = hash64_expr(F.col("__s"), None, hash_mode).alias("__h")
     hashed = sh_tbl.select(id_col, base_hash)
     if hash_mode == "md5":
-        # SQL-string mix exprs over pre-split columns: ~35x fewer
-        # gateway calls than per-seed Column trees (see _md5_mix_exprs)
-        mixed = _md5_mix_base(hashed).select(
-            id_col, *_md5_mix_exprs(num_hashes)
+        # SQL-string mix exprs over pre-split columns, shipped through
+        # ONE selectExpr gateway call (see _md5_mix_sqls)
+        mixed = _md5_mix_base(hashed).selectExpr(
+            f"`{id_col}`", *_md5_mix_sqls(num_hashes)
         )
     else:
         mixed = hashed.select(
@@ -453,30 +460,36 @@ def minhash_signatures(
                 for j in range(num_hashes)
             ],
         )
+    # F.expr named-alias form: one gateway call per seed instead of two
     return mixed.groupBy(id_col).agg(
-        *[F.min(f"__h{j}").alias(f"m{j}") for j in range(num_hashes)]
+        *[F.expr(f"min(__h{j}) AS m{j}") for j in range(num_hashes)]
     )
 
 
 def _band_keys(num_hashes: int, bands: int) -> Column:
     """LSH band keys over signature columns ``m0..m{H-1}``: one string
     key per band (the joined row slice). Shared by the all-pairs and
-    incremental paths so a stored signature ledger bands identically."""
+    incremental paths so a stored signature ledger bands identically.
+
+    Built as ONE ``F.expr`` SQL string, not nested Column calls: the
+    Column-API form made ~100 py4j round trips (16 bands x 4 casts +
+    concat_ws + array) — measured 1.45 s of pure DRIVER time per call
+    at H=64/b=16, paid once or twice per minhash-family query build;
+    the single-string form is ~1 ms for the identical expression
+    (round 13; same class of fix as _md5_mix_exprs' round-10 note)."""
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
     rows_per_band = num_hashes // bands
-    return F.array(
-        *[
-            F.concat_ws(
-                ",",
-                *[
-                    F.col(f"m{b * rows_per_band + i}").cast("string")
-                    for i in range(rows_per_band)
-                ],
-            )
-            for b in range(bands)
-        ]
+    parts = ", ".join(
+        "concat_ws(',', "
+        + ", ".join(
+            f"CAST(m{b * rows_per_band + i} AS STRING)"
+            for i in range(rows_per_band)
+        )
+        + ")"
+        for b in range(bands)
     )
+    return F.expr(f"array({parts})")
 
 
 def minhash_lsh_pairs(
@@ -525,8 +538,8 @@ def minhash_lsh_pairs(
     sh_tbl = base.select("__id", F.explode("__sh").alias("__s"))
     hashed = sh_tbl.select("__id", hash64_expr(F.col("__s"), None, hash_mode).alias("__h"))
     if hash_mode == "md5":
-        mixed = _md5_mix_base(hashed).select(
-            "__id", *_md5_mix_exprs(num_hashes)
+        mixed = _md5_mix_base(hashed).selectExpr(
+            "__id", *_md5_mix_sqls(num_hashes)
         )
     else:
         mixed = hashed.select(
@@ -537,7 +550,7 @@ def minhash_lsh_pairs(
             ],
         )
     sig_tbl = mixed.groupBy("__id").agg(
-        *[F.min(f"__h{j}").alias(f"m{j}") for j in range(num_hashes)]
+        *[F.expr(f"min(__h{j}) AS m{j}") for j in range(num_hashes)]
     )
     exploded = sig_tbl.select(
         F.col("__id"),
@@ -1372,17 +1385,24 @@ def dedup_incremental_neardup(
         new_bands.join(led_bands, ["__bi", "__bk"]).select("__nid", "__lid"),
         "__nid", "__lid",
     ).dropDuplicates()
-    a = sigs_new.select(
-        F.col(id_col).alias("__nid"), *[F.col(c).alias(f"__a_{c}") for c in sig_names]
+    # selectExpr / single-F.expr forms: the Column-API renames (2 calls
+    # x 64 columns x 2 sides) and the 64-term CASE estimator (~190
+    # calls) were ~1 s of pure driver py4j per build (round 13; same
+    # fix class as _band_keys)
+    a = sigs_new.selectExpr(
+        f"`{id_col}` AS __nid", *[f"{c} AS __a_{c}" for c in sig_names]
     )
-    b = ledger_sigs.select(
-        F.col(ledger_id_col).alias("__lid"),
-        *[F.col(c).alias(f"__b_{c}") for c in sig_names],
+    b = ledger_sigs.selectExpr(
+        f"`{ledger_id_col}` AS __lid", *[f"{c} AS __b_{c}" for c in sig_names]
     )
-    est = sum(
-        F.when(F.col(f"__a_{c}") == F.col(f"__b_{c}"), 1).otherwise(0)
-        for c in sig_names
-    ) / F.lit(float(num_hashes))
+    est = F.expr(
+        "("
+        + " + ".join(
+            f"(CASE WHEN __a_{c} = __b_{c} THEN 1 ELSE 0 END)"
+            for c in sig_names
+        )
+        + f") / {float(num_hashes)!r}"
+    )
     dup_ids = (
         cand.join(a, "__nid")
         .join(b, "__lid")
