@@ -591,8 +591,16 @@ def skyline(
     # folds the salt back out, and skyline(union) == skyline(union of
     # partial skylines) keeps this exact. No-op when the cell count
     # already saturates the cluster.
+    # Grouped skylines (non-empty ``by``) skip the salt (round 13): their
+    # group count is |by groups| x ncells — the guard's ncells-only
+    # arithmetic would salt a deliberately small ``partitions`` back up
+    # to parallelism x 4 sub-groups, defeating callers that size the
+    # cell split to known-small per-group populations (e.g. the
+    # post-stream frontier reduce: thousands of one-row pandas groups
+    # instead of one group per window). A single giant by-group is still
+    # split by its cells; ``partitions`` is the knob that owns that.
     target_groups = max(2, parallelism) * 4
-    salt_mod = max(1, math.ceil(target_groups / max(ncells, 1)))
+    salt_mod = 1 if by else max(1, math.ceil(target_groups / max(ncells, 1)))
     if salt_mod > 1:
         salt = F.pmod(
             F.xxhash64(*[F.col(c) for c in dim_cols]), F.lit(salt_mod)
