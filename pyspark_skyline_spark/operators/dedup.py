@@ -137,7 +137,11 @@ def pin_compute_shuffle(df: DataFrame, *key_cols: str) -> DataFrame:
     session's scale knob (what the exchange would have used before
     coalescing) — not from local core count, so cluster configs size it
     exactly as they size every other reduce stage."""
-    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    spark = df.sparkSession
+    try:
+        n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):  # pragma: no cover - e.g. "auto"
+        n = spark.sparkContext.defaultParallelism
     return df.repartition(n, *[F.col(c) for c in key_cols])
 
 

@@ -46,25 +46,6 @@ __all__ = [
 ]
 
 
-def _feature_occurrences(
-    df: DataFrame, id_col: str, text_col: str, include_bigrams: bool
-) -> DataFrame:
-    """(id, feature-string) occurrence table: whitespace unigrams plus
-    (optionally) space-joined word bigrams, duplicates KEPT — the
-    bag-of-features counts are the multinomial's sufficient
-    statistics. One explode of one concatenated array; NULL text
-    tokenizes to NULL and the explode drops it (the repo's unigram_nll
-    convention — no empty-string token is minted)."""
-    toks = tokens(F.col(text_col))
-    feats = toks
-    if include_bigrams:
-        # the single-space join byte cannot collide with a unigram
-        # because unigrams are whitespace-split
-        pairs = adjacent_pairs(toks, lambda a, b: F.concat(a, F.lit(" "), b))
-        feats = F.concat(toks, pairs)
-    return df.select(F.col(id_col), F.explode(feats).alias("__feat"))
-
-
 def _occ_buckets(
     df: DataFrame,
     id_col: str,
@@ -75,7 +56,13 @@ def _occ_buckets(
     target_filter: Column | None = None,
 ) -> DataFrame:
     """(id[, __tgt], __b) bucketed-occurrence table from ONE projected,
-    compute-spread scan+explode of ``df``.
+    compute-spread scan+explode of ``df``: whitespace unigrams plus
+    (optionally) space-joined word bigrams, duplicates KEPT — the
+    bag-of-features counts are the multinomial's sufficient statistics
+    (the single-space join byte cannot collide with a unigram because
+    unigrams are whitespace-split). NULL text tokenizes to NULL and the
+    explode drops it (the repo's unigram_nll convention — no
+    empty-string token is minted).
 
     Round-13 optimization (guide §2.5 input skew + §2.3 project before
     the exchange): the tokenize→md5→explode pipeline is compute-dense,

@@ -591,16 +591,21 @@ def skyline(
     # folds the salt back out, and skyline(union) == skyline(union of
     # partial skylines) keeps this exact. No-op when the cell count
     # already saturates the cluster.
-    # Grouped skylines (non-empty ``by``) skip the salt (round 13): their
-    # group count is |by groups| x ncells — the guard's ncells-only
-    # arithmetic would salt a deliberately small ``partitions`` back up
-    # to parallelism x 4 sub-groups, defeating callers that size the
-    # cell split to known-small per-group populations (e.g. the
+    # Grouped skylines with CALLER-SIZED cells (non-empty ``by`` AND an
+    # explicit ``partitions``) skip the salt (round 13): the guard's
+    # ncells-only arithmetic would salt a deliberately small cell count
+    # back up to parallelism x 4 sub-groups, defeating callers that size
+    # the split to known-small per-group populations (e.g. the
     # post-stream frontier reduce: thousands of one-row pandas groups
-    # instead of one group per window). A single giant by-group is still
-    # split by its cells; ``partitions`` is the knob that owns that.
+    # instead of one group per window). Grouped calls at DEFAULT sizing
+    # keep the giant-cell guard exactly as before (a hot by-group with
+    # few cells still gets salted sub-groups).
     target_groups = max(2, parallelism) * 4
-    salt_mod = 1 if by else max(1, math.ceil(target_groups / max(ncells, 1)))
+    salt_mod = (
+        1
+        if (by and partitions is not None)
+        else max(1, math.ceil(target_groups / max(ncells, 1)))
+    )
     if salt_mod > 1:
         salt = F.pmod(
             F.xxhash64(*[F.col(c) for c in dim_cols]), F.lit(salt_mod)
@@ -960,12 +965,6 @@ def skyline_layers(
     remainder = df
     out: DataFrame | None = None
     for layer in range(1, n_layers + 1):
-        # checkpoint each frontier: it feeds BOTH the peel anti-join and
-        # the final union, and without the lineage cut the whole
-        # local-pass + merge pipeline re-executes per consumer (round-13
-        # profile: the final union re-ran every layer's kernel passes —
-        # ~2.4 s of the 4.8 s row at sf0.1). A frontier is small
-        # relative to its dataset, so materializing it is cheap.
         # checkpoint each frontier: it feeds BOTH the peel anti-join and
         # the final union, and without the lineage cut the whole
         # local-pass + merge pipeline re-executes per consumer (round-13

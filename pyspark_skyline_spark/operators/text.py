@@ -58,7 +58,7 @@ def adjacent_pairs(toks: Column, combine) -> Column:
     over indices re-evaluates the token expression per ELEMENT — the
     ~50x interpreted-HOF penalty documented at
     dedup.ordered_shingles). Shared by bigram_nll, pmi_collocations,
-    and selection._feature_occurrences so the index arithmetic exists
+    and selection._occ_buckets so the index arithmetic exists
     exactly once. The slice length is clamped at 0 — ``size(toks)-1``
     is -1 for an empty array and Spark's ``slice`` throws on negative
     length (unreachable via tokens(), whose split never yields an

@@ -133,11 +133,15 @@ def main() -> None:
             if "appstatus" not in os.path.basename(f)
         )[-1]
     jobs = parse_eventlog(logf)
-    for label, jid0, wall in marks:
-        sel = [j for j in jobs if j["job"] >= jid0]
-        nxt = [m[1] for m in marks if m[1] > jid0]
-        if nxt:
-            sel = [j for j in sel if j["job"] < min(nxt)]
+    for i, (label, jid0, wall) in enumerate(marks):
+        # half-open window [this mark's first job, next mark's first
+        # job): positional, so a pass that launched zero jobs gets an
+        # empty window instead of stealing the next pass's jobs
+        hi = marks[i + 1][1] if i + 1 < len(marks) else None
+        sel = [
+            j for j in jobs
+            if j["job"] >= jid0 and (hi is None or j["job"] < hi)
+        ]
         job_sum = sum(j.get("sec") or 0 for j in sel)
         print(f"\n=== {label}: wall {wall}s, {len(sel)} jobs, job-sum {job_sum:.3f}s "
               f"(gap {wall - job_sum:.3f}s driver-side)")
