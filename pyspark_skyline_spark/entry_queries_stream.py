@@ -17,8 +17,11 @@ from pyspark_skyline_spark.operators import text as T
 from pyspark_skyline_spark.operators.skyline import skyline
 from pyspark_skyline_spark.sources.tables import load_table
 
+_NODATA_CONF = "spark.sql.streaming.noDataMicroBatches.enabled"
+
+
 @contextmanager
-def _state_partitions(spark, n: int = 8):
+def _state_partitions(spark, n: int = 8, nodata: bool = True):
     """Run a stateful streaming query with its state partition count
     sized to the STATE instead of the session's batch-analytics shuffle
     default. Stateful operators keep one-or-more state stores per
@@ -30,13 +33,29 @@ def _state_partitions(spark, n: int = 8):
     is checkpoint-pinned and AQE-exempt, so explicit sizing is the
     correct practice at 100 TB too (there you size UP for state
     volume). Restores the session conf on exit for the batch rows that
-    follow."""
+    follow.
+
+    ``nodata=False`` additionally disables the trailing no-data
+    micro-batch for queries whose OUTPUT provably cannot depend on it —
+    inner stream-stream joins (matches are emitted in data batches; the
+    no-data batch only evicts state) and update-mode / foreachBatch
+    stateful queries (a timeout emits nothing, an empty foreachBatch is
+    skipped). That final batch costs a full commit cycle across every
+    state-store instance (measured round 14: ~0.9-1.1 s per availableNow
+    row at 8 partitions), the same cycle a 100 TB availableNow run pays.
+    APPEND-mode watermarked aggregations MUST keep it: the no-data batch
+    is what flushes windows closed by the final watermark (verified:
+    disabling it there returns 0 rows)."""
     old = spark.conf.get("spark.sql.shuffle.partitions")
+    old_nodata = spark.conf.get(_NODATA_CONF, "true")
     spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    if not nodata:
+        spark.conf.set(_NODATA_CONF, "false")
     try:
         yield
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+        spark.conf.set(_NODATA_CONF, old_nodata)
 
 
 def _q_stream_window_stats_orders(spark, sf_dir):
@@ -280,7 +299,9 @@ def _q_stream_join_events(spark, sf_dir):
         ).alias("gap_us"),
     )
     name = f"ssj_{uuid.uuid4().hex[:8]}"
-    with _state_partitions(spark):
+    # inner-join emissions all happen in data batches; the trailing
+    # no-data batch only evicts state (see _state_partitions)
+    with _state_partitions(spark, nodata=False):
         q = (
             joined.writeStream.format("memory")
             .queryName(name)
@@ -326,7 +347,10 @@ def _q_windowed_stream_skyline(spark, sf_dir):
         partitions=8,
     )
     name = f"wsky_{uuid.uuid4().hex[:8]}"
-    with _state_partitions(spark):
+    # update-mode emissions happen on data; the trailing no-data batch
+    # only fires EventTimeTimeouts, whose handler emits nothing (see
+    # _state_partitions; in a continuous run keep it for state cleanup)
+    with _state_partitions(spark, nodata=False):
         q = (
             out.writeStream.format("memory")
             .queryName(name)
@@ -367,7 +391,10 @@ def _q_two_stage_skyline(spark, sf_dir):
         .option("pathGlobFilter", os.path.basename(path))
         .parquet(os.path.dirname(path))
     )
-    with _state_partitions(spark):
+    # foreachBatch skips empty batches and the stage-1 state op has no
+    # watermark/timeout: the trailing no-data batch commits every store
+    # instance and emits nothing (see _state_partitions)
+    with _state_partitions(spark, nodata=False):
         state, q = run_two_stage_skyline_stream(stream, dims, bounds, partitions=16)
         q.awaitTermination()
     return state.result().select("o_totalprice", "o_orderdate").dropDuplicates()

@@ -1141,3 +1141,54 @@ def test_shingle_novelty_matches_hand_model(spark):
     assert got[1]["novelty"] == 0.0 and got[2]["novelty"] == 0.0
     assert got[3]["novelty"] == 1.0 and got[5]["novelty"] == 1.0
     assert 0.0 < got[4]["novelty"] < 1.0
+
+
+def test_xx_mix_sqls_matches_seed_mix_columns(spark):
+    """Round-14 driver-chatter fix: the xxhash64-mode per-seed mixes
+    shipped as ONE selectExpr SQL string must produce bit-identical
+    values to the original Column-API _seed_mix form."""
+    h = spark.range(0, 512).select(
+        F.col("id"), F.xxhash64(F.col("id").cast("string")).alias("__h")
+    )
+    old = h.select(
+        "id",
+        *[D._seed_mix(F.col("__h"), j, "xxhash64").alias(f"__h{j}") for j in range(8)],
+    )
+    new = h.selectExpr("`id`", *D._xx_mix_sqls(8))
+    assert old.exceptAll(new).count() == 0
+    assert new.exceptAll(old).count() == 0
+
+
+def test_near_dup_clusters_driver_path_empty_and_broadcastable(spark):
+    """Round 14: the driver union-find path returns an Arrow-built,
+    broadcast-hinted table. Empty input must still yield an empty
+    (node, cluster_id) frame, and a consumer equi-join against the
+    label table must plan as a broadcast join (the table is
+    driver-resident and bounded by driver_edge_limit)."""
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    got = D.near_dup_clusters(empty)
+    assert got.columns == ["node", "cluster_id"]
+    assert got.count() == 0
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    clusters = D.near_dup_clusters(pairs)
+    docs = spark.range(0, 10).select(F.col("id").alias("node"))
+    plan = docs.join(clusters, "node", "left")._jdf.queryExecution().executedPlan()
+    assert "BroadcastHashJoin" in str(plan.treeString())
+
+
+def test_spread_for_compute_decisions(spark):
+    """Round-14 stats-probe rewrite: a small single-file scan still
+    spreads to cluster parallelism, and a small post-shuffle input
+    (fuzzy's respread-after-distinct case, which AQE would byte-coalesce
+    to a few tasks) spreads too."""
+    import os
+    import tempfile
+
+    target = spark.sparkContext.defaultParallelism
+    path = os.path.join(tempfile.mkdtemp(prefix="spread_"), "t.parquet")
+    spark.range(0, 1000).coalesce(1).write.mode("overwrite").parquet(path)
+    scan = spark.read.parquet(path)
+    assert D.spread_for_compute(scan).rdd.getNumPartitions() == target
+    shuffled = scan.distinct()
+    assert D.spread_for_compute(shuffled).rdd.getNumPartitions() == target
