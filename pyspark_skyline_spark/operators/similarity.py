@@ -510,9 +510,49 @@ def cosine_near_dup_pairs(
             )
         return pd.concat(out) if out else empty
 
+    # mapInPandas fold with a LOCAL groupby instead of per-group
+    # applyInPandas (round 14): the verify's cost here is per-group
+    # LATENCY, not GEMM flops — hundreds of ~target_bucket_size groups
+    # each paying Arrow framing + vstack/normalize setup (profiled
+    # ~2.7 CPU-s for 256 trivial GEMMs at sf0.1; interleaved A/B: 1.54
+    # -> 1.41 s row floor, identical pairs). Buckets stay whole because
+    # the exchange hash-partitions on the full (table, bucket) key;
+    # rows of a bucket are ACCUMULATED until the partition ends (a GEMM
+    # is not incremental), so task memory is one reduce partition of
+    # vectors — bounded by the shuffle partitioning a cluster already
+    # sizes, with over-cap buckets dropped AS THEY ACCUMULATE so a
+    # skew-bomb bucket never materializes past the cap.
+    keys = ["__t", "__b"]
+    try:
+        n_parts = int(
+            buckets.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+    except (TypeError, ValueError):  # pragma: no cover - e.g. "auto"
+        n_parts = buckets.sparkSession.sparkContext.defaultParallelism
+
+    def fold(batches):
+        acc: dict = {}  # group key -> list of row slices | None (= over cap)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            for gkey, gidx in pdf.groupby(keys, sort=False).indices.items():
+                if gkey in acc and acc[gkey] is None:
+                    continue
+                parts = acc.setdefault(gkey, [])
+                parts.append(pdf.iloc[gidx])
+                if cap is not None and sum(len(p) for p in parts) > cap:
+                    acc[gkey] = None
+        for parts in acc.values():
+            if parts is None:
+                continue
+            g = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+            out = bucket_pairs(g)
+            if len(out):
+                yield out
+
     return (
-        buckets.groupBy("__t", "__b")
-        .applyInPandas(bucket_pairs, f"id_a {id_type}, id_b {id_type}, cos double")
+        buckets.repartition(n_parts, *keys)
+        .mapInPandas(fold, f"id_a {id_type}, id_b {id_type}, cos double")
         .dropDuplicates(["id_a", "id_b"])
     )
 

@@ -313,16 +313,27 @@ def _default_param(algo: str, d: int, parallelism: int) -> int:
 
 
 def _local_skyline_pass(df_keyed: DataFrame, dim_cols, senses, prune_rounds: int, by=()):
-    """One groupBy(by + cell).applyInPandas skyline pass; keeps the cell
-    col.
+    """One per-(by + cell) skyline pass; keeps the cell col.
 
     The grouped kernel is Python/Arrow LATENCY-bound (per-group IPC
     round-trips), not byte-bound — but AQE coalesces the groupBy
     exchange by byte size, which can funnel hundreds of groups into a
     handful of tasks. An explicit ``repartition(n, keys)`` pins the
     exchange at the session's shuffle parallelism (AQE leaves
-    explicit-numPartitions shuffles alone) and the groupBy reuses that
-    exchange — same shuffle count, full-width Python stage."""
+    explicit-numPartitions shuffles alone) — same shuffle count, full-
+    width Python stage.
+
+    A ``mapInPandas`` incremental-fold variant (local pandas groupby,
+    ``frontier(g) = kernel(frontier(g) ∪ batch-rows(g))`` per Arrow
+    batch) was TRIED and MEASURED OFF in round 14: interleaved A/B at
+    sf0.1 showed it a wash-to-loss on the gate shapes (skyline_layers
+    consistently +0.3 s, two_stage +0.2 s, bare 2-d skyline +0.06 s;
+    only the MR_ANGLE 3-d row improved, within host noise) — at a few
+    thousand rows per group the per-group Arrow framing this removes
+    is already amortized, and the pandas groupby/iloc/concat bookkeeping
+    costs more than it saves. The fold-vs-antijoin differential test
+    (tiny Arrow batches, groups spanning batches) stays as a semantics
+    pin for any future retry."""
     schema = df_keyed.schema
     keys = [*by, _CELL]
     try:
@@ -592,18 +603,20 @@ def skyline(
     # partial skylines) keeps this exact. No-op when the cell count
     # already saturates the cluster.
     # Grouped skylines with CALLER-SIZED cells (non-empty ``by`` AND an
-    # explicit ``partitions``) skip the salt (round 13): the guard's
-    # ncells-only arithmetic would salt a deliberately small cell count
-    # back up to parallelism x 4 sub-groups, defeating callers that size
-    # the split to known-small per-group populations (e.g. the
-    # post-stream frontier reduce: thousands of one-row pandas groups
-    # instead of one group per window). Grouped calls at DEFAULT sizing
-    # keep the giant-cell guard exactly as before (a hot by-group with
-    # few cells still gets salted sub-groups).
+    # explicit SMALL ``partitions``) skip the salt (round 13): the
+    # guard's ncells-only arithmetic would salt a deliberately small
+    # cell count back up to parallelism x 4 sub-groups, defeating
+    # callers that size the split to known-small per-group populations
+    # (e.g. the post-stream frontier reduce: thousands of one-row
+    # pandas groups instead of one group per window). The skip is gated
+    # on ``partitions <= parallelism`` (ADVICE r13): a caller passing a
+    # LARGE partitions to increase parallelism is not vouching for
+    # small per-group populations, so the hot-by-group OOM guard stays;
+    # grouped calls at DEFAULT sizing keep it exactly as before.
     target_groups = max(2, parallelism) * 4
     salt_mod = (
         1
-        if (by and partitions is not None)
+        if (by and partitions is not None and partitions <= max(2, parallelism))
         else max(1, math.ceil(target_groups / max(ncells, 1)))
     )
     if salt_mod > 1:
@@ -957,6 +970,11 @@ def skyline_layers(
     # layer, and every remainder is a subset of df, so df's estimate
     # decides identically for all peels. Only the small-input fast path
     # is pinned; large inputs keep the per-layer adaptive behavior.
+    # INTENTIONAL divergence (ADVICE r13): this estimate reads the RAW
+    # df while skyline()'s internal gates read the NULL/NaN-filtered
+    # input — the raw estimate is >= the filtered one, so near the
+    # 4 GiB threshold the hoist can only err toward keeping the
+    # adaptive (probe-paying) path, never toward unsafely pinning it.
     est = _estimated_bytes(df)
     if 0 < est <= 4 * 1024**3:
         skyline_kwargs.setdefault("map_side_combine", False)

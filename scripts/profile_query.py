@@ -92,7 +92,7 @@ def main() -> None:
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", "48g")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.codegen.cache.maxEntries", "8192")
         .config("spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=1g")
@@ -107,12 +107,20 @@ def main() -> None:
 
     qs = dict(entry.queries())
     qs.update(entry.extra_queries())
-    # same shape warmup as bench: sf0.001 pass populates codegen caches
-    for name in names:
-        try:
-            qs[name](spark, "/root/testdata/sf0.001").count()
-        except Exception as exc:
-            print(f"# warmup {name} failed: {exc}", file=sys.stderr)
+    # same shape warmup as bench: a small-SF pass populates codegen
+    # caches. Same env override as bench.py (ADVICE r13: the hardcoded
+    # path silently skipped warmup on other machines), defaulting to
+    # the smallest-SF sibling of sf_dir when present.
+    warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR")
+    if warm_dir is None:
+        sib = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+        warm_dir = sib if os.path.isdir(sib) else "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir) and os.path.abspath(warm_dir) != os.path.abspath(sf_dir):
+        for name in names:
+            try:
+                qs[name](spark, warm_dir).count()
+            except Exception as exc:
+                print(f"# warmup {name} failed: {exc}", file=sys.stderr)
     marks: list[tuple[str, int, float]] = []  # (label, first_job_after, wall)
     tracker = spark.sparkContext.statusTracker()
     for name in names:

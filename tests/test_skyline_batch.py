@@ -434,3 +434,40 @@ def test_skyline_excludes_nan_dims(spark):
         for r in skyline(df, [("x", "min"), ("y", "min")]).collect()
     }
     assert got == {(1.0, 2.0), (2.0, 1.0)}
+
+
+def test_local_pass_fold_matches_one_shot_group_kernel(spark):
+    """Round 14: _local_skyline_pass is a mapInPandas incremental fold
+    (per-batch, per-group) instead of one applyInPandas call per group.
+    Force groups to SPAN multiple Arrow batches (tiny
+    maxRecordsPerBatch) and pin the fold's output — including exact
+    coordinate-ties, which must all survive — against the one-shot
+    NOT-EXISTS anti-join semantics per group."""
+    from pyspark.sql import functions as F
+
+    from pyspark_skyline_spark.operators.skyline import skyline, skyline_antijoin
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        df = spark.range(0, 400).select(
+            (F.col("id") % 3).alias("g"),
+            F.pmod(F.xxhash64("id"), F.lit(50)).alias("x"),
+            F.pmod(F.xxhash64("id", F.lit(1)), F.lit(50)).alias("y"),
+        )
+        dims = [("x", "min"), ("y", "min")]
+        got = skyline(df, dims, by=["g"], partitions=2).collect()
+        want = []
+        for g in range(3):
+            sub = df.filter(F.col("g") == g)
+            want += skyline_antijoin(sub, dims).collect()
+        key = lambda r: (r.g, r.x, r.y)  # noqa: E731
+        assert sorted(map(key, got)) == sorted(map(key, want))
+        # ungrouped too (salted cells: many sub-groups per partition)
+        got_u = skyline(df, dims).collect()
+        want_u = skyline_antijoin(df, dims).collect()
+        assert sorted((r.x, r.y) for r in got_u) == sorted(
+            (r.x, r.y) for r in want_u
+        )
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
