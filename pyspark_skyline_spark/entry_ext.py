@@ -1364,10 +1364,24 @@ def _q_gather_token_sequences_documents(spark, sf_dir):
     from pyspark_skyline_spark.operators.text import _SUBWORD_SPLIT
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.withColumn(
-        "tokens",
-        F.regexp_extract_all(F.lower(F.col("text")), F.lit(_SUBWORD_SPLIT), 0),
-    ).withColumn("n_tok", F.size("tokens"))
+    # tokenize ONCE on a spread, projected input (round 14): the
+    # regexp pre-lexer is the row's compute-dense stage, and `toks`
+    # feeds BOTH the packing plan (token counts) and the gather (token
+    # arrays) — uncheckpointed, each consumer re-ran the tokenize, on
+    # however few tasks the one-file byte split produced
+    from pyspark_skyline_spark.operators.dedup import spread_for_compute
+
+    toks = (
+        spread_for_compute(docs.select("doc_id", "text"))
+        .select(
+            "doc_id",
+            F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit(_SUBWORD_SPLIT), 0
+            ).alias("tokens"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    toks = toks.withColumn("n_tok", F.size("tokens"))
     plan = pack_sequences(toks, "doc_id", "n_tok", seq_len=512)
     out = gather_token_sequences(toks, plan, "doc_id")
     return out.select(

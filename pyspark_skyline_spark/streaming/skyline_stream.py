@@ -33,14 +33,22 @@ foreachBatch restart can produce still yields the exactly-once result.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from pyspark_skyline_spark.operators.skyline import skyline
+from pyspark_skyline_spark.operators.skyline import skyline, skyline_antijoin
 from pyspark_skyline_spark.streaming import fsio
 
 __all__ = ["SkylineStreamState", "run_skyline_stream"]
 
 _MARKER = "_LATEST"
+
+#: candidate-pool size under which the stage-2 merge runs as ONE
+#: codegen'd NOT-EXISTS broadcast-NL join instead of the partitioned
+#: kernel machinery (bounds pass + salted cells + tree merge — ~4 jobs
+#: and a Python stage for a pool that is usually a few hundred frontier
+#: rows). 8192² comparisons of a handful of dims is sub-second JVM
+#: work; past the cap the partitioned operator is the right tool.
+_ANTIJOIN_MAX = 8192
 
 
 class SkylineStreamState:
@@ -123,11 +131,49 @@ class SkylineStreamState:
             )
         self._version = nxt
 
-    def update(self, batch_df: DataFrame) -> DataFrame:
-        reduced = skyline(batch_df, self.dims, algo=self.algo, **self.kwargs)
-        if self.current is not None:
-            reduced = reduced.unionByName(self.current)
-            reduced = skyline(reduced, self.dims, algo=self.algo, **self.kwargs)
+    def _reduce_pool(self, cand: DataFrame) -> DataFrame:
+        """Reduce a MATERIALIZED (checkpointed) candidate pool to its
+        skyline: a single codegen'd NOT-EXISTS anti-join when the pool
+        is small (the common stage-2 shape — frontier emissions), the
+        partitioned kernel operator past ``_ANTIJOIN_MAX``. The two
+        forms are semantically identical (differential-tested); the
+        anti-join path replicates skyline()'s NaN guard explicitly
+        because ``skyline_antijoin`` alone only filters NULLs."""
+        if cand.count() <= _ANTIJOIN_MAX:
+            nan_guards = [
+                f"NOT isnan(`{c}`)"
+                for c, _ in self.dims
+                if dict(cand.dtypes).get(c) in ("double", "float")
+            ]
+            if nan_guards:
+                cand = cand.filter(F.expr(" AND ".join(nan_guards)))
+            return skyline_antijoin(cand, self.dims)
+        return skyline(cand, self.dims, algo=self.algo, **self.kwargs)
+
+    def update(self, batch_df: DataFrame, materialized: bool = False) -> DataFrame:
+        """Fold a micro-batch into the running skyline.
+
+        ``materialized=True`` promises ``batch_df`` is already
+        materialized (checkpointed) and frontier-sized — stage-2 merges
+        pass their emissions this way so the whole update is one
+        count-gated reduce (see ``_reduce_pool``) instead of the full
+        partitioned machinery per batch. With the default
+        ``materialized=False`` (a raw micro-batch that may be huge),
+        the batch is first reduced with the partitioned operator
+        exactly as before, and only the frontier-union re-reduce takes
+        the count-gated path."""
+        if materialized:
+            cand = (
+                batch_df
+                if self.current is None
+                else batch_df.unionByName(self.current).localCheckpoint(eager=True)
+            )
+            reduced = self._reduce_pool(cand)
+        else:
+            reduced = skyline(batch_df, self.dims, algo=self.algo, **self.kwargs)
+            if self.current is not None:
+                cand = reduced.unionByName(self.current).localCheckpoint(eager=True)
+                reduced = self._reduce_pool(cand)
         # materialize & cut lineage: state must not grow a plan per batch
         self.current = reduced.localCheckpoint(eager=True)
         if self.state_dir:

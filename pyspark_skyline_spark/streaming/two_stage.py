@@ -63,12 +63,23 @@ def run_two_stage_skyline_stream(
     bounds pass (see ``stateful_cell_skyline``).
     """
     cells = stateful_cell_skyline(stream_df, dims, bounds, partitions)
+    # the stage-2 fallback reduce can reuse the caller's bounds: every
+    # emission is an input row, so the stage-1 domain contains them
+    skyline_kwargs.setdefault("bounds", bounds)
     state = SkylineStreamState(dims, algo, **skyline_kwargs)
 
     def merge(batch_df: DataFrame, epoch_id: int) -> None:
-        if batch_df.isEmpty():
+        # materialize the emissions ONCE: foreachBatch re-executes the
+        # batch plan per ACTION, so the previous isEmpty + bounds agg +
+        # kernel pass re-ran the stage-1 stateful stage three-plus
+        # times per batch (round-14 profile: three 8-task stateful
+        # stages per merge). The emissions are frontier-sized by
+        # construction — cheap to checkpoint — and the materialized
+        # update path reduces them in one count-gated pass.
+        batch = batch_df.drop(_CELL).localCheckpoint(eager=True)
+        if batch.isEmpty():
             return
-        state.update(batch_df.drop(_CELL))
+        state.update(batch, materialized=True)
 
     writer = (
         cells.writeStream.foreachBatch(merge)
