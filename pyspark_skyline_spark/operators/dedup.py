@@ -588,22 +588,30 @@ def minhash_lsh_pairs(
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
     df = spread_for_compute(df)
-    # shingle each document ONCE and materialize: the signature branch
-    # and the verify branch both need the shingle sets, and without the
-    # checkpoint each would re-run the tokenize->shingle pipeline (the
-    # compute-dense part) from the raw text
-    base = df.select(
+    # shingle+hash each document ONCE and materialize: the signature
+    # branch and the verify branch both consume the hashed occurrence
+    # table, and without the checkpoint each would re-run the
+    # tokenize->shingle->hash pipeline (the compute-dense part) from
+    # the raw text. Round 14: the shared table holds (id, 64-bit hash)
+    # rows instead of per-doc STRING shingle arrays — the verify then
+    # intersects long arrays rather than string arrays (set relations
+    # are hash-preserved; a cross-doc collision could only perturb a
+    # candidate's jaccard by ~2^-61-probability counts, and the
+    # md5-mode oracle hash-verifies actual values), the checkpoint
+    # stores 8-byte hashes instead of shingle text, and the broadcast
+    # build side shrinks the same way.
+    ex = df.select(
         F.col(id_col).alias("__id"),
-        shingles(F.col(text_col), shingle_k).alias("__sh"),
+        F.explode(shingles(F.col(text_col), shingle_k)).alias("__s"),
+    ).select(
+        "__id", hash64_expr(F.col("__s"), None, hash_mode).alias("__h")
     ).localCheckpoint(eager=True)
-    sh_tbl = base.select("__id", F.explode("__sh").alias("__s"))
-    hashed = sh_tbl.select("__id", hash64_expr(F.col("__s"), None, hash_mode).alias("__h"))
     if hash_mode == "md5":
-        mixed = _md5_mix_base(hashed).selectExpr(
+        mixed = _md5_mix_base(ex).selectExpr(
             "__id", *_md5_mix_sqls(num_hashes)
         )
     else:
-        mixed = hashed.selectExpr("__id", *_xx_mix_sqls(num_hashes))
+        mixed = ex.selectExpr("__id", *_xx_mix_sqls(num_hashes))
     sig_tbl = mixed.groupBy("__id").agg(
         *[F.expr(f"min(__h{j}) AS m{j}") for j in range(num_hashes)]
     )
@@ -648,18 +656,29 @@ def minhash_lsh_pairs(
     # materializes anyway (round 6 paid an extra probe job + an
     # O(corpus) HOF length sum here); past the budget the shuffle join
     # stands (the 100 TB regime).
-    stored = _persisted_bytes(base)
+    # per-doc hash sets from the shared occurrence table: one hash-agg
+    # (map-side combined); sorted so array_intersect scans stay cheap
+    # and deterministic. collect_set dedups exactly like the string
+    # form did (shingles are distinct per doc; only a ~2^-61 collision
+    # could merge two).
+    # lazy checkpoint: the verify's two join sides each build their own
+    # (differently-keyed) broadcast, and without the cut each build
+    # would re-run this aggregate from the occurrence checkpoint
+    base_sets = (
+        ex.groupBy("__id")
+        .agg(F.array_sort(F.collect_set("__h")).alias("__sh"))
+        .localCheckpoint(eager=False)
+    )
+    stored = _persisted_bytes(ex)
     if stored is None:  # metadata accessors unavailable: round-6 probe
-        vstats = base.agg(
-            F.count(F.lit(1)).alias("rows"),
-            F.sum(
-                F.expr("aggregate(__sh, 0L, (a, x) -> a + length(x) + 24)")
-            ).alias("bytes"),
-        ).collect()[0]
-        est_bytes = int((vstats["bytes"] or 0) * 1.4 + (vstats["rows"] or 0) * 48)
+        vstats = ex.agg(F.count(F.lit(1)).alias("rows")).collect()[0]
+        est_bytes = int((vstats["rows"] or 0) * (8 * 1.4 + 16))
     else:
+        # the aggregated set table re-packs the same 8-byte hashes the
+        # occurrence checkpoint stores (minus per-row id overhead), so
+        # the stored occurrence bytes bound the hashed relation
         est_bytes = stored * _HASHED_RELATION_FACTOR
-    vbase = F.broadcast(base) if est_bytes <= _VERIFY_BROADCAST_BUDGET else base
+    vbase = F.broadcast(base_sets) if est_bytes <= _VERIFY_BROADCAST_BUDGET else base_sets
     sh_a = vbase.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sh_a"))
     sh_b = vbase.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__sh_b"))
     # size-arithmetic Jaccard: elements are distinct per doc (the
@@ -849,32 +868,26 @@ def ngram_jaccard_pairs(
     df = spread_for_compute(df)
     # shingles as 60-bit hashes: set relations are preserved (same hash
     # both engines), and the verify-join intersects long arrays instead
-    # of string arrays — far cheaper to shuffle and compare
-    sh_hashed = F.array_sort(
-        F.array_distinct(
-            F.transform(
-                shingles(F.col(text_col), shingle_k),
-                lambda s: hash64_expr(s, None, "md5"),
-            )
-        )
-    )
-    base = df.select(F.col(id_col).alias("__id"), sh_hashed.alias("__sh")).withColumn(
-        "__n", F.size("__sh")
-    )
-    # MATERIALIZE the shingle computation once: the document-frequency
-    # branch and the ranked-set branch both consume `base`, and Spark's
-    # exchange reuse does not reliably dedupe the two subtrees — without
-    # this the tokenize->shingle->md5->sort pipeline (the compute-dense
-    # part, interpreted HOFs) executes once per branch, on however few
-    # tasks the byte-sized file split produced. The sketch table is a
-    # fraction of the corpus bytes, so caching it is the standard
-    # compute-sketches-once materialization; localCheckpoint trades
-    # lineage-based recovery for it (executor loss => job retry).
-    base = base.localCheckpoint(eager=False)
+    # of string arrays — far cheaper to shuffle and compare.
+    # Round 14: the md5 runs as a TOP-LEVEL expression over the
+    # EXPLODED occurrence table, not as a per-element ``transform``
+    # lambda — higher-order-function bodies evaluate interpreted, and
+    # the per-shingle md5+hex-parse inside one was the bulk of a
+    # 13.7-CPU-s sketch-build stage at sf0.1; top-level expressions are
+    # whole-stage-codegen'd. Per-doc hash-dedup and sorting move into
+    # the ranked aggregate below (array_distinct of the sorted struct
+    # array — hash-distinct exactly like the oracle's list_distinct of
+    # md5s), so the occurrence table is the ONE materialization the
+    # dfreq branch and the ranked aggregate share; localCheckpoint
+    # trades lineage-based recovery for it (executor loss => job
+    # retry).
+    ex = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(shingles(F.col(text_col), shingle_k)).alias("__s"),
+    ).select(
+        "__id", hash64_expr(F.col("__s"), None, "md5").alias("__h")
+    ).localCheckpoint(eager=False)
     prefix_len = (F.col("__n") - F.ceil(F.lit(t) * F.col("__n")) + 1).cast("int")
-    # rarest-first canonical order: per-shingle document frequency,
-    # then re-aggregate each doc's set sorted by (df, hash)
-    ex = base.select("__id", "__n", F.explode("__sh").alias("__h"))
     # Only repeated shingles (df >= 2) need a real frequency: singletons
     # — the overwhelming majority of shingles in a deduplicated corpus —
     # all tie at df=1 and sort by hash anyway, so a left join against
@@ -883,21 +896,35 @@ def ngram_jaccard_pairs(
     # magnitude (usually to broadcast range; the ordering stays
     # globally consistent, which is all prefix-filter completeness
     # requires).
+    # rarest-first canonical order: per-shingle document frequency,
+    # then re-aggregate each doc's set sorted by (df, hash)
     dfreq = (
         ex.groupBy("__h")
         .agg(F.count(F.lit(1)).alias("__df"))
         .filter(F.col("__df") >= 2)
     )
+    # array_distinct AFTER array_sort: per-doc hash-dedup (shingle
+    # STRINGS are distinct per doc already, so this only collapses the
+    # astronomically-rare intra-doc md5 collision — keeping __n and the
+    # verify sets bit-equal to the oracle's distinct-of-hashes); equal
+    # hashes share their global __df, so struct-distinct IS hash-
+    # distinct, and sorting first keeps it one O(n) pass
     ranked = (
         ex.join(dfreq, "__h", "left")
-        .groupBy("__id", "__n")
+        .groupBy("__id")
         .agg(
-            F.array_sort(
-                F.collect_list(
-                    F.struct(F.coalesce(F.col("__df"), F.lit(1)).alias("__df"), F.col("__h"))
+            F.array_distinct(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.coalesce(F.col("__df"), F.lit(1)).alias("__df"),
+                            F.col("__h"),
+                        )
+                    )
                 )
             ).alias("__rsh")
         )
+        .withColumn("__n", F.size("__rsh"))
     )
     # MATERIALIZE the sketch table once: three consumers (prefix branch,
     # verify-a, verify-b) would otherwise each recompute the whole

@@ -150,6 +150,12 @@ def k_skyband(
     cands = pin_compute_shuffle(dimtbl, "__cell").groupBy("__cell").applyInPandas(
         local_counts, "__id long, __cell long, __incell long"
     )
+    # materialize the survivors once (round 14): `cands` feeds BOTH the
+    # partial-audit union below and the totals join, and without the
+    # lineage cut each consumer re-ran the O(n²d) in-cell counting
+    # kernel (profiled: two ~1 s 32-task kernel stages at sf0.1 where
+    # one suffices). Candidates are ~k x frontier-sized — cheap to keep.
+    cands = cands.localCheckpoint(eager=False)
 
     census = dimtbl.groupBy("__cell").agg(F.count(F.lit(1)).alias("__n")).collect()
     cells = np.array([r["__cell"] for r in census], dtype=np.int64)
